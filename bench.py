@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the declared headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop-format write (full distributed
+execution, no driver-side collect cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_weather_forecasting_gsod_spark.plans import queries  # noqa: E402
+from pyspark_weather_forecasting_gsod_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("gsod-engine-bench", master=f"local[{cpus}]")
+
+    qs = queries()
+    # Warm the JVM/codegen once on the cheapest query so first-measured
+    # timings aren't dominated by one-time startup.
+    warm = qs.get("grouped_count") or next(iter(qs.values()))
+    warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

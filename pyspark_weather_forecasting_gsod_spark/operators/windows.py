@@ -1,0 +1,86 @@
+"""Window operators: offset labels and sliding-frame aggregates.
+
+Reference equivalents (SURVEY.md §2.5):
+  * W1 ``lead`` label construction — ipynb:1251-1257: per-station
+    date-ordered ``lead(max)`` → next_day_max, ``lead(rain_drizzle)`` →
+    next_day_rain. The reference's lead(1) is row-based (next *observation*,
+    not next calendar day); both variants are offered here.
+  * W2 symmetric ROWS frame mean — ipynb:863-875 (the proximity imputer's
+    kernel).
+
+Scale notes: a window ``partitionBy(k).orderBy(o)`` is one hash shuffle on k
+plus an in-partition sort — the same exchange can be reused by every window
+with the same partitioning, so label building and frame averaging over the
+same key pipeline into one stage. Skewed groups (one giant station) are the
+risk at 100 TB; AQE skew handling does not apply inside a window, so keys must
+be checked for skew upstream (see ext/ salting helpers for the join case).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def keyed_window(group_by: str | Sequence[str], order_by: str | Sequence[str]) -> WindowSpec:
+    group_cols = [group_by] if isinstance(group_by, str) else list(group_by)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    return Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+
+
+def lead_labels(
+    df: DataFrame,
+    group_by: str,
+    order_by: str | Sequence[str],
+    labels: dict[str, str],
+    drop_null_labels: bool = True,
+    calendar_strict: bool = False,
+    date_col: str | None = None,
+) -> DataFrame:
+    """Add next-observation label columns via ``lead(1)`` (reference C10).
+
+    ``labels`` maps source column → label column, e.g.
+    ``{"max": "next_day_max", "rain_drizzle": "next_day_rain"}``
+    (ipynb:1251-1257). ``drop_null_labels`` drops each group's last row
+    (ipynb:1260). ``calendar_strict=True`` additionally nulls labels whose
+    next observation is not exactly the next calendar day of ``date_col`` —
+    the reference's documented gap bug (SURVEY.md §2.5 W1), fixed opt-in.
+    """
+    w = keyed_window(group_by, order_by)
+    out = df
+    exprs: list[Column] = [F.col(c) for c in df.columns]
+    gap_ok = None
+    if calendar_strict:
+        dc = date_col or (order_by if isinstance(order_by, str) else order_by[0])
+        gap_ok = F.datediff(F.lead(dc, 1).over(w), F.col(dc)) == 1
+    for src, label in labels.items():
+        led = F.lead(src, 1).over(w)
+        if gap_ok is not None:
+            led = F.when(gap_ok, led)
+        exprs.append(led.alias(label))
+    out = out.select(*exprs)
+    if drop_null_labels:
+        pred = None
+        for label in labels.values():
+            c = F.col(label).isNotNull()
+            pred = c if pred is None else (pred & c)
+        out = out.filter(pred)
+    return out
+
+
+def sliding_frame_avg(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    order_by: str | Sequence[str],
+    before: int,
+    after: int,
+    out_col: str,
+) -> DataFrame:
+    """Symmetric/asymmetric ROWS-frame mean (reference W2 kernel,
+    ipynb:863-875: ``avg(c).over(rowsBetween(-n, n))``)."""
+    w = keyed_window(group_by, order_by).rowsBetween(-before, after)
+    return df.withColumn(out_col, F.avg(column).over(w))

@@ -1,0 +1,504 @@
+"""Declared queries: the driver-facing contract (__spark_entry__.py).
+
+Every operator family from SURVEY.md §2 is declared here as a named query
+``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, a DuckDB oracle
+that computes the identical result on the identical parquet. Conventions that
+make cross-engine value-hashing deterministic:
+
+  * every computed column is aliased identically in Spark and SQL;
+  * derived floats (sums/avgs of arithmetic) are ``round``-ed — raw parquet
+    doubles pass through unrounded (bit-identical in both engines);
+  * counts are BIGINT on both sides; month() is cast to INT on both sides;
+  * orderings that feed LIMIT always carry a unique tie-break key;
+  * session timezone is pinned to UTC (session.tune) so date-part extraction
+    matches DuckDB's naive timestamps.
+
+The GSOD reference has no sentinel-free analog of the driver's synthetic
+tables, so the sentinel/imputation family (C1-C6) treats ``events.value >
+250.0`` as the sentinel ("physically impossible reading"), mirroring the
+reference's 9999.9/999.9/99.99 convention (ipynb:239-243) with a realistic
+missing rate (~1%).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.impute import (
+    fixed_proximity_impute,
+    impute_with_group_median,
+    seasonal_median_impute,
+)
+from ..operators.quality import missing_census, normalize_sentinels
+from ..operators.relational import mode_top1, top_k
+from ..operators.windows import lead_labels, sliding_frame_avg
+from ..session import tune
+from ..sources.io import load_table
+
+SENTINEL = 250.0  # events.value above this is treated as a bad-read sentinel
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return normalize_sentinels(ev, {"value": lambda c: c > SENTINEL})
+
+
+# ---------------------------------------------------------------------------
+# A1/A8/A9 + O3: TPC-H Q1-shaped pricing summary (scan → hash agg → sort).
+# Partial+final hash aggregation; 6-group output, no skew risk at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                         AS avg_price,
+           ROUND(AVG(l_discount), 6)                              AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                               AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1+C9 (P1/P5): sentinel→NULL rewrite + single-pass missing census.
+# ---------------------------------------------------------------------------
+@query(
+    "sentinel_census",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value > {SENTINEL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_value,
+           ROUND(AVG(CASE WHEN value > {SENTINEL} THEN 1.0 ELSE 0.0 END), 6)
+               AS null_frac
+    FROM events
+    """,
+)
+def sentinel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _events_normalized(spark, sf_dir)
+    row = missing_census(norm, ["value"])
+    return row.select(
+        F.col("n_rows"),
+        F.col("null_value"),
+        F.round(F.col("null_value") / F.col("n_rows"), 6).alias("null_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 (P7): zero-impute after sentinel normalization, grouped rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "zero_impute_by_type",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN value > {SENTINEL} THEN 0.0 ELSE value END), 4)
+               AS sum_value,
+           ROUND(AVG(CASE WHEN value > {SENTINEL} THEN 0.0 ELSE value END), 6)
+               AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def zero_impute_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _events_normalized(spark, sf_dir)
+    filled = norm.na.fill({"value": 0.0})
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: grouped count.
+# ---------------------------------------------------------------------------
+@query(
+    "grouped_count",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
+)
+def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A6/O1: deterministic mode via group-count-order-limit.
+# ---------------------------------------------------------------------------
+@query(
+    "mode_event_type",
+    """
+    SELECT event_type, cnt FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+    ) ORDER BY cnt DESC, event_type LIMIT 1
+    """,
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return mode_top1(ev, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2: global top-k (TakeOrderedAndProject — per-partition top-k + merge,
+# no full sort at any scale), deterministic tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "top10_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return top_k(orders, 10, by="o_totalprice", tie_break="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: exact grouped median (reference MedianImputer's agg, ipynb:800).
+# ---------------------------------------------------------------------------
+@query(
+    "median_by_supplier",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT)      AS n_items,
+           median(l_quantity)            AS median_qty,
+           median(l_extendedprice)       AS median_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def median_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.median("l_quantity").alias("median_qty"),
+        F.median("l_extendedprice").alias("median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 (F1): grouped median on compound key with a computed expression
+# (reference seasonal median, ipynb:918: groupBy(stn, month(date))).
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_median_by_user",
+    """
+    SELECT user_id, CAST(month(ts) AS INTEGER) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           median(value) AS median_value
+    FROM events GROUP BY user_id, CAST(month(ts) AS INTEGER)
+    """,
+)
+def seasonal_median_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.month("ts").alias("mo")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median("value").alias("median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 + P6 + C10: next-observation label build (the reference's spine,
+# ipynb:1251-1260): per-key ordered lead(1), drop last row per key.
+# ---------------------------------------------------------------------------
+@query(
+    "lead_labels_events",
+    """
+    SELECT event_id, user_id, value, next_value FROM (
+        SELECT event_id, user_id, value,
+               LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_value
+        FROM events
+    ) WHERE next_value IS NOT NULL
+    """,
+)
+def lead_labels_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    labeled = lead_labels(
+        ev, group_by="user_id", order_by=["ts", "event_id"], labels={"value": "next_value"}
+    )
+    return labeled.select("event_id", "user_id", "value", "next_value")
+
+
+# ---------------------------------------------------------------------------
+# W2: symmetric ROWS-frame mean (proximity-impute kernel, ipynb:863-875).
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_avg_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
+               AS sliding_avg
+    FROM events
+    """,
+)
+def sliding_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = sliding_frame_avg(
+        ev, "value", group_by="user_id", order_by=["ts", "event_id"], before=3, after=3,
+        out_col="sliding_avg",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("sliding_avg", 4).alias("sliding_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 (A2/A3 + J2-rewrite): group-median imputation as broadcast join +
+# coalesce — the distributed replacement for the reference's driver-side
+# dict + UDF (ipynb:797-826).
+# ---------------------------------------------------------------------------
+@query(
+    "impute_group_median_events",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), med AS (
+        SELECT user_id, median(v) AS m FROM base GROUP BY user_id
+    ), g AS (
+        SELECT median(v) AS gm FROM base
+    )
+    SELECT b.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           ROUND(SUM(COALESCE(b.v, med.m, g.gm)), 4) AS sum_imputed
+    FROM base b LEFT JOIN med ON b.user_id = med.user_id CROSS JOIN g
+    GROUP BY b.user_id
+    """,
+)
+def impute_group_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.col("value").isNull().cast("long").alias("was_null"),
+    )
+    imputed = impute_with_group_median(base, "v", "user_id")
+    return imputed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").alias("n_imputed"),
+        F.round(F.sum("v"), 4).alias("sum_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 + J1: seasonal (group × month) median imputation — left-outer join on a
+# computed expression key (ipynb:899-938, join at ipynb:921), global-median
+# fallback for all-NULL cells.
+# ---------------------------------------------------------------------------
+@query(
+    "impute_seasonal_events",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, CAST(month(ts) AS INTEGER) AS mo,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), seasonal AS (
+        SELECT user_id, mo, median(v) AS sm FROM base GROUP BY user_id, mo
+    ), g AS (
+        SELECT median(v) AS gm FROM base
+    )
+    SELECT b.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN b.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           ROUND(SUM(COALESCE(b.v, s.sm, g.gm)), 4) AS sum_imputed
+    FROM base b
+    LEFT JOIN seasonal s ON b.user_id = s.user_id AND b.mo = s.mo
+    CROSS JOIN g
+    GROUP BY b.user_id
+    """,
+)
+def impute_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("v"),
+        F.col("value").isNull().cast("long").alias("was_null"),
+    )
+    imputed = seasonal_median_impute(
+        base, "v", group_by="user_id", date_col="ts"
+    )
+    return imputed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").alias("n_imputed"),
+        F.round(F.sum("v"), 4).alias("sum_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 (W2 + A2): proximity imputation, declared deterministic variant —
+# one ±4-row frame-mean pass + exact global median residue (the iterative
+# doubling variant is operators.impute.proximity_mean_impute; its convergence
+# loop is data-dependent so it is exercised in pytest, not the oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "impute_proximity_events",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), framed AS (
+        SELECT *,
+               AVG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS fr
+        FROM base
+    ), g AS (
+        SELECT median(v) AS gm FROM base
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           ROUND(SUM(COALESCE(v, fr, gm)), 4) AS sum_imputed
+    FROM framed CROSS JOIN g
+    GROUP BY user_id
+    """,
+)
+def impute_proximity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("v"),
+        F.col("value").isNull().cast("long").alias("was_null"),
+    )
+    imputed = fixed_proximity_impute(
+        base, "v", group_by="user_id", order_by=["ts", "event_id"], num_rows=4
+    )
+    return imputed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").alias("n_imputed"),
+        F.round(F.sum("v"), 4).alias("sum_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 inner variant: orders ⨝ customer rollup (broadcast dim side).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join rollup (TPC-H Q5 shape): lineitem ⨝ orders ⨝ customer ⨝ nation.
+# Fact-to-fact join shuffles on the key; dim sides broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship: scan → window(lead) → filter → agg on events (the reference's
+    spine W1+P6+A1) at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    labeled = lead_labels(
+        ev, group_by="user_id", order_by=["ts", "event_id"], labels={"value": "next_value"}
+    )
+    return labeled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_labeled"),
+        F.round(F.avg(F.col("next_value") - F.col("value")), 4).alias("avg_delta"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql.strip() for name, (_fn, sql) in QUERIES.items() if sql is not None
+    }

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Reference equivalent: ipynb:103-107 (``SparkSession.builder.master("local")``,
+single core, defaults everywhere). Our factory turns on AQE, pins the session
+timezone to UTC (so date-part extraction matches the DuckDB oracle and is
+cluster-location-independent), and sizes shuffle partitions for the target
+parallelism instead of the Spark default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on externally provided sessions
+# (the correctness driver builds its own SparkSession and passes it in).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+    # type for; read the raw int64 and convert in sources.io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "gsod-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-sane defaults.
+
+    ``master`` defaults to ``$SPARK_MASTER`` or ``local[*]``;
+    ``shuffle_partitions`` defaults to ``$SPARK_GRAFT_CPUS`` or 32. On a real
+    cluster pass the cluster master URL and a shuffle partition count sized to
+    ~2-3x total executor cores (AQE coalesces the excess at runtime).
+    """
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Re-assert runtime-settable confs on an externally built session.
+
+    Every declared query calls this so results are deterministic (UTC
+    date-parts, AQE on) regardless of who built the session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+    return spark

@@ -1,0 +1,168 @@
+"""Sources and sinks with explicit schemas.
+
+Reference equivalents: S1 CSV scan with ``inferSchema=True`` (ipynb:187 — two
+full passes over the file) and S6 model sink. At scale, schema inference is a
+full extra read of 100 TB, so every source here takes an explicit
+``StructType``; the driver's synthetic parquet tables get pinned schemas below.
+Parquet is the primary format (columnar, vectorized reader, min/max + null
+stats enable predicate pushdown; CSV has none of that).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pinned schemas for the driver-provided testdata tables (TESTDATA.md /
+# FIXTURES.md §B). Explicit schemas (a) skip footer-merging across many files,
+# (b) fail fast on drift, (c) document the contract.
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    # o_orderdate / l_shipdate are parquet TIMESTAMP(MILLIS, false) → NTZ.
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    # events.ts is parquet TIMESTAMP(NANOS, false): Spark reads it as int64
+    # nanoseconds (spark.sql.legacy.parquet.nanosAsLong); load_table converts
+    # it to a microsecond timestamp exactly as DuckDB's parquet reader does
+    # (floor-truncate ns → µs), so both engines see identical instants.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its pinned schema.
+
+    Column pruning and predicate pushdown happen automatically downstream —
+    callers should ``select``/``filter`` early and let Catalyst reach the scan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = TABLE_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if name == "events":
+        # ns→µs floor-truncation, integer domain (ns epoch ≈ 1.7e18 exceeds
+        # double's 2^53 exact range, so never divide this as a float).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV source with a mandatory explicit schema.
+
+    Replaces the reference's ``inferSchema=True`` load (ipynb:187): at 100 TB
+    an inference pass is a full extra scan, and inferred types drift with the
+    data sample (SURVEY.md §1 shows GSOD's declared STRING columns silently
+    retyped). Schema is required, not optional.
+    """
+    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` gives partition pruning on read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,160 @@
+"""C2-C6 imputation semantics (reference ipynb:784-956).
+
+Covers the reference's documented behaviors: per-group median with global
+fallback, proximity frame math with the doubling schedule and frame-edge
+cases, seasonal (group, month) medians with fallback chaining, zero fill, and
+ordered strategy application. Property tests assert the reference's own
+acceptance criterion (post-imputation null census == 0, ipynb:1128-1152) and
+that imputation never modifies non-null values.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_weather_forecasting_gsod_spark.operators.impute import (
+    fixed_proximity_impute,
+    impute_with_group_median,
+    proximity_mean_impute,
+    run_impute_strategy,
+    seasonal_median_impute,
+    zero_impute,
+)
+
+
+def D(y, m, d):
+    return dt.date(y, m, d)
+
+
+def test_group_median_with_global_fallback(spark):
+    df = spark.createDataFrame(
+        [
+            Row(stn="a", v=1.0),
+            Row(stn="a", v=3.0),
+            Row(stn="a", v=None),
+            Row(stn="b", v=None),  # station entirely null → global median
+            Row(stn="b", v=None),
+        ]
+    )
+    out = impute_with_group_median(df, "v", "stn")
+    got = sorted((r.stn, r.v) for r in out.collect())
+    # station a median = 2.0; global median over {1,3} = 2.0
+    assert got == [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)]
+
+
+def test_group_median_preserves_non_null(spark):
+    df = spark.createDataFrame([Row(stn="a", v=7.0), Row(stn="a", v=None)])
+    out = impute_with_group_median(df, "v", "stn")
+    assert sorted(r.v for r in out.collect()) == [7.0, 7.0]
+
+
+def test_proximity_frame_mean_fills_from_neighbors(spark):
+    rows = [
+        Row(stn="a", date=D(2023, 1, i + 1), v=val)
+        for i, val in enumerate([10.0, None, 20.0, 30.0, 40.0])
+    ]
+    df = spark.createDataFrame(rows)
+    out = fixed_proximity_impute(df, "v", "stn", ["date"], num_rows=1)
+    got = {r.date.day: r.v for r in out.collect()}
+    # day 2's ±1 frame = {10, None, 20} → mean 15
+    assert got[2] == 15.0
+    assert got[1] == 10.0 and got[5] == 40.0
+
+
+def test_proximity_all_null_frame_falls_back_to_global_median(spark):
+    rows = [
+        Row(stn="a", date=D(2023, 1, 1), v=None),
+        Row(stn="b", date=D(2023, 1, 1), v=4.0),
+        Row(stn="b", date=D(2023, 1, 2), v=8.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = fixed_proximity_impute(df, "v", "stn", ["date"], num_rows=1)
+    got = {(r.stn, r.date.day): r.v for r in out.collect()}
+    assert got[("a", 1)] == 6.0  # global median of {4, 8}
+
+
+def test_proximity_doubling_schedule_converges(spark):
+    # null at position 0 whose ±1 frame is all-null but ±2 frame reaches data:
+    # requires the 1→2 doubling step to fill without hitting global fallback.
+    rows = [
+        Row(stn="a", date=D(2023, 1, 1), v=None),
+        Row(stn="a", date=D(2023, 1, 2), v=None),
+        Row(stn="a", date=D(2023, 1, 3), v=12.0),
+        Row(stn="a", date=D(2023, 1, 4), v=24.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = proximity_mean_impute(
+        df, "v", group_by="stn", order_by="date", initial_num_rows=1, max_rows=8
+    )
+    got = {r.date.day: r.v for r in out.collect()}
+    assert got[3] == 12.0 and got[4] == 24.0
+    assert got[2] == 12.0  # filled at n=1 from day-3 neighbor
+    assert got[1] is not None  # filled by a later pass, not global fallback
+    assert out.filter(F.col("v").isNull()).count() == 0
+
+
+def test_proximity_residue_uses_global_median_fallback(spark):
+    rows = [
+        Row(stn="a", date=D(2023, 1, 1), v=None),
+        Row(stn="b", date=D(2023, 1, 1), v=5.0),
+        Row(stn="b", date=D(2023, 1, 2), v=15.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = proximity_mean_impute(
+        df, "v", group_by="stn", order_by="date", initial_num_rows=1, max_rows=1
+    )
+    got = {(r.stn, r.date.day): r.v for r in out.collect()}
+    assert got[("a", 1)] == 10.0  # global median
+
+
+def test_seasonal_median_impute_with_monthly_groups(spark):
+    rows = [
+        Row(stn="a", date=D(2023, 1, 1), v=10.0),
+        Row(stn="a", date=D(2023, 1, 5), v=None),
+        Row(stn="a", date=D(2023, 1, 9), v=20.0),
+        Row(stn="a", date=D(2023, 2, 1), v=None),  # (a, feb) all null → global
+        Row(stn="b", date=D(2023, 2, 1), v=100.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = seasonal_median_impute(df, "v", group_by="stn", date_col="date")
+    got = {(r.stn, r.date.month, r.date.day): r.v for r in out.collect()}
+    assert got[("a", 1, 5)] == 15.0  # (a, jan) median
+    assert got[("a", 2, 1)] == 20.0  # global median of {10, 20, 100}
+    assert got[("b", 2, 1)] == 100.0
+
+
+def test_zero_impute(spark):
+    df = spark.createDataFrame([Row(prcp=None), Row(prcp=1.5)], "prcp double")
+    out = zero_impute(df, {"prcp": 0.0})
+    assert sorted(r.prcp for r in out.collect()) == [0.0, 1.5]
+
+
+def test_strategy_runner_applies_in_order(spark):
+    # order matters: the reference imputes visib-family first so later
+    # windowed imputers see filled values (ipynb:947-956).
+    df = spark.createDataFrame([Row(stn="a", x=None, y=None), Row(stn="a", x=2.0, y=4.0)])
+    strategy = {
+        "x": lambda d: zero_impute(d, {"x": 0.0}),
+        # y's imputer reads x — proves x ran first
+        "y": lambda d: d.withColumn("y", F.coalesce(F.col("y"), F.col("x") + 1)),
+    }
+    out = run_impute_strategy(df, strategy)
+    got = sorted((r.x, r.y) for r in out.collect())
+    assert got == [(0.0, 1.0), (2.0, 4.0)]
+
+
+def test_post_imputation_census_is_zero_on_events(spark, sf_dir):
+    """The reference's acceptance criterion (ipynb:1128-1152) on real data."""
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import missing_census, normalize_sentinels
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    norm = normalize_sentinels(ev, {"value": lambda c: c > 250.0})
+    assert norm.filter(F.col("value").isNull()).count() > 0
+    imputed = proximity_mean_impute(
+        norm, "value", group_by="user_id", order_by=["ts", "event_id"],
+        initial_num_rows=2, max_rows=4,
+    )
+    row = missing_census(imputed, ["value"]).collect()[0]
+    assert row.null_value == 0

@@ -1,0 +1,50 @@
+"""C1 normalize_sentinels + C9 missing_census (reference ipynb:239-247, 330)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_weather_forecasting_gsod_spark.operators.quality import missing_census, normalize_sentinels
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            Row(stn="a", temp=9999.9, prcp=99.99, visib=10.0),
+            Row(stn="a", temp=50.0, prcp=0.0, visib=999.9),
+            Row(stn="b", temp=60.0, prcp=99.99, visib=5.0),
+        ]
+    )
+
+
+def test_literal_sentinels_become_null(spark):
+    df = _df(spark)
+    out = normalize_sentinels(df, {"temp": 9999.9, "prcp": 99.99, "visib": 999.9})
+    got = {(r.stn, r.temp, r.prcp, r.visib) for r in out.collect()}
+    assert got == {
+        ("a", None, None, 10.0),
+        ("a", 50.0, 0.0, None),
+        ("b", 60.0, None, 5.0),
+    }
+
+
+def test_predicate_sentinels(spark):
+    df = _df(spark)
+    out = normalize_sentinels(df, {"temp": lambda c: c > 1000})
+    assert {r.temp for r in out.collect()} == {None, 50.0, 60.0}
+
+
+def test_non_sentinel_columns_untouched(spark):
+    df = _df(spark)
+    out = normalize_sentinels(df, {"temp": 9999.9})
+    assert out.columns == df.columns
+    assert out.filter(F.col("stn").isNull()).count() == 0
+
+
+def test_missing_census_single_row(spark):
+    df = normalize_sentinels(_df(spark), {"temp": 9999.9, "prcp": 99.99, "visib": 999.9})
+    row = missing_census(df).collect()[0]
+    assert row.n_rows == 3
+    assert row.null_temp == 1
+    assert row.null_prcp == 2
+    assert row.null_visib == 1
+    assert row.null_stn == 0

@@ -1,0 +1,64 @@
+"""W1 lead labels + W2 sliding frames (reference ipynb:1251-1260, 863-875)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.operators.windows import lead_labels, sliding_frame_avg
+
+
+def D(y, m, d):
+    return dt.date(y, m, d)
+
+
+def _station_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(stn="a", date=D(2023, 1, 1), mx=10.0),
+            Row(stn="a", date=D(2023, 1, 2), mx=20.0),
+            Row(stn="a", date=D(2023, 1, 5), mx=50.0),  # 3-day gap
+            Row(stn="b", date=D(2023, 1, 1), mx=99.0),  # single-row station
+        ]
+    )
+
+
+def test_lead_labels_row_based(spark):
+    """Reference semantics: next *observation*, even across date gaps."""
+    out = lead_labels(
+        _station_df(spark), "stn", "date", {"mx": "next_mx"}, drop_null_labels=True
+    )
+    got = {(r.stn, r.date.day): r.next_mx for r in out.collect()}
+    # station b's only row and station a's last row dropped (ipynb:1260)
+    assert got == {("a", 1): 20.0, ("a", 2): 50.0}
+
+
+def test_lead_labels_calendar_strict_nulls_gaps(spark):
+    out = lead_labels(
+        _station_df(spark),
+        "stn",
+        "date",
+        {"mx": "next_mx"},
+        drop_null_labels=True,
+        calendar_strict=True,
+        date_col="date",
+    )
+    got = {(r.stn, r.date.day): r.next_mx for r in out.collect()}
+    # jan2 → jan5 is a gap: label nulled and dropped under strict mode
+    assert got == {("a", 1): 20.0}
+
+
+def test_lead_labels_keep_nulls(spark):
+    out = lead_labels(
+        _station_df(spark), "stn", "date", {"mx": "next_mx"}, drop_null_labels=False
+    )
+    assert out.count() == 4
+
+
+def test_sliding_frame_avg_edges(spark):
+    df = spark.createDataFrame(
+        [Row(stn="a", date=D(2023, 1, i + 1), v=float(i)) for i in range(4)]
+    )
+    out = sliding_frame_avg(df, "v", "stn", "date", before=1, after=1, out_col="m")
+    got = {r.date.day: r.m for r in out.collect()}
+    # frame clips at partition edges, exactly like the reference's ROWS frame
+    assert got == {1: 0.5, 2: 1.0, 3: 2.0, 4: 2.5}
