@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json). Three tiers:
+
+  * ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+    set against the full corpus; dot products are JVM-side ``zip_with`` +
+    ``aggregate`` expressions (no Python). O(|Q|·N) — the correctness
+    baseline and fine whenever |Q| is bounded.
+  * ``brp_lsh_ann`` — MLlib BucketedRandomProjectionLSH approximate NN: the
+    at-scale path (hash once, bucket-join, refine) for large query sets.
+  * ``ivf_topk`` — inverted-file ANN: KMeans centroids (seeded), probe the
+    ``nprobe`` nearest centroids only — corpus is bucketed by centroid so the
+    scan touches ~nprobe/k of the data. The classic FAISS-IVF shape on
+    DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, F.expr(NORM.format(a=vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    Returns (qid, nid, cosine, rk). Queries are broadcast (they must be the
+    small side); ranking uses round(cosine, 9) with id tie-break so results
+    are deterministic across engines and runs.
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ne"))
+    dot = F.expr(DOT.format(a="qe", b="ne"))
+    nq = F.expr(NORM.format(a="qe"))
+    nn = F.expr(NORM.format(a="ne"))
+    pairs = (
+        c.join(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", (dot / (nq * nn)).alias("cos_raw"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos_raw"), 9).desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via MLlib random-projection LSH
+    (no cross join): normalized vectors, Euclidean threshold
+    sqrt(2 - 2*min_cosine) ⇔ cosine ≥ min_cosine."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (documents the type)
+
+    unit = F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({NORM.format(a=vec_col)}))"
+    )
+    feat = df.select(F.col(id_col), array_to_vector(unit).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feat)
+    thresh = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))
+    joined = model.approxSimilarityJoin(feat, feat, thresh, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def brp_lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH approxSimilarityJoin
+    between the query set and corpus (normalized → cosine ordering)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({NORM.format(a=vec_col)}))"
+    )
+    feat_c = corpus.select(F.col(id_col).alias("nid"), array_to_vector(unit).alias("features"))
+    feat_q = queries.select(F.col(id_col).alias("qid"), array_to_vector(unit).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feat_c)
+    joined = model.approxSimilarityJoin(feat_q, feat_c, 2.0, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.qid").alias("qid"),
+        F.col("datasetB.nid").alias("nid"),
+        F.col("dist"),
+    ).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"), "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: seeded KMeans partitions the corpus into
+    ``n_centroids`` cells; each query scans only its ``nprobe`` nearest
+    cells. At 100 TB the corpus would be written bucketed/partitioned by
+    ``centroid`` so each probe is a partition-pruned scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("ne"),
+        array_to_vector(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias(
+            "features"
+        ),
+    )
+    km = KMeans(k=n_centroids, seed=42, featuresCol="features", predictionCol="centroid")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("nid", "ne", "centroid")
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = corpus.sparkSession.createDataFrame(centers, ["centroid", "cvec"])
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    qc = q.join(F.broadcast(centers_df))
+    cdot = F.expr(DOT.format(a="qe", b="cvec"))
+    cnq, cnc = F.expr(NORM.format(a="qe")), F.expr(NORM.format(a="cvec"))
+    qc = qc.select("qid", "qe", "centroid", (cdot / (cnq * cnc)).alias("ccos"))
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("centroid"))
+    probes = qc.withColumn("prk", F.row_number().over(wq)).filter(F.col("prk") <= nprobe)
+
+    pairs = probes.join(assigned, on="centroid").filter(F.col("qid") != F.col("nid"))
+    dot = F.expr(DOT.format(a="qe", b="ne"))
+    nq, nn = F.expr(NORM.format(a="qe")), F.expr(NORM.format(a="ne"))
+    scored = pairs.select("qid", "nid", (dot / (nq * nn)).alias("cos_raw"))
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos_raw"), 9).desc(), F.col("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

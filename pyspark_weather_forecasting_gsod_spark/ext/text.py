@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (which has no string functions at all —
+SURVEY.md §2.7); these are the north-star extensions from BASELINE.json,
+built entirely from JVM-side built-ins (split/filter/transform/aggregate
+lambdas, regexp, md5) so they stay inside whole-stage codegen — no Python
+UDFs anywhere. All shapes are embarrassingly parallel (per-row projections),
+so they scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to")
+
+# Marker-word profiles for the lightweight language-ID heuristic. Real
+# deployments would plug in larger profiles (or character n-gram models);
+# the operator is generic over this dict.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "los", "de", "que"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+# Literal characters (not \u escapes) so the same class works in Java regex
+# (Spark) and RE2 (DuckDB oracle).
+CJK_CLASS = f"{chr(0x4E00)}-{chr(0x9FFF)}"
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization as an array column (JVM-side)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (the "token counting" baseline; a BPE-ish
+    regex variant is ``bpe_ish_token_count``)."""
+    return df.withColumn(out_col, F.size(tokens(text_col)).cast("long"))
+
+
+def bpe_ish_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Sub-word-ish token count: splits on word/number/punct boundaries the
+    way byte-pair pretokenizers do (letters runs, digit runs, single
+    punctuation marks each count)."""
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+    return df.withColumn(out_col, F.size(pieces).cast("long"))
+
+
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document quality signals: token count, char count, mean token
+    length, stopword ratio. One projection, no shuffle."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    stop_n = F.size(
+        F.expr(
+            f"filter(split(trim({text_col}), '\\\\s+'), t -> t IN ({_in_list_sql(stopwords)}))"
+        )
+    ).cast("long")
+    char_sum = F.expr(
+        f"aggregate(split(trim({text_col}), '\\\\s+'), 0L, (a, t) -> a + length(t))"
+    )
+    return df.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+        F.round(char_sum / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_n / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_scores(text_col: str) -> list[Column]:
+    cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = F.size(
+            F.expr(
+                f"filter(split(trim({text_col}), '\\\\s+'), t -> t IN ({_in_list_sql(markers)}))"
+            )
+        )
+        cols.append(score.alias(f"s_{lang}"))
+    cjk = F.length(F.regexp_replace(F.col(text_col), f"[^{CJK_CLASS}]", ""))
+    cols.append(cjk.alias("s_zh"))
+    return cols
+
+
+# Identical CASE text evaluated by both engines over the score columns —
+# alphabetical priority on ties, 'und' when nothing matches.
+LANG_DECISION_SQL = """
+CASE WHEN s_zh > 0 THEN 'zh'
+     WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+     WHEN s_es >= s_fr THEN 'es'
+     ELSE 'fr' END
+"""
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Marker-word language ID: score each language's marker set, pick the
+    argmax (alphabetical tie-break), CJK characters short-circuit to 'zh',
+    no signal → 'und'."""
+    scored = df.select(*df.columns, *_lang_scores(text_col))
+    out = scored.withColumn(out_col, F.expr(LANG_DECISION_SQL))
+    return out.drop("s_de", "s_en", "s_es", "s_fr", "s_zh")
+
+
+def normalize_text(text_col: str) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def fingerprint_md5(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Engine-portable (identical hex in Spark and DuckDB), so it doubles as the
+    exact-dedup key at scale."""
+    return df.withColumn(out_col, F.md5(normalize_text(text_col).cast("binary")))

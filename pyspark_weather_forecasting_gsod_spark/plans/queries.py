@@ -477,6 +477,337 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Extension families (BASELINE.json north star): text analysis, dedup,
+# similarity search, multimodal columns, event-time windows, streaming.
+# ===========================================================================
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(list_sum(list_transform({_TOKS}, t -> length(t))) / len({_TOKS}), 4)
+               AS avg_token_len,
+           ROUND(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to')))
+                 / len({_TOKS}), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "n_chars_measured", "avg_token_len", "stopword_ratio"
+    )
+
+
+def _langid_oracle() -> str:
+    from ..ext.text import CJK_CLASS, LANG_DECISION_SQL, LANG_MARKERS
+
+    score_exprs = [
+        f"len(list_filter({_TOKS}, t -> t IN ({', '.join(repr(w) for w in markers)}))) AS s_{lang}"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    score_exprs.append(
+        f"length(regexp_replace(text, '[^{CJK_CLASS}]', '', 'g')) AS s_zh"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM documents)
+    SELECT doc_id, lang, {LANG_DECISION_SQL} AS pred_lang FROM s
+    """
+
+
+@query("lang_id", None)  # oracle attached below (built from the marker dict)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import language_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return language_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint_md5(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_exact_stats",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+                AS BIGINT) AS n_distinct
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint_md5(docs)
+    return fp.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("fingerprint")).alias("n_distinct"),
+    )
+
+
+@query(
+    "ngram_jaccard_topk",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 10 = 0
+    ), d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                       AS shingle
+            FROM d2)
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+        SELECT doc_a, doc_b, common,
+               common / (za.sz + zb.sz - common) AS jac
+        FROM pairs
+        JOIN sz za ON doc_a = za.doc_id
+        JOIN sz zb ON doc_b = zb.doc_id
+    )
+    SELECT doc_a, doc_b, common, ROUND(jac, 6) AS jaccard FROM j
+    ORDER BY ROUND(jac, 9) DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs on a 1/10 corpus slice (the
+    inverted-index exact path; minhash_neardup is the uncapped scale path)."""
+    from ..ext.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
+    return (
+        pairs.orderBy(F.round("jaccard", 9).desc(), "doc_a", "doc_b")
+        .limit(20)
+        .select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query("minhash_neardup", None)  # LSH banding is hash-seed-specific → rows-only
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=16, min_jaccard=0.05
+    )
+
+
+@query("simhash_fingerprints", None)  # xxhash64-seeded → rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs, "doc_id")
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+    p AS (
+        SELECT qid, nid,
+               list_sum(list_transform(list_zip(qe, ne),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+        FROM q, c WHERE qid <> nid
+    ), r AS (
+        SELECT qid, nid, dot / (nq * nn) AS cos_raw,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (nq * nn), 9) DESC, nid) AS rk
+        FROM p
+    )
+    SELECT qid, nid, ROUND(cos_raw, 6) AS cosine, rk FROM r WHERE rk <= 5
+    """,
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("ann_lsh_topk", None)  # LSH bucketing approximate → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import brp_lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brp_lsh_ann(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("ivf_ann_topk", None)  # KMeans centroids float-sensitive → rows-only
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=3)
+
+
+@query("embedding_neardup", None)  # approxSimilarityJoin recall is seed-dependent
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, min_cosine=0.25)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import attach_binary_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mm = attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+@query("multimodal_decode", None)  # mapInPandas plumbing (stubbed codec) → rows-only
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.multimodal import attach_binary_payload, decode_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_features(attach_binary_payload(docs))
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@query(
+    "tumbling_hourly",
+    """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS ws,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.event_windows import tumbling_agg
+
+    return tumbling_agg(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "sliding_halfhour",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, value FROM events),
+    w AS (
+        SELECT (es // 1800) * 1800 AS ws, value FROM e
+        UNION ALL
+        SELECT (es // 1800) * 1800 - 1800 AS ws, value FROM e
+    )
+    SELECT CAST(ws AS BIGINT) AS ws, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM w GROUP BY ws
+    """,
+)
+def sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.event_windows import sliding_agg
+
+    return sliding_agg(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "session_windows",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS es, value FROM events),
+    o AS (
+        SELECT user_id, es, value,
+               CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                    OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, CAST(MIN(es) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.event_windows import session_agg
+
+    return session_agg(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_tumbling",
+    """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS ws,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run (AvailableNow → memory sink) whose
+    output must equal the batch tumbling oracle."""
+    from ..streaming.stream import run_streaming_tumbling
+
+    tune(spark)
+    return run_streaming_tumbling(spark, sf_dir)
+
+
+# attach the generated lang_id oracle (built from the shared marker dict)
+QUERIES["lang_id"] = (QUERIES["lang_id"][0], _langid_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

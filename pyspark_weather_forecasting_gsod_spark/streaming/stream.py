@@ -1,0 +1,67 @@
+"""Structured Streaming wiring for the events table.
+
+The reference has no streaming at all (SURVEY.md §2.12); this module gives
+the engine a real ``readStream`` path that reuses the exact batch
+aggregations from event_windows.py — the Spark way: one declarative query,
+two execution modes. Tests/queries drive it with ``Trigger.AvailableNow``
+into a memory sink, which processes the full parquet input in bounded
+batches and terminates — semantically a replay of the stream.
+
+At scale the same code points at a file/Kafka source with a watermark
+(``withWatermark``) bounding state, and a parquet/Delta sink; the memory
+sink is for verification only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import TABLE_SCHEMAS
+from .event_windows import tumbling_agg
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over the events parquet (same ns→µs conversion as
+    the batch reader)."""
+    # FileStreamSource requires a directory path; select just the events
+    # table file via pathGlobFilter.
+    reader = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 hour",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run the tumbling aggregation as a real Structured Streaming query
+    (AvailableNow trigger → memory sink, complete mode) and return the final
+    result table. Output matches the batch ``tumbling_agg`` row-for-row."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_agg(stream, duration=duration)
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -1,0 +1,66 @@
+"""Dedup extension operators (ext/dedup.py)."""
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g h"),          # exact dup of 1
+            Row(doc_id=3, text="a b c d e f g z"),          # near dup of 1
+            Row(doc_id=4, text="q r s t u v w x"),          # unrelated
+            Row(doc_id=5, text="xy"),                       # too short for 3-grams
+        ]
+    )
+
+
+def test_word_shingles_counts_and_short_docs(spark):
+    sh = word_shingles(_docs(spark), "doc_id", "text", n=3)
+    counts = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert counts[1] == 6  # 8 words → 6 trigrams
+    assert 5 not in counts  # below n words → no shingles
+
+
+def test_ngram_jaccard_exact_and_near(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # doc3 shares trigrams 'a b c'..'e f g' (5 of 6) with doc1: 5/(6+6-5)
+    assert abs(got[(1, 3)] - 5 / 7) < 1e-12
+    assert (1, 4) not in got  # no shared shingle → never a candidate
+
+
+def test_exact_dedup_by_fingerprint_keeps_min_id(spark):
+    out = exact_dedup_by_fingerprint(_docs(spark), "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc2 (dup of 1) dropped, representative = min id
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", n=3, num_hashes=32, bands=16, min_jaccard=0.5
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical docs always collide in every band
+    # jaccard values are EXACT (verification stage), not estimates
+    if (1, 3) in got:
+        assert abs(got[(1, 3)] - 5 / 7) < 1e-12
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    sim = simhash64(_docs(spark), "doc_id")
+    fp = {r.doc_id: r.simhash for r in sim.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    # near-dup docs should be hamming-close
+    ham = bin(fp[1] ^ fp[3]).count("1")
+    assert ham <= 16

@@ -1,0 +1,74 @@
+"""Event-time windows (batch) + Structured Streaming parity."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.streaming.event_windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from pyspark_weather_forecasting_gsod_spark.streaming.stream import run_streaming_tumbling
+
+
+def TS(h, m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, h, m, s, us)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            Row(user_id=1, ts=TS(0, 10), value=1.0),
+            Row(user_id=1, ts=TS(0, 50), value=2.0),
+            Row(user_id=1, ts=TS(1, 25), value=4.0),
+            Row(user_id=2, ts=TS(0, 40), value=8.0),
+        ]
+    )
+
+
+def test_tumbling_hourly(spark):
+    got = {r.ws: (r.n_events, r.sum_value) for r in tumbling_agg(_events(spark)).collect()}
+    h0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got[h0] == (3, 11.0)
+    assert got[h0 + 3600] == (1, 4.0)
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    out = sliding_agg(_events(spark))
+    total = sum(r.n_events for r in out.collect())
+    assert total == 2 * 4  # 1h window / 30m slide → every event in 2 windows
+
+
+def test_session_gap_merge_and_split(spark):
+    # user 1: 0:10→0:50 gap is 40min > 30min gap → two sessions; 0:50→1:25 gap
+    # 35min → third session
+    out = session_agg(_events(spark), gap="30 minutes")
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 3
+    assert len(per_user[2]) == 1
+
+
+def test_session_merges_events_within_gap(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=TS(0, 0), value=1.0),
+            Row(user_id=1, ts=TS(0, 20), value=2.0),  # within 30m → merge
+            Row(user_id=1, ts=TS(0, 45), value=4.0),  # within 30m of prev → merge
+        ]
+    )
+    rows = session_agg(df, gap="30 minutes").collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 3 and rows[0].sum_value == 7.0
+
+
+def test_streaming_matches_batch_tumbling(spark, sf_dir):
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    stream = run_streaming_tumbling(spark, sf_dir)
+    b = {(r.ws): (r.n_events, r.sum_value) for r in batch.collect()}
+    s = {(r.ws): (r.n_events, r.sum_value) for r in stream.collect()}
+    assert b == s

@@ -1,0 +1,62 @@
+"""Text-analysis extension operators (ext/text.py)."""
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.ext.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox"),
+            Row(doc_id=2, text="  spaced   out   words  "),
+            Row(doc_id=3, text="der hund und die katze ist da"),
+        ]
+    )
+
+
+def test_token_count_whitespace(spark):
+    out = {r.doc_id: r.n_tokens for r in token_count(_docs(spark)).collect()}
+    assert out == {1: 4, 2: 3, 3: 7}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello, world 42!")])
+    row = bpe_ish_token_count(df).collect()[0]
+    # hello , world 42 !  → 5 pieces
+    assert row.n_bpe_tokens == 5
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat and the hat")])
+    r = quality_features(df).collect()[0]
+    assert r.n_tokens == 5
+    assert r.stopword_ratio == round(3 / 5, 6)  # the, and, the
+    assert r.avg_token_len == round(15 / 5, 4)
+
+
+def test_language_id_markers_and_und(spark):
+    out = {r.doc_id: r.pred_lang for r in language_id(_docs(spark)).collect()}
+    assert out[1] == "en"
+    assert out[3] == "de"  # der/und/die/ist → 4 german markers
+    assert out[2] == "und"  # no markers at all
+
+
+def test_language_id_cjk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="你好 world")])
+    assert language_id(df).collect()[0].pred_lang == "zh"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello   World"), Row(doc_id=2, text="hello world")]
+    )
+    fps = [r.fingerprint for r in fingerprint_md5(df).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 32
