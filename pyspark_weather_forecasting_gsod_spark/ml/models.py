@@ -1,0 +1,120 @@
+"""Train/eval operators (reference M6-M12, ipynb:1463-1784).
+
+DataFrame-native throughout: the reference computes RMSE/MSE/MAE/R² and
+AUC-PR/ROC by dropping to the RDD mllib API (ipynb:1543-1552, 1773-1784 —
+a per-row JVM→Python lambda); here every metric comes from
+``pyspark.ml.evaluation`` evaluators on the prediction DataFrame.
+
+XGBoost (reference M7/M8) is an optional dependency — absent from this
+container — so the capability is carried by MLlib ``GBTRegressor`` /
+``GBTClassifier`` with an import-gated ``SparkXGB*`` path, exactly the
+fallback SURVEY.md §7 (risk 8) prescribes. All estimators are seeded.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+from pyspark.sql import DataFrame
+
+
+def seeded_split(
+    df: DataFrame, weights: list[float] | None = None, seed: int = 42
+) -> list[DataFrame]:
+    """R1 randomSplit, always seeded (the reference's unseeded split,
+    ipynb:1376, makes its published metrics unreproducible)."""
+    return df.randomSplit(weights or [0.8, 0.2], seed=seed)
+
+
+def train_linear_regression(
+    train: DataFrame, label_col: str, features_col: str = "features", **params
+) -> object:
+    """M6 baseline regressor (default params, like ipynb:1463-1467)."""
+    return LinearRegression(
+        featuresCol=features_col, labelCol=label_col, **params
+    ).fit(train)
+
+
+def train_gbt_regressor(
+    train: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> object:
+    """M7 capability via MLlib GBT; ``train_xgb_regressor`` when the
+    optional dep exists."""
+    return GBTRegressor(
+        featuresCol=features_col, labelCol=label_col, maxIter=max_iter, seed=seed
+    ).fit(train)
+
+
+def train_gbt_classifier(
+    train: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> object:
+    """M8 capability via MLlib GBT (RandomForest variant below — present but
+    commented out in the reference, ipynb:1666-1672)."""
+    return GBTClassifier(
+        featuresCol=features_col, labelCol=label_col, maxIter=max_iter, seed=seed
+    ).fit(train)
+
+
+def train_random_forest_classifier(
+    train: DataFrame, label_col: str, features_col: str = "features", seed: int = 42
+) -> object:
+    return RandomForestClassifier(
+        featuresCol=features_col, labelCol=label_col, seed=seed
+    ).fit(train)
+
+
+def train_xgb_regressor(train: DataFrame, label_col: str, **params) -> object:
+    """M7 exact-parity path (``reg:squarederror``): optional dependency,
+    import-gated as in SURVEY.md §7."""
+    try:
+        from xgboost.spark import SparkXGBRegressor  # type: ignore
+    except ImportError as e:  # pragma: no cover — xgboost absent here
+        raise NotImplementedError(
+            "xgboost.spark not installed; use train_gbt_regressor"
+        ) from e
+    return SparkXGBRegressor(label_col=label_col, **params).fit(train)
+
+
+def evaluate_regression(
+    predictions: DataFrame, label_col: str, prediction_col: str = "prediction"
+) -> dict[str, float]:
+    """M9 + M11, DataFrame-native: rmse/mse/mae/r2 without any RDD hop."""
+    out = {}
+    for metric in ("rmse", "mse", "mae", "r2"):
+        ev = RegressionEvaluator(
+            labelCol=label_col, predictionCol=prediction_col, metricName=metric
+        )
+        out[metric] = ev.evaluate(predictions)
+    return out
+
+
+def evaluate_classification(
+    predictions: DataFrame,
+    label_col: str,
+    prediction_col: str = "prediction",
+    raw_prediction_col: str = "rawPrediction",
+) -> dict[str, float]:
+    """M10 + M12, DataFrame-native: accuracy + AUC-ROC/PR."""
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol=prediction_col, metricName="accuracy"
+    ).evaluate(predictions)
+    roc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderROC"
+    ).evaluate(predictions)
+    pr = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderPR"
+    ).evaluate(predictions)
+    return {"accuracy": acc, "areaUnderROC": roc, "areaUnderPR": pr}

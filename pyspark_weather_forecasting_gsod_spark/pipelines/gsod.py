@@ -1,0 +1,200 @@
+"""The reference pipeline, recomposed end-to-end on engine operators.
+
+This is the full jmayank23/PySpark-Weather-Forecasting-GSOD capability
+surface in one place (SURVEY.md §2.10/§2.11): sentinel normalization →
+column drops → ordered imputation strategy (proximity / zero / seasonal
+median, ipynb:947-956) → next-day label build (ipynb:1251-1260) → one
+ml.Pipeline of feature stages → seeded split → LR + GBT train/eval
+(DataFrame-native metrics).
+
+``weather_fixture`` synthesizes a GSOD-shaped table per FIXTURES.md §A —
+generated DISTRIBUTED (spark.range + hash-based deterministic uniforms, no
+driver-side lists, no rand() partition sensitivity), including the required
+pathological cases: an all-sentinel station/column, all-sentinel
+(station, month) cells, per-station date gaps, and a single-row station.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.features import build_feature_pipeline
+from ..ml.models import (
+    evaluate_classification,
+    evaluate_regression,
+    seeded_split,
+    train_gbt_classifier,
+    train_linear_regression,
+)
+from ..operators.impute import (
+    proximity_mean_impute,
+    run_impute_strategy,
+    seasonal_median_impute,
+    zero_impute,
+)
+from ..operators.quality import missing_census, normalize_sentinels
+from ..operators.windows import lead_labels
+
+# The reference's sentinel map (ipynb:239-243).
+GSOD_SENTINELS: dict[str, float] = {
+    **{c: 9999.9 for c in ("temp", "dewp", "slp", "stp", "max", "min")},
+    **{c: 999.9 for c in ("visib", "wdsp", "mxpsd", "gust", "sndp")},
+    "prcp": 99.99,
+}
+
+# Dropped before modeling (ipynb:395-398).
+GSOD_DROPS = ["dewp", "wban", "gust", "flag_max", "flag_min", "flag_prcp", "sndp", "slp"]
+
+INDICATORS = ["fog", "rain_drizzle", "snow_ice_pellets", "hail", "thunder",
+              "tornado_funnel_cloud"]
+
+
+def _u(seed: int, *cols: Column | str) -> Column:
+    """Deterministic uniform [0,1): hash-based, partitioning-independent
+    (unlike F.rand, whose stream depends on partition layout)."""
+    return F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(1_000_000)) / 1_000_000.0
+
+
+def weather_fixture(
+    spark: SparkSession, n_stations: int = 50, n_days: int = 200, seed: int = 42
+) -> DataFrame:
+    """GSOD-shaped synthetic table, one row per (stn, date), sentinel-encoded
+    missing values, FIXTURES.md §A pathological cases baked in."""
+    base = spark.range(n_stations * n_days).select(
+        (F.col("id") / n_days).cast("long").alias("stn_idx"),
+        F.pmod(F.col("id"), F.lit(n_days)).alias("day_idx"),
+    )
+    day = F.col("day_idx")
+    stn = F.col("stn_idx")
+    date = F.date_add(F.lit("2023-01-01").cast("date"), day.cast("int"))
+    seasonal = 50.0 + 30.0 * F.sin(day * (2.0 * math.pi / 365.0)) - (stn % 20) * 0.8
+
+    def measure(name: str, center: Column, spread: float, sentinel: float, miss: Column):
+        noise = (_u(seed, stn, day, F.lit(name)) - 0.5) * (2 * spread)
+        val = F.round(center + noise, 2)
+        return F.when(miss, F.lit(sentinel)).otherwise(val).alias(name)
+
+    miss_base = {c: _u(seed + 1, stn, day, F.lit(c)) for c in GSOD_SENTINELS}
+    # pathological: station 0's visib entirely sentinel; (station 1, month 2)
+    # all-sentinel for max/min (forces seasonal→fallback chain)
+    miss = {
+        c: (u < 0.08) if c not in ("sndp", "gust") else (u < 0.9)
+        for c, u in miss_base.items()
+    }
+    miss["visib"] = miss["visib"] | (stn == 0)
+    feb = F.month(date) == 2
+    miss["max"] = miss["max"] | ((stn == 1) & feb)
+    miss["min"] = miss["min"] | ((stn == 1) & feb)
+
+    df = base.select(
+        F.lpad(stn.cast("string"), 6, "0").alias("stn"),
+        F.lit(99999).alias("wban"),
+        date.alias("date"),
+        F.year(date).alias("year"),
+        F.month(date).alias("mo"),
+        F.dayofmonth(date).alias("da"),
+        measure("temp", seasonal, 8.0, 9999.9, miss["temp"]),
+        measure("dewp", seasonal - 10.0, 8.0, 9999.9, miss["dewp"]),
+        measure("slp", F.lit(1013.0), 15.0, 9999.9, miss["slp"]),
+        measure("stp", F.lit(990.0), 15.0, 9999.9, miss["stp"]),
+        measure("max", seasonal + 10.0, 6.0, 9999.9, miss["max"]),
+        measure("min", seasonal - 10.0, 6.0, 9999.9, miss["min"]),
+        measure("visib", F.lit(9.0), 5.0, 999.9, miss["visib"]),
+        measure("wdsp", F.lit(8.0), 6.0, 999.9, miss["wdsp"]),
+        measure("mxpsd", F.lit(15.0), 8.0, 999.9, miss["mxpsd"]),
+        measure("gust", F.lit(22.0), 10.0, 999.9, miss["gust"]),
+        measure("sndp", F.lit(4.0), 3.0, 999.9, miss["sndp"]),
+        F.when(miss["prcp"], F.lit(99.99))
+        .otherwise(F.round(F.greatest(_u(seed, stn, day, F.lit("prcp")) * 2.0 - 1.5, F.lit(0.0)), 2))
+        .alias("prcp"),
+        *[F.lit(12).alias(f"count_{c}") for c in ("temp", "dewp", "slp", "stp", "visib", "wdsp")],
+        *[F.lit(None).cast("string").alias(c) for c in ("flag_max", "flag_min", "flag_prcp")],
+        *[
+            (_u(seed + 2, stn, day, F.lit(c)) < 0.2).cast("int").alias(c)
+            for c in INDICATORS
+        ],
+    )
+    # per-station date gaps (row-vs-calendar lead caveat) + a single-row station
+    gaps = _u(seed + 3, F.col("stn"), F.col("da"), F.col("mo")) < 0.05
+    last = F.lpad(F.lit(n_stations - 1).cast("string"), 6, "0")
+    return df.filter(~gaps | (F.col("da") == 1)).filter(
+        (F.col("stn") != last) | ((F.col("mo") == 1) & (F.col("da") == 1))
+    )
+
+
+def gsod_impute_strategy(fast: bool = False):
+    """The reference's ordered strategy dict (ipynb:947-956): proximity for
+    visib/wdsp/mxpsd, zero for prcp, seasonal(+proximity fallback) for
+    max/min."""
+    prox_args = dict(initial_num_rows=7, max_rows=30)
+    if fast:
+        prox_args = dict(initial_num_rows=4, max_rows=8)
+
+    def prox(col):
+        return lambda d: proximity_mean_impute(
+            d, col, group_by="stn", order_by="date", **prox_args
+        )
+
+    def seasonal(col):
+        return lambda d: seasonal_median_impute(
+            d, col, group_by="stn", date_col="date",
+            fallback=lambda m: proximity_mean_impute(
+                m, col, group_by="stn", order_by="date", **prox_args
+            ),
+        )
+
+    return {
+        "visib": prox("visib"),
+        "wdsp": prox("wdsp"),
+        "mxpsd": prox("mxpsd"),
+        "prcp": lambda d: zero_impute(d, {"prcp": 0.0}),
+        "max": seasonal("max"),
+        "min": seasonal("min"),
+        "temp": prox("temp"),
+        "stp": prox("stp"),
+    }
+
+
+def run_gsod_pipeline(
+    df: DataFrame, fast: bool = False, with_classifier: bool = True
+) -> dict[str, object]:
+    """Full reference pipeline. Returns the imputed frame, the null census
+    row, and train/eval metrics."""
+    norm = normalize_sentinels(df, GSOD_SENTINELS)
+    slim = norm.drop(*GSOD_DROPS)
+    imputed = run_impute_strategy(slim, gsod_impute_strategy(fast), checkpoint_every=3)
+    imputed = imputed.localCheckpoint(eager=True)  # truncate the impute lineage
+
+    measure_cols = ["temp", "stp", "max", "min", "visib", "wdsp", "mxpsd", "prcp"]
+    census = missing_census(imputed, measure_cols).collect()[0]
+
+    labeled = lead_labels(
+        imputed, group_by="stn", order_by="date",
+        labels={"max": "next_day_max", "rain_drizzle": "next_day_rain"},
+    ).withColumn("next_day_rain", F.col("next_day_rain").cast("double"))
+
+    pipeline = build_feature_pipeline(
+        categorical=INDICATORS,
+        numerical=measure_cols + ["year", "mo", "da"],
+    )
+    feat_model = pipeline.fit(labeled)
+    featurized = feat_model.transform(labeled)
+    train, test = seeded_split(featurized)
+
+    lr = train_linear_regression(train, "next_day_max")
+    reg_metrics = evaluate_regression(lr.transform(test), "next_day_max")
+
+    out: dict[str, object] = {
+        "imputed": imputed,
+        "census": census.asDict(),
+        "regression": reg_metrics,
+    }
+    if with_classifier:
+        clf = train_gbt_classifier(train, "next_day_rain", max_iter=5)
+        out["classification"] = evaluate_classification(
+            clf.transform(test), "next_day_rain"
+        )
+    return out

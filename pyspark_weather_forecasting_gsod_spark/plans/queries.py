@@ -70,9 +70,9 @@ def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                              AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           ROUND(SUM(l_quantity), 4)                              AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)                              AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                         AS avg_price,
            ROUND(AVG(l_discount), 6)                              AS avg_disc,
@@ -84,9 +84,9 @@ def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "sum_disc_price"
         ),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -423,7 +423,7 @@ def impute_proximity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM(o_totalprice), 4) AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -436,7 +436,7 @@ def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
 
 
@@ -449,7 +449,7 @@ def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -471,7 +471,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "revenue"
         ),
     )
@@ -802,6 +802,175 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     return run_streaming_tumbling(spark, sf_dir)
+
+
+# ===========================================================================
+# Profiling (C7/C8), projections (P2-P4/P9), sketches (A5), sampling (R1),
+# and the ML pipeline surface (M1-M13) — ML is rows-only by nature.
+# ===========================================================================
+
+
+@query(
+    "profile_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(l_quantity), 4) AS mean_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS stddev_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           median(l_quantity) AS median_qty,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS distinct_qty,
+           ROUND(AVG(l_extendedprice), 4) AS mean_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price,
+           median(l_extendedprice) AS median_price
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 single-pass numeric profile (reference runs ~5 jobs/column,
+    ipynb:631-646)."""
+    from ..operators.profile import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = profile_numeric(li, ["l_quantity", "l_extendedprice"])
+    return p.select(
+        "n_rows",
+        F.round("mean_l_quantity", 4).alias("mean_qty"),
+        F.round("stddev_l_quantity", 4).alias("stddev_qty"),
+        F.col("min_l_quantity").alias("min_qty"),
+        F.col("max_l_quantity").alias("max_qty"),
+        F.col("median_l_quantity").alias("median_qty"),
+        F.col("distinct_l_quantity").alias("distinct_qty"),
+        F.round("mean_l_extendedprice", 4).alias("mean_price"),
+        F.round("stddev_l_extendedprice", 4).alias("stddev_price"),
+        F.col("median_l_extendedprice").alias("median_price"),
+    )
+
+
+@query(
+    "projection_cast",
+    """
+    SELECT l_orderkey AS order_id,
+           CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'N'
+    """,
+)
+def projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 prune + P4 rename + P9 cast + P6 conjunctive filter — the shapes
+    Catalyst pushes into the scan (filters + ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") > 0.05) & (F.col("l_returnflag") == "N"))
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            # explicit floor: Spark's double→int cast truncates while
+            # DuckDB's rounds — never rely on implicit cast semantics
+            F.floor("l_quantity").cast("int").alias("qty_int"),
+            # pure product of raw columns: bit-identical across engines,
+            # and round(x, 2) at exact half-cent boundaries is NOT — do
+            # not round below the data's decimal precision
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@query("approx_quantiles", None)  # A5: GK-sketch output is config-dependent
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query("random_split_counts", None)  # R1: seeded but partitioning-sensitive
+def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.models import seeded_split
+
+    ev = _t(spark, sf_dir, "events")
+    train, test = seeded_split(ev)
+    return train.agg(F.count(F.lit(1)).alias("n_train")).join(
+        test.agg(F.count(F.lit(1)).alias("n_test"))
+    )
+
+
+def _events_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → next-value labels + featurizable columns (the GSOD label
+    recipe mapped onto the driver tables, FIXTURES.md §B)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    labeled = lead_labels(
+        ev, group_by="user_id", order_by=["ts", "event_id"], labels={"value": "next_value"}
+    )
+    return labeled.select(
+        "event_type",
+        "value",
+        F.hour("ts").cast("double").alias("hour"),
+        F.dayofweek("ts").cast("double").alias("dow"),
+        "next_value",
+        (F.col("next_value") > F.col("value")).cast("double").alias("went_up"),
+    )
+
+
+@query("ml_feature_pipeline", None)  # VectorUDT output → rows-only
+def ml_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import assemble_features
+
+    df = _events_feature_frame(spark, sf_dir)
+    from pyspark.ml.functions import vector_to_array
+
+    feat = assemble_features(df, categorical=["event_type"], numerical=["value", "hour", "dow"])
+    dim = F.size(vector_to_array("features"))
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(dim).alias("min_dim"),
+        F.max(dim).alias("max_dim"),
+    )
+
+
+@query("ml_regression_metrics", None)  # training loop → rows-only
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import assemble_features
+    from ..ml.models import evaluate_regression, seeded_split, train_linear_regression
+
+    df = _events_feature_frame(spark, sf_dir)
+    feat = assemble_features(df, categorical=["event_type"], numerical=["value", "hour", "dow"])
+    train, test = seeded_split(feat)
+    model = train_linear_regression(train, "next_value")
+    metrics = evaluate_regression(model.transform(test), "next_value")
+    rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@query("ml_classification_metrics", None)  # training loop → rows-only
+def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import assemble_features
+    from ..ml.models import evaluate_classification, seeded_split, train_gbt_classifier
+
+    df = _events_feature_frame(spark, sf_dir)
+    feat = assemble_features(df, categorical=["event_type"], numerical=["value", "hour", "dow"])
+    train, test = seeded_split(feat)
+    model = train_gbt_classifier(train, "went_up", max_iter=5)
+    metrics = evaluate_classification(model.transform(test), "went_up")
+    rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@query("gsod_pipeline_e2e", None)  # composite pipeline → rows-only
+def gsod_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference pipeline (fixture → impute → label → train →
+    eval) on a GSOD-shaped synthetic table; emits the null census (must be
+    all zero — the reference's acceptance criterion) + model metrics."""
+    from ..pipelines.gsod import run_gsod_pipeline, weather_fixture
+
+    tune(spark)
+    wx = weather_fixture(spark, n_stations=30, n_days=120)
+    out = run_gsod_pipeline(wx, fast=True, with_classifier=False)
+    rows = [("census_" + k, float(v)) for k, v in sorted(out["census"].items())]
+    rows += [("reg_" + k, round(float(v), 4)) for k, v in sorted(out["regression"].items())]
+    return spark.createDataFrame(rows, "metric string, value double")
 
 
 # attach the generated lang_id oracle (built from the shared marker dict)

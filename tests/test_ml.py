@@ -1,0 +1,110 @@
+"""ML pipeline operators (M1-M13) + the recomposed GSOD pipeline."""
+
+import pytest
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.ml.explain import feature_importances, shap_values
+from pyspark_weather_forecasting_gsod_spark.ml.features import assemble_features
+from pyspark_weather_forecasting_gsod_spark.ml.models import (
+    evaluate_classification,
+    evaluate_regression,
+    seeded_split,
+    train_gbt_classifier,
+    train_gbt_regressor,
+    train_linear_regression,
+    train_xgb_regressor,
+)
+
+
+def _frame(spark, n=200):
+    rows = [
+        Row(cat="a" if i % 3 else "b", x=float(i % 17), y=float(i % 5),
+            label=2.0 * (i % 17) + (0.0 if i % 3 else 5.0))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_feature_pipeline_dimensions(spark):
+    feat = assemble_features(_frame(spark), categorical=["cat"], numerical=["x", "y"])
+    row = feat.select("features").first()
+    # 2 one-hot slots (2 cats, keep-invalid adds one dropped-last) + 2 scaled
+    assert row.features.size >= 4
+    assert "scaled_numerical_features" in feat.columns
+
+
+def test_linear_regression_learns_linear_signal(spark):
+    feat = assemble_features(_frame(spark), categorical=["cat"], numerical=["x", "y"])
+    train, test = seeded_split(feat)
+    model = train_linear_regression(train, "label")
+    metrics = evaluate_regression(model.transform(test), "label")
+    assert metrics["r2"] > 0.99  # exactly linear target
+    assert metrics["rmse"] < 1.0
+    assert set(metrics) == {"rmse", "mse", "mae", "r2"}
+
+
+def test_gbt_regressor_and_importances(spark):
+    feat = assemble_features(_frame(spark), categorical=["cat"], numerical=["x", "y"])
+    model = train_gbt_regressor(feat, "label", max_iter=5)
+    preds = model.transform(feat)
+    metrics = evaluate_regression(preds, "label")
+    assert metrics["r2"] > 0.9
+    names = [f"cat_{i}" for i in range(model.numFeatures - 2)] + ["x", "y"]
+    imps = feature_importances(model, names)
+    assert imps[0][1] >= imps[-1][1] and abs(sum(v for _, v in imps) - 1.0) < 1e-6
+
+
+def test_gbt_classifier_metrics(spark):
+    from pyspark.sql import functions as F
+
+    df = _frame(spark).withColumn("up", (F.col("x") > 8).cast("double"))
+    feat = assemble_features(df, categorical=["cat"], numerical=["x", "y"])
+    train, test = seeded_split(feat)
+    model = train_gbt_classifier(train, "up", max_iter=5)
+    metrics = evaluate_classification(model.transform(test), "up")
+    assert metrics["accuracy"] > 0.95  # threshold function of x is learnable
+    assert 0.9 < metrics["areaUnderROC"] <= 1.0
+
+
+def test_seeded_split_reproducible(spark):
+    df = _frame(spark)
+    a1, b1 = seeded_split(df)
+    a2, b2 = seeded_split(df)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+
+
+def test_optional_deps_honestly_gated(spark):
+    with pytest.raises(NotImplementedError):
+        train_xgb_regressor(_frame(spark), "label")
+    with pytest.raises(NotImplementedError):
+        shap_values("/nonexistent", None)
+
+
+def test_gsod_pipeline_end_to_end(spark):
+    """Reference acceptance criterion: all-zero post-imputation census
+    (ipynb:1128-1152) + sane regression metrics on the weather fixture."""
+    from pyspark_weather_forecasting_gsod_spark.pipelines.gsod import run_gsod_pipeline, weather_fixture
+
+    wx = weather_fixture(spark, n_stations=20, n_days=90)
+    out = run_gsod_pipeline(wx, fast=True, with_classifier=False)
+    assert all(v == 0 for k, v in out["census"].items() if k.startswith("null_"))
+    # next_day_max is seasonal+noise: R² should be clearly positive
+    assert out["regression"]["r2"] > 0.5
+    assert out["regression"]["rmse"] < 20.0
+
+
+def test_weather_fixture_pathologies(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.pipelines.gsod import weather_fixture
+
+    wx = weather_fixture(spark, n_stations=10, n_days=60)
+    # all-sentinel column for station 0 (forces global fallback)
+    s0 = wx.filter("stn = '000000'")
+    assert s0.filter(F.col("visib") != 999.9).count() == 0
+    # single-row station
+    assert wx.filter(f"stn = '{9:06d}'").count() == 1
+    # deterministic across invocations
+    assert wx.agg(F.sum("temp")).first()[0] == weather_fixture(
+        spark, n_stations=10, n_days=60
+    ).agg(F.sum("temp")).first()[0]
