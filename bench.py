@@ -32,13 +32,25 @@ def main() -> None:
     spark = get_spark("gsod-engine-bench", master=f"local[{cpus}]")
 
     qs = queries()
-    # Warm the JVM/codegen once on the cheapest query so first-measured
-    # timings aren't dominated by one-time startup.
-    warm = qs.get("grouped_count") or next(iter(qs.values()))
-    warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    # Per-query: one warm-up execution (Janino codegen compilation of large
+    # fold expressions costs seconds on first run), then one measured run —
+    # steady-state throughput, the honest comparison against the oracle
+    # engine's runtime. Training-style queries (ML fits, LSH model fits,
+    # composite pipeline) are measured cold: their cost IS the fit.
+    cold_only = {
+        "ml_regression_metrics",
+        "ml_classification_metrics",
+        "ml_feature_pipeline",
+        "gsod_pipeline_e2e",
+        "embedding_neardup",
+        "ann_lsh_topk",
+        "ivf_ann_topk",
+        "streaming_tumbling",
+    }
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        if name not in cold_only:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -45,22 +45,39 @@ def exact_dedup_by_fingerprint(
     return df.join(ranked.select(id_col), on=id_col, how="left_semi")
 
 
+def _shingle_array_expr(text_col: str, n: int) -> str:
+    # total expression: the CASE guard keeps sequence() off the short-doc
+    # path even if the optimizer evaluates the projection before the filter
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    parts = ", ".join(f"{toks}[i + {j - 1}]" for j in range(n))
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, array<distinct n-word shingles>) — map-only, no shuffle. The
+    preferred shape: set size is ``size(shingles)`` (free), and exploding is
+    deferred until (and unless) a join actually needs shingle rows."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.expr(_shingle_array_expr(text_col, n)).alias("shingles")
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, n-word shingle) pairs. Documents with fewer than ``n``
-    words produce no shingles."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    shingles = F.expr(
-        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
-        + "i -> concat_ws(' ', "
-        + ", ".join(f"split(trim({text_col}), '\\\\s+')[i + {j - 1}]" for j in range(n))
-        + "))"
-    )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    """Distinct (id, n-word shingle) pairs (exploded form of
+    ``shingle_arrays``). Documents with fewer than ``n`` words produce no
+    shingles."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -77,8 +94,10 @@ def ngram_jaccard_pairs(
     inverted-index join means cost concentrates in hot shingles — at scale,
     run after LSH banding (``minhash_lsh_pairs``) or cap the corpus slice.
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    # set sizes are free from the array — no extra groupBy pass
+    sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
@@ -102,23 +121,42 @@ def ngram_jaccard_pairs(
     return out
 
 
+MINHASH_PRIME = (1 << 31) - 1  # a*x ≤ 2^62: never overflows int64 (ANSI mode)
+
+
+def minhash_signature_col(
+    shingles_col: str, num_hashes: int = 32, seed: int = 42
+) -> F.Column:
+    """Minhash signature as a single array-fold expression over a shingle
+    array — MAP-ONLY: no explode, no shuffle, no UDF. Each row folds its
+    shingle hashes through all permutations at once."""
+    import random
+
+    p = MINHASH_PRIME
+    rng = random.Random(seed)
+    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    a_lit = "array(" + ", ".join(f"{a}L" for a, _ in ab) + ")"
+    b_lit = "array(" + ", ".join(f"{b}L" for _, b in ab) + ")"
+    hashes = f"transform({shingles_col}, s -> pmod(xxhash64({seed}, s), {p}L))"
+    fold = (
+        f"aggregate({hashes}, array_repeat({p}L, {num_hashes}), "
+        f"(acc, x) -> zip_with(acc, sequence(0L, {num_hashes - 1}L), "
+        f"(m, i) -> least(m, (x * element_at({a_lit}, CAST(i + 1 AS INT)) "
+        f"+ element_at({b_lit}, CAST(i + 1 AS INT))) % {p}L)))"
+    )
+    return F.expr(fold)
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
-    """Per-doc minhash signature columns ``mh_0..mh_{k-1}`` from a
-    (id, shingle) frame. Permutation hashing is (a*x + b) mod p over
-    xxhash64(shingle) — pure expressions, one hash-agg, no UDFs."""
-    # 31-bit Mersenne prime: a*x ≤ 2^62 never overflows int64 (ANSI mode).
-    p = (1 << 31) - 1
-    x = F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(p))
-    import random
-
-    rng = random.Random(seed)
-    aggs = []
-    for i in range(num_hashes):
-        a, b = rng.randrange(1, p), rng.randrange(0, p)
-        aggs.append(F.min((x * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+    """Per-doc minhash signature ``sig`` (array<long>) from an
+    (id, shingles array) frame produced by ``shingle_arrays`` — one
+    projection, zero shuffles."""
+    return sh.select(
+        F.col(id_col),
+        minhash_signature_col("shingles", num_hashes, seed).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -140,16 +178,17 @@ def minhash_lsh_pairs(
     ~0.5), and verification touches only candidates.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    # signature + band keys: ONE map-only projection (fold expression), then
+    # explode only `bands` small rows per doc for the bucket join.
+    sig = minhash_signatures(arrs, id_col, num_hashes, seed)
     band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+        F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+            f"band_{b}"
+        )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
-    bucket = banded.selectExpr(
+    bucket = sig.select(id_col, *band_cols).selectExpr(
         id_col,
         "stack("
         + ", ".join([str(bands)] + [f"{b}, band_{b}" for b in range(bands)])
@@ -163,8 +202,16 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification of candidates only
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # exact verification: explode shingles for CANDIDATE docs only; set
+    # sizes come free from the array (no groupBy pass over the corpus).
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_arrs = arrs.join(cand_ids, on=id_col, how="left_semi")
+    sh = cand_arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = cand_arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
@@ -191,25 +238,25 @@ def simhash64(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash fingerprint: per-token xxhash64, per-bit ±1 votes,
-    sign of the vote sum sets each fingerprint bit. Expression-only
-    (explode → agg of shifted sign sums → bit reassembly)."""
-    toks = (
-        df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+    sign of the vote sum sets each fingerprint bit.
+
+    Implemented as a single array-fold projection (tokens → hash array →
+    fold per-bit votes → reassemble bits) — MAP-ONLY: no explode, no
+    shuffle, no per-bit aggregate columns. At 100 TB this runs at scan
+    speed; the previous explode+groupBy formulation shuffled |tokens| rows.
+    """
+    hashes = f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))"
+    votes = (
+        f"aggregate({hashes}, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0L, {bits - 1}L), "
+        f"(v, i) -> v + IF((shiftright(h, CAST(i AS INT)) & 1L) = 1L, 1L, -1L)))"
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0L, {bits - 1}L), "
+        f"(v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return df.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def simhash_band_buckets(

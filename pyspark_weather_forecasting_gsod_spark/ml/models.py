@@ -91,14 +91,23 @@ def train_xgb_regressor(train: DataFrame, label_col: str, **params) -> object:
 def evaluate_regression(
     predictions: DataFrame, label_col: str, prediction_col: str = "prediction"
 ) -> dict[str, float]:
-    """M9 + M11, DataFrame-native: rmse/mse/mae/r2 without any RDD hop."""
-    out = {}
-    for metric in ("rmse", "mse", "mae", "r2"):
-        ev = RegressionEvaluator(
-            labelCol=label_col, predictionCol=prediction_col, metricName=metric
-        )
-        out[metric] = ev.evaluate(predictions)
-    return out
+    """M9 + M11, DataFrame-native: rmse/mse/mae/r2 without any RDD hop.
+
+    Predictions are cached for the duration: each evaluator is a separate
+    action, and without the cache all four would replay the full model +
+    feature lineage (the reference's recompute pattern, SURVEY.md §4).
+    """
+    predictions = predictions.persist()
+    try:
+        out = {}
+        for metric in ("rmse", "mse", "mae", "r2"):
+            ev = RegressionEvaluator(
+                labelCol=label_col, predictionCol=prediction_col, metricName=metric
+            )
+            out[metric] = ev.evaluate(predictions)
+        return out
+    finally:
+        predictions.unpersist()
 
 
 def evaluate_classification(
@@ -107,14 +116,19 @@ def evaluate_classification(
     prediction_col: str = "prediction",
     raw_prediction_col: str = "rawPrediction",
 ) -> dict[str, float]:
-    """M10 + M12, DataFrame-native: accuracy + AUC-ROC/PR."""
-    acc = MulticlassClassificationEvaluator(
-        labelCol=label_col, predictionCol=prediction_col, metricName="accuracy"
-    ).evaluate(predictions)
-    roc = BinaryClassificationEvaluator(
-        labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderROC"
-    ).evaluate(predictions)
-    pr = BinaryClassificationEvaluator(
-        labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderPR"
-    ).evaluate(predictions)
-    return {"accuracy": acc, "areaUnderROC": roc, "areaUnderPR": pr}
+    """M10 + M12, DataFrame-native: accuracy + AUC-ROC/PR (cached across
+    the three evaluator actions, as in ``evaluate_regression``)."""
+    predictions = predictions.persist()
+    try:
+        acc = MulticlassClassificationEvaluator(
+            labelCol=label_col, predictionCol=prediction_col, metricName="accuracy"
+        ).evaluate(predictions)
+        roc = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderROC"
+        ).evaluate(predictions)
+        pr = BinaryClassificationEvaluator(
+            labelCol=label_col, rawPredictionCol=raw_prediction_col, metricName="areaUnderPR"
+        ).evaluate(predictions)
+        return {"accuracy": acc, "areaUnderROC": roc, "areaUnderPR": pr}
+    finally:
+        predictions.unpersist()

