@@ -808,6 +808,128 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Relational completeness beyond the reference's own surface: semi/anti
+# joins, set operations, rollup grouping sets, pivot. The reference never
+# uses these (SURVEY.md §2.3/§2.6 notes their absence) but the same
+# ``df.join``/groupBy primitives provide them — declared + oracle-checked so
+# a reference user gets the full relational vocabulary.
+# ===========================================================================
+
+
+@query(
+    "semi_join_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_parts",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unused_parts
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_unused_parts"))
+    )
+
+
+@query(
+    "set_ops_users",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+          AS n_both,
+      CAST((SELECT COUNT(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+          AS n_either,
+      CAST((SELECT COUNT(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+          AS n_click_only
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = click.intersect(buy).agg(F.count(F.lit(1)).alias("n_both"))
+    either = click.union(buy).distinct().agg(F.count(F.lit(1)).alias("n_either"))
+    only = click.exceptAll(buy).agg(F.count(F.lit(1)).alias("n_click_only"))
+    return both.join(either).join(only)
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "pivot_user_event_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits null for empty cells; the CASE-based oracle emits 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view")],
+    )
+
+
+# ===========================================================================
 # Profiling (C7/C8), projections (P2-P4/P9), sketches (A5), sampling (R1),
 # and the ML pipeline surface (M1-M13) — ML is rows-only by nature.
 # ===========================================================================

@@ -1,0 +1,76 @@
+"""Sources & sinks (S1 CSV explicit-schema, S4 Arrow toPandas, S6/S7 model
+save/load, parquet writer with partitioning)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from pyspark_weather_forecasting_gsod_spark.sources.io import load_table, read_csv, write_parquet
+
+
+@pytest.fixture()
+def scratch():
+    d = tempfile.mkdtemp(prefix="engine-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_csv_with_explicit_schema(spark, scratch):
+    path = os.path.join(scratch, "weather.csv")
+    with open(path, "w") as f:
+        f.write("stn,temp,prcp\n010010,50.5,0.0\n010020,9999.9,99.99\n")
+    schema = T.StructType(
+        [
+            T.StructField("stn", T.StringType()),
+            T.StructField("temp", T.DoubleType()),
+            T.StructField("prcp", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, path, schema)
+    rows = {r.stn: r for r in df.collect()}
+    # explicit schema keeps station ids as zero-padded strings — CSV
+    # inference (the reference's path) would retype them to int
+    assert rows["010010"].temp == 50.5
+    assert rows["010020"].temp == 9999.9
+    assert df.schema == schema
+
+
+def test_write_parquet_partitioned_roundtrip(spark, scratch, sf_dir):
+    out = os.path.join(scratch, "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_parquet(ev, out, partition_by=["event_type"])
+    # partition pruning: reading one event_type touches only its directory
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    assert back.count() == ev.filter("event_type = 'click'").count()
+    assert os.path.isdir(os.path.join(out, "event_type=click"))
+
+
+def test_topandas_arrow_export(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").limit(100)
+    pdf = ev.toPandas()
+    assert len(pdf) == 100
+    assert list(pdf.columns) == ["event_id", "value"]
+
+
+def test_model_sink_and_source_roundtrip(spark, scratch):
+    """S6/S7: persist a fitted model, reload, identical predictions."""
+    from pyspark.ml.regression import LinearRegressionModel
+
+    from pyspark_weather_forecasting_gsod_spark.ml.features import assemble_features
+    from pyspark_weather_forecasting_gsod_spark.ml.models import train_linear_regression
+
+    df = spark.createDataFrame(
+        [Row(cat="a" if i % 2 else "b", x=float(i), label=3.0 * i) for i in range(50)]
+    )
+    feat = assemble_features(df, categorical=["cat"], numerical=["x"])
+    model = train_linear_regression(feat, "label")
+    path = os.path.join(scratch, "lr_model")
+    model.write().overwrite().save(path)
+    loaded = LinearRegressionModel.load(path)
+    orig = [r.prediction for r in model.transform(feat).select("prediction").collect()]
+    back = [r.prediction for r in loaded.transform(feat).select("prediction").collect()]
+    assert orig == back
