@@ -181,6 +181,42 @@ def fixed_proximity_impute(
     )
 
 
+def proximity_impute_fixed_schedule(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    order_by: Sequence[str],
+    schedule: Sequence[int] = (2, 4),
+    out_col: str | None = None,
+) -> DataFrame:
+    """The doubling-schedule proximity imputer with a FIXED pass list — the
+    reference's exact per-pass semantics (each pass's frame averages over the
+    previous pass's partially-filled column, ipynb:863-875) but without the
+    data-dependent eager convergence counts, so the whole chain is one lazy
+    plan (and SQL-expressible for the oracle). Residue → exact global
+    median."""
+    out_col = out_col or column
+    cur = F.col(column)
+    work = df
+    for i, n in enumerate(schedule):
+        w = (
+            Window.partitionBy(group_by)
+            .orderBy(*_order_cols(order_by))
+            .rowsBetween(-n, n)
+        )
+        step = f"__prox_{i}"
+        work = work.withColumn(
+            step, F.when(cur.isNull(), F.avg(cur).over(w)).otherwise(cur)
+        )
+        cur = F.col(step)
+    gmed = df.agg(F.median(column).alias("__gmed"))
+    keep = [c for c in df.columns if c != out_col]
+    return (
+        work.join(F.broadcast(gmed))
+        .select(*keep, F.coalesce(cur, F.col("__gmed")).alias(out_col))
+    )
+
+
 def seasonal_median_impute(
     df: DataFrame,
     column: str,

@@ -39,6 +39,7 @@ def lead_labels(
     drop_null_labels: bool = True,
     calendar_strict: bool = False,
     date_col: str | None = None,
+    max_gap_seconds: float | None = None,
 ) -> DataFrame:
     """Add next-observation label columns via ``lead(1)`` (reference C10).
 
@@ -48,6 +49,8 @@ def lead_labels(
     (ipynb:1260). ``calendar_strict=True`` additionally nulls labels whose
     next observation is not exactly the next calendar day of ``date_col`` —
     the reference's documented gap bug (SURVEY.md §2.5 W1), fixed opt-in.
+    ``max_gap_seconds`` is the timestamp-grain variant: labels are nulled
+    when the next observation is more than the gap away.
     """
     w = keyed_window(group_by, order_by)
     out = df
@@ -56,6 +59,10 @@ def lead_labels(
     if calendar_strict:
         dc = date_col or (order_by if isinstance(order_by, str) else order_by[0])
         gap_ok = F.datediff(F.lead(dc, 1).over(w), F.col(dc)) == 1
+    elif max_gap_seconds is not None:
+        dc = date_col or (order_by if isinstance(order_by, str) else order_by[0])
+        gap_us = F.unix_micros(F.lead(dc, 1).over(w)) - F.unix_micros(F.col(dc))
+        gap_ok = gap_us <= int(max_gap_seconds * 1_000_000)
     for src, label in labels.items():
         led = F.lead(src, 1).over(w)
         if gap_ok is not None:
@@ -69,6 +76,62 @@ def lead_labels(
             pred = c if pred is None else (pred & c)
         out = out.filter(pred)
     return out
+
+
+def ranked(
+    df: DataFrame,
+    group_by: str,
+    order_by: Sequence[Column | str],
+    n_tiles: int = 4,
+) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over one shared window spec —
+    the ranking vocabulary the reference's window module lacks (SURVEY.md
+    §2.5). All four share a single exchange + sort."""
+    w = Window.partitionBy(group_by).orderBy(*order_by)
+    return df.select(
+        *df.columns,
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(n_tiles).over(w).cast("long").alias("tile"),
+    )
+
+
+def lag_delta(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    order_by: Sequence[str],
+    out_col: str = "delta",
+) -> DataFrame:
+    """Per-key difference vs previous observation (``lag``)."""
+    w = keyed_window(group_by, order_by)
+    return df.select(
+        *df.columns,
+        (F.col(column) - F.lag(column, 1).over(w)).alias(out_col),
+    )
+
+
+def calendar_range_avg(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    date_col: str,
+    days_before: int,
+    days_after: int,
+    out_col: str,
+) -> DataFrame:
+    """Calendar-true RANGE frame mean: ±N *days* (not rows) around each
+    observation — the fix for the reference's ROWS-frame caveat (SURVEY.md
+    §2.5 W2): a station with missing days averages over the true window, not
+    over whatever rows happen to exist."""
+    days = F.datediff(F.col(date_col), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy(group_by)
+        .orderBy(days)
+        .rangeBetween(-days_before, days_after)
+    )
+    return df.withColumn(out_col, F.avg(column).over(w))
 
 
 def sliding_frame_avg(

@@ -808,6 +808,198 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Window vocabulary beyond the reference's lead/frame pair: ranking
+# functions, lag, calendar-true RANGE frames, gap-aware labels, and the
+# doubling-schedule proximity chain as one lazy (SQL-expressible) plan.
+# ===========================================================================
+
+
+@query(
+    "rank_events_by_value",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def rank_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ranked
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = ranked(ev, "user_id", [F.col("value").desc(), F.col("event_id")])
+    return out.select("event_id", "user_id", "rn", "rnk", "drnk", "tile")
+
+
+@query(
+    "lag_delta_events",
+    """
+    SELECT event_id, user_id,
+           value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta
+    FROM events
+    """,
+)
+def lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import lag_delta
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = lag_delta(ev, "value", group_by="user_id", order_by=["ts", "event_id"])
+    return out.select("event_id", "user_id", "delta")
+
+
+@query(
+    "range_window_day_avg",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(AVG(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY date_diff('day', DATE '1970-01-01', l_shipdate)
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS qty_7day_avg
+    FROM lineitem
+    """,
+)
+def range_window_day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-true RANGE frame (±3 days) — the fix for the reference's
+    rows-vs-days caveat (SURVEY.md §2.5 W2)."""
+    from ..operators.windows import calendar_range_avg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    out = calendar_range_avg(
+        li, "l_quantity", group_by="l_suppkey", date_col="l_shipdate",
+        days_before=3, days_after=3, out_col="qty_7day_avg",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("qty_7day_avg", 4).alias("qty_7day_avg")
+    )
+
+
+@query(
+    "lead_labels_strict",
+    """
+    SELECT event_id, user_id, value, next_value FROM (
+        SELECT event_id, user_id, ts, value,
+               LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_value,
+               LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ) WHERE next_value IS NOT NULL
+      AND epoch_us(next_ts) - epoch_us(ts) <= 3600000000
+    """,
+)
+def lead_labels_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware label build: labels only when the next observation is
+    within 1 hour (timestamp-grain variant of the calendar_strict fix)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    labeled = lead_labels(
+        ev, group_by="user_id", order_by=["ts", "event_id"],
+        labels={"value": "next_value"}, max_gap_seconds=3600,
+    )
+    return labeled.select("event_id", "user_id", "value", "next_value")
+
+
+@query(
+    "impute_proximity_doubling",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), f1 AS (
+        SELECT *, CASE WHEN v IS NULL THEN
+                 AVG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+               ELSE v END AS v1
+        FROM base
+    ), f2 AS (
+        SELECT *, CASE WHEN v1 IS NULL THEN
+                 AVG(v1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+               ELSE v1 END AS v2
+        FROM f1
+    ), g AS (SELECT median(v) AS gm FROM base)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(COALESCE(v2, gm)), 4) AS sum_filled
+    FROM f2 CROSS JOIN g GROUP BY user_id
+    """,
+)
+def impute_proximity_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's doubling schedule (±2 then ±4, each pass averaging
+    over the previous pass's partially-filled column, ipynb:863-875) as ONE
+    lazy plan — oracle-checked end-to-end."""
+    from ..operators.impute import proximity_impute_fixed_schedule
+
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select("event_id", "user_id", "ts", F.col("value").alias("v"))
+    filled = proximity_impute_fixed_schedule(
+        base, "v", group_by="user_id", order_by=["ts", "event_id"], schedule=(2, 4)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("v"), 4).alias("sum_filled"),
+    )
+
+
+@query(
+    "streaming_sliding",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, value FROM events),
+    w AS (
+        SELECT (es // 1800) * 1800 AS ws, value FROM e
+        UNION ALL
+        SELECT (es // 1800) * 1800 - 1800 AS ws, value FROM e
+    )
+    SELECT CAST(ws AS BIGINT) AS ws, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM w GROUP BY ws
+    """,
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the real Structured Streaming path."""
+    from ..streaming.stream import read_events_stream
+    from ..streaming.event_windows import sliding_agg
+    import uuid
+
+    tune(spark)
+    agg = sliding_agg(read_events_stream(spark, sf_dir))
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+@query("tfidf_doc_norms", None)  # hashed vocab + float vector math → rows-only
+def tfidf_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text pipeline: Tokenizer → StopWordsRemover → HashingTF → IDF;
+    emits per-doc tf-idf vector norms."""
+    from pyspark.ml.feature import HashingTF, IDF, StopWordsRemover, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    nostop = StopWordsRemover(inputCol="words", outputCol="terms").transform(tok)
+    tf = HashingTF(inputCol="terms", outputCol="tf", numFeatures=1024).transform(nostop)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))
+
+
+# ===========================================================================
 # Relational completeness beyond the reference's own surface: semi/anti
 # joins, set operations, rollup grouping sets, pivot. The reference never
 # uses these (SURVEY.md §2.3/§2.6 notes their absence) but the same
