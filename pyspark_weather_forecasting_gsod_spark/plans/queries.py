@@ -981,6 +981,62 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user totals whose final state must equal the batch aggregation."""
+    from ..streaming.stateful import streaming_user_totals
+
+    tune(spark)
+    return streaming_user_totals(spark, sf_dir)
+
+
+@query(
+    "embedding_neardup_exact",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM e a, e b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM p WHERE ROUND(cos, 9) >= 0.35
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.35) — the
+    ground-truth oracle for the LSH variants. O(n²) pairs: declared for
+    bounded corpora; `embedding_neardup` (LSH) is the 100 TB path."""
+    from ..ext.similarity import DOT, NORM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = (
+        F.expr(DOT.format(a="ea", b="eb"))
+        / (F.expr(NORM.format(a="ea")) * F.expr(NORM.format(a="eb")))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.round(F.col("cos"), 9) >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 @query("tfidf_doc_norms", None)  # hashed vocab + float vector math → rows-only
 def tfidf_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text pipeline: Tokenizer → StopWordsRemover → HashingTF → IDF;
