@@ -681,7 +681,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, min_cosine=0.25)
+    return embedding_neardup_pairs(emb, min_cosine=0.35)
 
 
 @query(
@@ -1018,23 +1018,14 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (threshold 0.35) — the
-    ground-truth oracle for the LSH variants. O(n²) pairs: declared for
-    bounded corpora; `embedding_neardup` (LSH) is the 100 TB path."""
-    from ..ext.similarity import DOT, NORM
+    ground-truth oracle for the LSH variants, via Arrow-batched numpy
+    matmul (interpreted zip_with lambdas are ~100× slower at |corpus|²
+    pairs). O(n²): declared for bounded corpora; `embedding_neardup` (LSH)
+    is the 100 TB path."""
+    from ..ext.similarity import cosine_allpairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = (
-        F.expr(DOT.format(a="ea", b="eb"))
-        / (F.expr(NORM.format(a="ea")) * F.expr(NORM.format(a="eb")))
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.round(F.col("cos"), 9) >= 0.35)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
-    )
+    return cosine_allpairs(emb, min_cosine=0.35)
 
 
 @query("tfidf_doc_norms", None)  # hashed vocab + float vector math → rows-only
