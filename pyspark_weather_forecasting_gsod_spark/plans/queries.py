@@ -1239,6 +1239,25 @@ def projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_corr",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax
+    FROM lineitem
+    """,
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / sample covariance) — single pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
 @query("approx_quantiles", None)  # A5: GK-sketch output is config-dependent
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
