@@ -1028,6 +1028,69 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_allpairs(emb, min_cosine=0.35)
 
 
+@query(
+    "streaming_append_watermark",
+    """
+    WITH agg AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS ws,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    ), wm AS (
+        SELECT CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) - 7200 AS w FROM events
+    )
+    SELECT agg.* FROM agg CROSS JOIN wm WHERE agg.ws + 3600 <= wm.w
+    """,
+)
+def streaming_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode + watermark late-data semantics: the oracle is the batch
+    aggregation restricted to windows whose end precedes the final
+    watermark (max event time − 2 h) — exactly the set a correct
+    watermarking implementation finalizes."""
+    from ..streaming.stream import run_streaming_tumbling_append
+
+    tune(spark)
+    return run_streaming_tumbling_append(spark, sf_dir, watermark="2 hours")
+
+
+@query("streaming_dedup", None)  # which duplicate row survives is arrival-order-dependent
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import streaming_dedup_within_watermark
+
+    tune(spark)
+    return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@query(
+    "top_terms",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (explode → count → TakeOrdered)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, 20, by="n", tie_break="term")
+
+
+@query("freq_items_sketch", None)  # approximate (possible false positives) → rows-only
+def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (``freqItems``): approximate frequent values
+    with a single pass — the count-min-style shape for 100 TB cardinality
+    work where exact top-k's shuffle is unaffordable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.freqItems(["event_type", "user_id"], support=0.05)
+
+
 @query("tfidf_doc_norms", None)  # hashed vocab + float vector math → rows-only
 def tfidf_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text pipeline: Tokenizer → StopWordsRemover → HashingTF → IDF;

@@ -40,6 +40,68 @@ def read_events_stream(
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def run_streaming_tumbling_append(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Append-mode tumbling aggregation with a watermark — the production
+    late-data shape: a window is emitted exactly once, when the watermark
+    (max event time − delay) passes its end; later-arriving events for a
+    closed window are dropped rather than double-counted. The memory-sink
+    result therefore contains only FINALIZED windows; the trailing
+    ``watermark`` worth of windows is still open when AvailableNow
+    terminates and is absent by design."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = tumbling_agg(stream, duration=duration)
+    name = f"tumbling_append_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only until
+    the watermark passes it — the 100 TB streaming-dedup shape (unbounded
+    ``dropDuplicates`` state would grow forever)."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    deduped = stream.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def run_streaming_tumbling(
     spark: SparkSession,
     sf_dir: str,
