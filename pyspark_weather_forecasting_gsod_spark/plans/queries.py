@@ -1082,6 +1082,27 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(counts, 20, by="n", tie_break="term")
 
 
+@query(
+    "grouped_map_zscore",
+    """
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map transform, oracle-checked against the SQL
+    window formulation — proves the pandas path implements exact SQL
+    semantics (sample stddev, null behavior), the contract for grouped-map
+    operators windows can't express."""
+    from ..operators.grouped_map import group_zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = group_zscore(ev, "value", group_by="user_id", id_col="event_id")
+    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+
+
 @query("freq_items_sketch", None)  # approximate (possible false positives) → rows-only
 def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch (``freqItems``): approximate frequent values
