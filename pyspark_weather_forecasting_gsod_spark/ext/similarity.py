@@ -143,7 +143,7 @@ def embedding_neardup_pairs(
     )
     feat = df.select(F.col(id_col), array_to_vector(unit).alias("features"))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=2, seed=42
     )
     model = lsh.fit(feat)
     thresh = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))
@@ -216,7 +216,10 @@ def ivf_topk(
             "features"
         ),
     )
-    km = KMeans(k=n_centroids, seed=42, featuresCol="features", predictionCol="centroid")
+    km = KMeans(
+        k=n_centroids, seed=42, maxIter=5,
+        featuresCol="features", predictionCol="centroid",
+    )
     model = km.fit(feat)
     assigned = model.transform(feat).select("nid", "ne", "centroid")
 

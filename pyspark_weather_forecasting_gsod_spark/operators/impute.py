@@ -183,20 +183,25 @@ def fixed_proximity_impute(
 
 def proximity_impute_fixed_schedule(
     df: DataFrame,
-    column: str,
+    column: str | Sequence[str],
     group_by: str,
     order_by: Sequence[str],
     schedule: Sequence[int] = (2, 4),
-    out_col: str | None = None,
 ) -> DataFrame:
     """The doubling-schedule proximity imputer with a FIXED pass list — the
     reference's exact per-pass semantics (each pass's frame averages over the
     previous pass's partially-filled column, ipynb:863-875) but without the
     data-dependent eager convergence counts, so the whole chain is one lazy
     plan (and SQL-expressible for the oracle). Residue → exact global
-    median."""
-    out_col = out_col or column
-    cur = F.col(column)
+    median.
+
+    Accepts MULTIPLE columns: all of them impute through the SAME window
+    specs, so Catalyst plans one exchange + one sort per pass no matter how
+    many columns fill — the reference pays the full shuffle per column per
+    iteration.
+    """
+    columns = [column] if isinstance(column, str) else list(column)
+    cur: dict[str, F.Column] = {c: F.col(c) for c in columns}
     work = df
     for i, n in enumerate(schedule):
         w = (
@@ -204,17 +209,22 @@ def proximity_impute_fixed_schedule(
             .orderBy(*_order_cols(order_by))
             .rowsBetween(-n, n)
         )
-        step = f"__prox_{i}"
-        work = work.withColumn(
-            step, F.when(cur.isNull(), F.avg(cur).over(w)).otherwise(cur)
-        )
-        cur = F.col(step)
-    gmed = df.agg(F.median(column).alias("__gmed"))
-    keep = [c for c in df.columns if c != out_col]
-    return (
-        work.join(F.broadcast(gmed))
-        .select(*keep, F.coalesce(cur, F.col("__gmed")).alias(out_col))
-    )
+        step_cols = {}
+        for c in columns:
+            step = f"__prox_{i}_{c}"
+            work = work.withColumn(
+                step, F.when(cur[c].isNull(), F.avg(cur[c]).over(w)).otherwise(cur[c])
+            )
+            step_cols[c] = F.col(step)
+        cur = step_cols
+    gmed = df.agg(*[F.median(c).alias(f"__gmed_{c}") for c in columns])
+    exprs = []
+    for name in df.columns:
+        if name in cur:
+            exprs.append(F.coalesce(cur[name], F.col(f"__gmed_{name}")).alias(name))
+        else:
+            exprs.append(F.col(name))
+    return work.join(F.broadcast(gmed)).select(*exprs)
 
 
 def seasonal_median_impute(

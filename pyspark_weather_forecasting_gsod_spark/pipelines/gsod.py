@@ -165,7 +165,35 @@ def run_gsod_pipeline(
     row, and train/eval metrics."""
     norm = normalize_sentinels(df, GSOD_SENTINELS)
     slim = norm.drop(*GSOD_DROPS)
-    imputed = run_impute_strategy(slim, gsod_impute_strategy(fast), checkpoint_every=3)
+    if fast:
+        # lazy fixed-schedule variant: independent proximity columns impute
+        # through ONE shared window exchange per pass instead of a full
+        # shuffle per column per iteration (the reference's cost shape)
+        from ..operators.impute import proximity_impute_fixed_schedule
+
+        def prox_fb(col):
+            return lambda m: proximity_impute_fixed_schedule(
+                m, col, group_by="stn", order_by=["date"], schedule=(4, 8)
+            )
+
+        imputed = proximity_impute_fixed_schedule(
+            slim, ["visib", "wdsp", "mxpsd"], group_by="stn", order_by=["date"],
+            schedule=(4, 8),
+        )
+        imputed = zero_impute(imputed, {"prcp": 0.0})
+        imputed = seasonal_median_impute(
+            imputed, "max", group_by="stn", date_col="date", fallback=prox_fb("max")
+        )
+        imputed = seasonal_median_impute(
+            imputed, "min", group_by="stn", date_col="date", fallback=prox_fb("min")
+        )
+        imputed = proximity_impute_fixed_schedule(
+            imputed, ["temp", "stp"], group_by="stn", order_by=["date"], schedule=(4, 8)
+        )
+    else:
+        imputed = run_impute_strategy(
+            slim, gsod_impute_strategy(fast), checkpoint_every=3
+        )
     imputed = imputed.localCheckpoint(eager=True)  # truncate the impute lineage
 
     measure_cols = ["temp", "stp", "max", "min", "visib", "wdsp", "mxpsd", "prcp"]
