@@ -259,6 +259,71 @@ def simhash64(
     return df.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
+HEX = "0123456789abcdef"
+
+
+def minhash_permutations(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) permutation parameters — shared by the Spark operator and
+    the generated SQL oracle so both compute identical signatures."""
+    import random
+
+    rng = random.Random(seed)
+    p = MINHASH_PRIME
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Engine-portable SimHash: per-token md5 (identical hex in any engine),
+    per-bit ±1 votes aggregated JVM-side (explode → codegen'd SUM(CASE)),
+    fingerprint emitted as a 64-char bit string. The xxhash64 fold variant
+    (``simhash64``) is the faster scale path; this one exists so the SimHash
+    *semantics* are DuckDB-oracle-checkable."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(F.col(id_col), F.md5(F.col("tok").cast("binary")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"((instr('{HEX}', substr(h, {1 + i // 4}, 1)) - 1) "
+                    f">> {3 - i % 4}) & 1 = 1"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def minhash_md5_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Engine-portable MinHash signature: shingle → int via the first 8 hex
+    chars of md5 (exact cross-engine), permutation mins as ``mh_0..mh_k``
+    columns. Oracle-checkable counterpart of the xxhash64 fold signature."""
+    sh = word_shingles(df, id_col, text_col, n)
+    x = F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+    p = MINHASH_PRIME
+    aggs = [
+        F.min((x * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_permutations(num_hashes, seed))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def simhash_band_buckets(
     sim: DataFrame, id_col: str, band_bits: int = 16
 ) -> DataFrame:

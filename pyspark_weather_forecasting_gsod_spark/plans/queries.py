@@ -1452,8 +1452,78 @@ def gsod_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
-# attach the generated lang_id oracle (built from the shared marker dict)
+def _simhash_md5_oracle(bits: int = 64) -> str:
+    hexs = "0123456789abcdef"
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((strpos('{hexs}', substr(h, {1 + i // 4}, 1)) - 1) "
+        f">> {3 - i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fp = " || ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+        FROM documents
+    ), votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+def _minhash_md5_oracle(n: int = 2, num_hashes: int = 16, seed: int = 42) -> str:
+    from ..ext.dedup import MINHASH_PRIME, minhash_permutations
+
+    p = MINHASH_PRIME
+    hexs = "0123456789abcdef"
+    xint = (
+        "list_reduce(list_transform(string_split(substr(md5(shingle), 1, 8), ''), "
+        f"c -> CAST(strpos('{hexs}', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    mins = ", ".join(
+        f"MIN(({xint} * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_permutations(num_hashes, seed))
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= {n}),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - {n - 2}),
+                          i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))}))
+                       AS shingle
+            FROM d2)
+    )
+    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+@query("simhash_md5_parity", None)  # oracle attached below (generated SQL)
+def simhash_md5_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash semantics oracle-checked end-to-end via the engine-portable
+    md5 bit source (64-char bit-string fingerprints)."""
+    from ..ext.dedup import simhash_md5
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_md5(docs, "doc_id")
+
+
+@query("minhash_md5_parity", None)  # oracle attached below (generated SQL)
+def minhash_md5_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature math oracle-checked end-to-end (md5-derived shingle
+    ints, 16 permutations)."""
+    from ..ext.dedup import minhash_md5_signature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_md5_signature(docs, "doc_id")
+
+
+# attach the generated oracles (built from shared parameter sources)
 QUERIES["lang_id"] = (QUERIES["lang_id"][0], _langid_oracle())
+QUERIES["simhash_md5_parity"] = (QUERIES["simhash_md5_parity"][0], _simhash_md5_oracle())
+QUERIES["minhash_md5_parity"] = (QUERIES["minhash_md5_parity"][0], _minhash_md5_oracle())
 
 
 # ---------------------------------------------------------------------------
