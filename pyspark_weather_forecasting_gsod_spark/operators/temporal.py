@@ -1,0 +1,105 @@
+"""Temporal joins Spark lacks natively: as-of join and tolerance range join.
+
+Both are implemented in the scale-correct shapes:
+
+  * ``asof_join`` — union-merge: tag both sides, union, one window pass per
+    key ordered by time carries the latest right-side payload forward
+    (``last(..., ignorenulls)``), filter back to left rows. ONE shuffle on
+    the key, no per-row range scan, no correlated subquery — the
+    sort-merge-asof shape (pandas ``merge_asof``'s distributed equivalent).
+  * ``range_join_within`` — |tL − tR| ≤ tolerance joins explode if written
+    as a theta join (Catalyst falls back to BroadcastNestedLoopJoin). The
+    scalable form buckets both sides by ``floor(t / tolerance)``, joins each
+    left bucket to its 3 adjacent right buckets (equi-join → hashable,
+    AQE-optimizable), then applies the exact predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``key`` (at-or-before; ties
+    at identical timestamps match). Right payload columns arrive as
+    ``<col><suffix>``; unmatched left rows get NULLs (left-outer asof).
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__src"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key],
+    )
+    l2 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast(r2.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    unioned = r2.unionByName(l2)
+    # right rows (src 0) sort before left rows at the same instant → equal
+    # timestamps match, exactly like ASOF JOIN's `l.t >= r.t`
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.col("__src"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(key)] + [F.col(c) for c in left.columns if c != key]
+    out_cols += [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return carried.filter(F.col("__src") == 1).select(*out_cols)
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_sec: int,
+    right_cols: list[str],
+) -> DataFrame:
+    """All (left, right) pairs with the same ``key`` whose timestamps are
+    within ``tolerance_sec`` of each other — as an equi-join on coarse time
+    buckets (3 candidates per row) plus the exact filter, never a
+    nested-loop theta join."""
+    tol_us = tolerance_sec * 1_000_000
+    lb = F.unix_micros(F.col(left_ts))
+    rb = F.unix_micros(F.col(right_ts))
+    lbucket = F.expr(f"unix_micros({left_ts}) div {tol_us}")
+    rbucket = F.expr(f"unix_micros({right_ts}) div {tol_us}")
+    l2 = left.select(
+        F.col(key), *[F.col(c) for c in left.columns if c != key],
+        lb.alias("__lt"),
+        F.explode(F.array(lbucket - 1, lbucket, lbucket + 1)).alias("__bucket"),
+    )
+    r2 = right.select(
+        F.col(key).alias("__rkey"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        rb.alias("__rt"),
+        rbucket.alias("__bucket"),
+    )
+    # a qualifying pair shares exactly one candidate bucket → no dedup needed
+    joined = l2.join(
+        r2, (l2[key] == r2["__rkey"]) & (l2["__bucket"] == r2["__bucket"])
+    ).filter(F.abs(F.col("__lt") - F.col("__rt")) <= tol_us)
+    return joined.select(
+        F.col(key),
+        *[F.col(c) for c in left.columns if c != key],
+        *[F.col(f"__r_{c}").alias(f"{c}_r") for c in right_cols],
+    )

@@ -982,6 +982,65 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_last_purchase",
+    """
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, p.purchase_id AS purchase_id_asof
+    FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a named reference-gap operator): for every event, the
+    latest purchase at-or-before it for the same user. Union-merge
+    implementation — one shuffle, no range scan; oracle is DuckDB's native
+    ASOF JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id"],
+    )
+    return out.select("event_id", "user_id", F.col("purchase_id_asof"))
+
+
+@query(
+    "range_join_errors",
+    """
+    SELECT l.event_id, l.user_id, r.event_id AS event_id_r
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id AND r.event_type = 'error'
+     AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600000000
+    """,
+)
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance range join (±10 min): every event paired with same-user
+    error events nearby in time. Bucketed equi-join + exact filter — never
+    a nested-loop theta join."""
+    from ..operators.temporal import range_join_within
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_within(
+        left, errors, key="user_id", left_ts="ts", right_ts="ts",
+        tolerance_sec=600, right_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", F.col("event_id_r"))
+
+
+@query(
     "streaming_stateful_totals",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

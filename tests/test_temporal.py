@@ -1,0 +1,65 @@
+"""As-of join and tolerance range join (operators/temporal.py)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.operators.temporal import asof_join, range_join_within
+
+
+def T(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lid=10, ts=T(1)),
+            Row(k=1, lid=11, ts=T(5)),
+            Row(k=1, lid=12, ts=T(9)),
+            Row(k=2, lid=20, ts=T(3)),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=100, rts=T(0)),
+            Row(k=1, rid=101, rts=T(5)),   # exactly at left 5: at-or-before
+            Row(k=1, rid=102, rts=T(7)),
+        ]
+    )
+    return left, right
+
+
+def test_asof_join_at_or_before(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                    right_cols=["rid"])
+    got = {r.lid: r.rid_asof for r in out.collect()}
+    assert got == {10: 100, 11: 101, 12: 102, 20: None}
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                    right_cols=["rid"])
+    assert out.count() == left.count()
+
+
+def test_range_join_within_tolerance(spark):
+    left, right = _sides(spark)
+    out = range_join_within(left, right, key="k", left_ts="ts", right_ts="rts",
+                            tolerance_sec=3600, right_cols=["rid"])
+    pairs = {(r.lid, r.rid_r) for r in out.collect()}
+    # within 1h: lid10(t1)↔rid100(t0); lid11(t5)↔rid101(t5); lid12(t9) has no
+    # right within 1h (closest is t7 → 2h); lid11↔rid102 is 2h apart → no
+    assert pairs == {(10, 100), (11, 101)}
+
+
+def test_range_join_bucket_edges(spark):
+    # timestamps straddling a bucket boundary must still pair (adjacent
+    # bucket candidates)
+    left = spark.createDataFrame([Row(k=1, lid=1, ts=T(2, 0))])
+    right = spark.createDataFrame([Row(k=1, rid=9, rts=T(1, 59))])
+    out = range_join_within(left, right, key="k", left_ts="ts", right_ts="rts",
+                            tolerance_sec=120, right_cols=["rid"])
+    assert [(r.lid, r.rid_r) for r in out.collect()] == [(1, 9)]
