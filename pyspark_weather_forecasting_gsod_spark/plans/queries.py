@@ -1041,6 +1041,81 @@ def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry path (SURVEY §3: DataFrame DSL and spark.sql
+    share Catalyst): a correlated scalar subquery that the optimizer
+    decorrelates into an aggregate + join — same text runs on both engines.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "streaming_session_windows",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS es, value FROM events),
+    o AS (
+        SELECT user_id, es, value,
+               CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                    OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ), wm AS (SELECT MAX(es) - 3600000000 AS w FROM e)
+    SELECT user_id, CAST(MIN(es) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s CROSS JOIN wm
+    GROUP BY user_id, sid, wm.w
+    HAVING MAX(es) + 1800000000 <= wm.w
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through real Structured Streaming (append mode +
+    watermark — the only mode session aggregations support): the emitted
+    set is exactly the sessions CLOSED by the final watermark (session end
+    = last event + gap ≤ max event time − 1 h), which is what the oracle
+    computes from the batch sessionization."""
+    import uuid
+
+    from ..streaming.event_windows import session_agg
+    from ..streaming.stream import read_events_stream
+
+    tune(spark)
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = session_agg(stream)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_stateful_totals",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
