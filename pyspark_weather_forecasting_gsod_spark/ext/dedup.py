@@ -45,29 +45,26 @@ def exact_dedup_by_fingerprint(
     return df.join(ranked.select(id_col), on=id_col, how="left_semi")
 
 
-def _shingle_array_expr(text_col: str, n: int) -> str:
-    # total expression: the CASE guard keeps sequence() off the short-doc
-    # path even if the optimizer evaluates the projection before the filter
-    toks = f"split(trim({text_col}), '\\\\s+')"
-    parts = ", ".join(f"{toks}[i + {j - 1}]" for j in range(n))
-    return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE array() END"
-    )
-
-
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, array<distinct n-word shingles>) — map-only, no shuffle. The
     preferred shape: set size is ``size(shingles)`` (free), and exploding is
-    deferred until (and unless) a join actually needs shingle rows."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    return df.filter(F.size(toks) >= n).select(
-        F.col(id_col), F.expr(_shingle_array_expr(text_col, n)).alias("shingles")
-    )
+    deferred until (and unless) a join actually needs shingle rows.
+
+    Overlapping n-grams come from ONE codegen'd regex pass: a lookahead
+    group captures the n-token window at every token start
+    (``(?=(tok( tok){n-1}))tok``). The obvious
+    ``transform(sequence(...), i -> concat_ws(w[i], ...))`` formulation is
+    an interpreted lambda — measured ~20× slower — and re-evaluates any
+    inline split per element (quadratic in doc length).
+    """
+    # normalize whitespace first so captured shingles are single-spaced
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+"
+    toks = F.split(norm, " ")
+    shingles = F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
+    return df.filter(F.size(toks) >= n).select(F.col(id_col), shingles.alias("shingles"))
 
 
 def word_shingles(
@@ -284,19 +281,24 @@ def simhash_md5(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.md5(F.col("tok").cast("binary")).alias("h"))
+    # decode each nibble ONCE (16 string ops/row), then 64 cheap bit
+    # extracts — vs 64 independent instr+substr evaluations per row
+    nibbles = toks.select(
+        F.col(id_col),
+        *[
+            F.expr(f"instr('{HEX}', substr(h, {j + 1}, 1)) - 1").alias(f"n{j}")
+            for j in range(bits // 4)
+        ],
+    )
     votes = [
         F.sum(
             F.when(
-                F.expr(
-                    f"((instr('{HEX}', substr(h, {1 + i // 4}, 1)) - 1) "
-                    f">> {3 - i % 4}) & 1 = 1"
-                ),
-                1,
+                F.shiftright(F.col(f"n{i // 4}"), 3 - i % 4).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = nibbles.groupBy(id_col).agg(*votes)
     fp = F.concat(
         *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
     )
@@ -315,13 +317,19 @@ def minhash_md5_signature(
     chars of md5 (exact cross-engine), permutation mins as ``mh_0..mh_k``
     columns. Oracle-checkable counterpart of the xxhash64 fold signature."""
     sh = word_shingles(df, id_col, text_col, n)
-    x = F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+    # materialize the hash int ONCE per row — each MIN agg expression is
+    # evaluated independently, so an inline x would md5 every shingle
+    # num_hashes times
+    hashed = sh.select(
+        F.col(id_col),
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("x"),
+    )
     p = MINHASH_PRIME
     aggs = [
-        F.min((x * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_permutations(num_hashes, seed))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def simhash_band_buckets(
