@@ -144,7 +144,8 @@ def proximity_mean_impute(
         )
     result = work.select(*df.columns) if out_col == column else work
     # Materialization happens lazily downstream; free intermediate caches of
-    # earlier iterations but keep the last (it feeds the result plan).
+    # earlier iterations but keep the last (it feeds the result plan; the
+    # ContextCleaner reclaims it once the plan is no longer referenced).
     for c in cached[:-1]:
         c.unpersist()
     return result

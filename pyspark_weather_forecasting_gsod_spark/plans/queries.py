@@ -1458,6 +1458,85 @@ def projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quartiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.50) AS q2,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (interpolated), A2-family beyond the median."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_brand, '#', '-') AS brand_norm,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function family (F-family extensions): case, substring,
+    length, replace, pad, edit distance — all JVM built-ins."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_norm"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias("brand_dist"),
+    )
+
+
+@query(
+    "date_features",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+)
+def date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction family (F1 generalized). Engines disagree on
+    day-of-week numbering (Spark: 1=Sunday; DuckDB: 0=Sunday) — aligned
+    explicitly, never via implicit semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+@query(
     "stats_corr",
     """
     SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -78,12 +78,15 @@ def streaming_user_totals(
     finally:
         if q.isActive:
             q.stop()
-    # update mode appends one row per key per batch: keep each key's last
+    # update mode appends one row per key per batch: keep each key's LATEST
+    # state. The running count is strictly monotonic across batches, so it
+    # is its own reliable ordering (row order of a re-read memory table is
+    # not batch order).
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    t = spark.table(name).withColumn("__ord", F.monotonically_increasing_id())
-    w = Window.partitionBy("user_id").orderBy(F.col("__ord").desc())
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         t.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
