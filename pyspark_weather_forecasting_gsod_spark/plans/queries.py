@@ -1264,6 +1264,57 @@ def tfidf_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))
 
 
+@query(
+    "tfidf_exact_norms",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    docfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SQRT(SUM(POW(tf.tf * (LN((n.n_docs + 1) / (docfreq.df + 1)) + 1), 2))), 4)
+               AS tfidf_norm
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def tfidf_exact_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact explicit-vocabulary TF-IDF (oracle-checked companion to the
+    hashed ``tfidf_doc_norms``): tf = per-(doc, term) count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), per-doc L2 norm of the weight vector.
+
+    Scale shape: explode → two hash aggs + one equi-join on ``term`` — the
+    canonical distributed TF-IDF plan. Doc-frequency table is orders of
+    magnitude smaller than the term-count table, so Catalyst/AQE broadcasts
+    it when it fits; the per-doc norm agg re-shuffles on ``doc_id`` (same key
+    as the tf agg, so AQE can reuse the partitioning)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    weighted = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", (F.col("tf") * idf).alias("w"))
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 4).alias("tfidf_norm"),
+    )
+
+
 # ===========================================================================
 # Relational completeness beyond the reference's own surface: semi/anti
 # joins, set operations, rollup grouping sets, pivot. The reference never
