@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def top_k(
@@ -33,6 +34,27 @@ def top_k(
         tb = [tie_break] if isinstance(tie_break, str) else list(tie_break)
         order += [F.col(c).asc() for c in tb]
     return df.orderBy(*order).limit(k)
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Keep exactly one row per key: the last by ``order_by`` (make the final
+    order column a unique id so the winner is deterministic).
+
+    The standard training-data "latest version of each record" dedup:
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_by DESC) = 1``.
+    One hash shuffle on ``keys`` + per-partition sort; no global sort, no
+    self-join — the shape that survives 100 TB (and AQE splits skewed keys).
+    """
+    spec = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(spec))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def mode_top1(df: DataFrame, column: str) -> DataFrame:

@@ -568,6 +568,72 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_latest",
+    """
+    WITH r AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_s, value
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (the "latest record version" pattern):
+    row_number over (user_id, event_type) ordered by (ts, event_id) desc.
+    One hash shuffle + per-partition sort; event_id tie-break makes the
+    winner deterministic across engines."""
+    from ..operators.relational import keep_latest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    kept = keep_latest(ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"])
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+
+
+@query(
+    "rollup_reuse_daily",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(epoch_us(date_trunc('day', h)) // 1000000 AS BIGINT) AS ds,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(SUM(sum_value), 4) AS sum_value
+    FROM hourly GROUP BY 1
+    """,
+)
+def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup reuse: daily aggregates derived from hourly
+    partial aggregates instead of re-scanning raw events — the hypertable /
+    continuous-aggregate pattern. At 100 TB the hourly table is ~10^4×
+    smaller than raw events, so the daily pass is near-free; correctness is
+    oracle-checked against the direct daily aggregation (sums re-aggregate
+    losslessly; avg-style metrics would carry (sum, count) partials)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    return hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+    ).select(F.unix_timestamp("d").alias("ds"), "n_events", "sum_value")
+
+
+@query(
     "ngram_jaccard_topk",
     """
     WITH d AS (

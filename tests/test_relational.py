@@ -64,3 +64,23 @@ def test_scalable_exact_median_edge_cases(spark):
     assert scalable_exact_median(
         spark.createDataFrame([Row(v=float(i)) for i in range(101)], "v double"), "v"
     ) == 50.0
+
+
+def test_keep_latest_deterministic_winner(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.relational import keep_latest
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=1, uid=10, v=1.0),
+            Row(k="a", ts=3, uid=11, v=2.0),
+            Row(k="a", ts=3, uid=12, v=3.0),  # ts tie → larger uid wins
+            Row(k="b", ts=5, uid=13, v=4.0),
+        ]
+    )
+    got = {
+        (r.k, r.uid, r.v)
+        for r in keep_latest(df, keys=["k"], order_by=["ts", "uid"]).collect()
+    }
+    assert got == {("a", 12, 3.0), ("b", 13, 4.0)}
+    # non-key columns and schema pass through untouched (minus the helper)
+    assert keep_latest(df, ["k"], ["ts", "uid"]).columns == ["k", "ts", "uid", "v"]
