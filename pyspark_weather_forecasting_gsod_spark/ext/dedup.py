@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def _widen_for_fanout(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the session's default parallelism
+    before CPU-heavy per-row fan-out (hashing, shingling, folds). This work
+    scales with token count, not input bytes, so a small-file scan (1-2
+    partitions) would serialize it on one core while 31 idle; at real scale
+    the scan is already ≥ the core count and this is a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Drop exact duplicates by ``keys`` (default: all columns). Spark plans
     this as a hash aggregate keyed on ``keys`` — one shuffle, fully
@@ -64,6 +76,12 @@ def shingle_arrays(
     pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+"
     toks = F.split(norm, " ")
     shingles = F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
+    # NOTE: deliberately no _widen_for_fanout here — the LSH pipeline
+    # persists this frame and runs ~10 small candidate/verify joins over it;
+    # widening a small corpus to 32 partitions makes every one of those
+    # stages pay scheduling overhead for near-empty tasks (measured 2×
+    # slower end-to-end). Callers that are single map-only passes (simhash,
+    # fingerprints) widen at their own head instead.
     return df.filter(F.size(toks) >= n).select(F.col(id_col), shingles.alias("shingles"))
 
 
@@ -253,7 +271,7 @@ def simhash64(
         f"(v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)), "
         f"0L, (acc, x) -> acc | x)"
     )
-    return df.select(F.col(id_col), F.expr(fp).alias("simhash"))
+    return _widen_for_fanout(df).select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 HEX = "0123456789abcdef"
@@ -277,7 +295,7 @@ def simhash_md5(
     fingerprint emitted as a 64-char bit string. The xxhash64 fold variant
     (``simhash64``) is the faster scale path; this one exists so the SimHash
     *semantics* are DuckDB-oracle-checkable."""
-    toks = df.select(
+    toks = _widen_for_fanout(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.md5(F.col("tok").cast("binary")).alias("h"))
