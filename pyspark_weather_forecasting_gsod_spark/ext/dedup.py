@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
-def _widen_for_fanout(df: DataFrame) -> DataFrame:
+def widen_for_fanout(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the session's default parallelism
     before CPU-heavy per-row fan-out (hashing, shingling, folds). This work
     scales with token count, not input bytes, so a small-file scan (1-2
@@ -76,7 +76,7 @@ def shingle_arrays(
     pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+"
     toks = F.split(norm, " ")
     shingles = F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
-    # NOTE: deliberately no _widen_for_fanout here — the LSH pipeline
+    # NOTE: deliberately no widen_for_fanout here — the LSH pipeline
     # persists this frame and runs ~10 small candidate/verify joins over it;
     # widening a small corpus to 32 partitions makes every one of those
     # stages pay scheduling overhead for near-empty tasks (measured 2×
@@ -271,7 +271,7 @@ def simhash64(
         f"(v, i) -> IF(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)), "
         f"0L, (acc, x) -> acc | x)"
     )
-    return _widen_for_fanout(df).select(F.col(id_col), F.expr(fp).alias("simhash"))
+    return widen_for_fanout(df).select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 HEX = "0123456789abcdef"
@@ -295,7 +295,7 @@ def simhash_md5(
     fingerprint emitted as a 64-char bit string. The xxhash64 fold variant
     (``simhash64``) is the faster scale path; this one exists so the SimHash
     *semantics* are DuckDB-oracle-checkable."""
-    toks = _widen_for_fanout(df).select(
+    toks = widen_for_fanout(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.md5(F.col("tok").cast("binary")).alias("h"))
@@ -348,6 +348,73 @@ def minhash_md5_signature(
         for i, (a, b) in enumerate(minhash_permutations(num_hashes, seed))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, component),
+    component = smallest node id in the component (a deterministic canonical
+    representative — the doc to KEEP in near-dup dedup).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup graphs are unions of small cliques, so the diameter —
+    and the round count — stays tiny even at 100 TB; each round is one join
+    + one hash agg on the edge list (never materializes components). The
+    eager per-round ``count`` is the convergence check (same driver-loop
+    pattern as the reference's ProximityMedian, ipynb:872); labels are
+    re-persisted per round and localCheckpoint'ed periodically so lineage
+    stays bounded for high-diameter graphs.
+
+    Nodes with no edges are absent from the output by definition (they are
+    their own singleton cluster).
+    """
+    # persist the directed edge list FIRST: the undirected union references
+    # it twice, and without this the entire upstream pair-generation pipeline
+    # (e.g. an exact-Jaccard join) executes twice before the loop even starts
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).persist()
+    adj = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    adj.count()  # materialize adj now so und's lineage never re-runs
+    und.unpersist()
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for i in range(max_iter):
+        nbr_min = adj.join(
+            labels.select(F.col("node").alias("b"), "comp"), on="b"
+        ).select(F.col("a").alias("node"), "comp")
+        new = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if (i + 1) % 5 == 0:
+            new = new.localCheckpoint()
+        else:
+            new = new.persist()
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, on="node")
+            .filter(F.col("new_comp") < F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels
 
 
 def simhash_band_buckets(

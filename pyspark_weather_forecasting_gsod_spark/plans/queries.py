@@ -677,6 +677,60 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE
+    d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                       AS shingle
+            FROM d2)
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+        SELECT doc_a, doc_b
+        FROM pairs JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+        WHERE common / (za.sz + zb.sz - common) >= 0.5
+    ), e AS (
+        SELECT doc_a AS a, doc_b AS b FROM j
+        UNION ALL SELECT doc_b, doc_a FROM j
+    ), reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the dedup endgame: exact bigram-Jaccard
+    pairs (≥ 0.5) as the edge set, then connected components via iterative
+    min-label propagation; ``component`` is the canonical (minimum) doc_id,
+    i.e. the representative to keep. Oracle: DuckDB recursive-CTE transitive
+    closure over the identical edge set — checks the iterative DataFrame
+    algorithm end-to-end against a declarative fixpoint."""
+    from ..ext.dedup import connected_components, ngram_jaccard_pairs, widen_for_fanout
+
+    # widen the narrow scan: the inverted-index join's shingle hashing and
+    # bucket-pair counting are the CPU cost here, and this query makes one
+    # heavy pass (unlike the LSH pipeline's many small stages)
+    docs = widen_for_fanout(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 @query("minhash_neardup", None)  # LSH banding is hash-seed-specific → rows-only
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import minhash_lsh_pairs

@@ -64,3 +64,15 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     # near-dup docs should be hamming-close
     ham = bin(fp[1] ^ fp[3]).count("1")
     assert ham <= 16
+
+
+def test_connected_components_min_label(spark):
+    from pyspark.sql import Row
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import connected_components
+
+    # two components: {1,2,3} (chain) and {7,9}; 5 is isolated (absent)
+    edges = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=2), Row(doc_a=9, doc_b=7)]
+    )
+    got = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
