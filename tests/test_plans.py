@@ -57,8 +57,17 @@ def test_simhash_is_shuffle_free(spark, sf001):
     from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
 
     docs = load_table(spark, sf001, "documents").select("doc_id", "text")
+    def tree_exchanges(p: str) -> int:
+        return p.split("\n\n")[0].count("Exchange")  # operator tree only
+
+    # on an already-wide input the widen is a no-op: the only Exchange in
+    # the plan is the test's own repartition — the fold adds none
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert tree_exchanges(_plan(simhash64(wide, "doc_id"))) == 1
+    # on a narrow scan, exactly ONE round-robin widen (parallelizes the
+    # hash fold) and still no aggregation/join exchange
     p = _plan(simhash64(docs, "doc_id"))
-    assert "Exchange" not in p  # pure projection: zero shuffles
+    assert tree_exchanges(p) == 1 and "RoundRobinPartitioning" in p
 
 
 def test_minhash_signatures_are_shuffle_free(spark, sf001):
