@@ -1,0 +1,54 @@
+"""Sampling & split operators for training-data pipelines.
+
+The reference's only split is an UNSEEDED ``randomSplit([0.8, 0.2])``
+(ipynb:1376, SURVEY.md §2.8) — nondeterministic across runs, and unstable
+under data growth even when seeded (Bernoulli draws depend on partition
+layout). Two scale-correct alternatives:
+
+  * ``hash_split`` — assignment is a pure function of the row's key
+    (md5-derived bucket), so it is reproducible run-to-run, engine-portable
+    (DuckDB computes the identical assignment), and STABLE: adding new rows
+    never flips an existing row's split. This is the right way to hold out
+    eval data at 100 TB.
+  * ``stratified_sample`` — seeded per-stratum Bernoulli via ``sampleBy``;
+    keeps rare strata represented when downsampling a corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): int value of the first 4 hex
+    chars of md5(key as string), mod buckets. Engine-portable (no xxhash64
+    dependence) and uniform enough for split assignment."""
+    h = F.substring(F.md5(key.cast("string").cast("binary")), 1, 4)
+    return F.conv(h, 16, 10).cast("long") % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag each row 'train'/'test' by its key's hash bucket."""
+    bucket = hash_bucket(F.col(key))
+    return df.withColumn(
+        out_col, F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (``sampleBy``): map-only, no
+    shuffle; strata absent from ``fractions`` are dropped (fraction 0)."""
+    return df.sampleBy(stratum_col, fractions, seed=seed)

@@ -1357,6 +1357,51 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
 
 
+@query(
+    "hash_split_counts",
+    """
+    WITH b AS (
+        SELECT lang,
+               list_reduce(list_transform(
+                   string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (the scale-correct
+    alternative to the reference's unseeded randomSplit, ipynb:1376):
+    assignment is a pure function of doc_id, so it's reproducible,
+    engine-portable (oracle computes the identical buckets), and stable
+    under data growth — new rows never flip existing assignments."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query("stratified_sample", None)  # Bernoulli draws are Spark-seed-specific → rows-only
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified downsampling (``sampleBy``): 10% of 'en', 50% of
+    every minority language — the keep-rare-strata corpus shrink. Rows-only
+    (Bernoulli draws depend on Spark's RNG); determinism + fraction
+    accuracy are pytest-checked."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    fractions = {lg: (0.1 if lg == "en" else 0.5) for lg in langs}
+    samp = stratified_sample(docs, "lang", fractions, seed=42)
+    return samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 @query("freq_items_sketch", None)  # approximate (possible false positives) → rows-only
 def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch (``freqItems``): approximate frequent values

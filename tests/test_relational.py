@@ -84,3 +84,32 @@ def test_keep_latest_deterministic_winner(spark):
     assert got == {("a", 12, 3.0), ("b", 13, 4.0)}
     # non-key columns and schema pass through untouched (minus the helper)
     assert keep_latest(df, ["k"], ["ts", "uid"]).columns == ["k", "ts", "uid", "v"]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {(r.k, r.split) for r in hash_split(df, "k").collect()}
+    b = {(r.k, r.split) for r in hash_split(df, "k").collect()}
+    assert a == b  # reproducible
+    # stable under growth: the first 1000 rows keep their assignment
+    grown = spark.range(0, 2000).withColumnRenamed("id", "k")
+    g = {(r.k, r.split) for r in hash_split(grown, "k").collect() if r.k < 1000}
+    assert g == a
+    frac = sum(1 for _, s in a if s == "train") / len(a)
+    assert 0.7 < frac < 0.9  # ~80% within hash-uniformity tolerance
+
+
+def test_stratified_sample_seeded_and_sized(spark):
+    from pyspark.sql import Row
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import stratified_sample
+
+    rows = [Row(g="a", i=i) for i in range(1000)] + [Row(g="b", i=i) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    s1 = stratified_sample(df, "g", {"a": 0.1, "b": 0.5}, seed=7).collect()
+    s2 = stratified_sample(df, "g", {"a": 0.1, "b": 0.5}, seed=7).collect()
+    assert {(r.g, r.i) for r in s1} == {(r.g, r.i) for r in s2}
+    na = sum(1 for r in s1 if r.g == "a")
+    nb = sum(1 for r in s1 if r.g == "b")
+    assert 50 <= na <= 160 and 30 <= nb <= 70
