@@ -281,6 +281,38 @@ def sliding_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_median_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
+               AS rolling_median
+    FROM events
+    """,
+)
+def rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 variant with a robust statistic: EXACT median over the symmetric
+    ROWS frame (outlier-resistant proximity smoothing — what the
+    reference's ProximityMedian name promises but its ``avg`` doesn't
+    deliver, ipynb:866). Spark has no frame-capable ``median``, so the
+    frame is gathered with ``collect_list`` (bounded: ≤7 values) and the
+    interpolated middle taken JVM-side — same single shuffle + sort as any
+    frame aggregate, matching DuckDB's windowed ``median`` semantics."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    return ev.select(
+        "event_id", "user_id", F.round(med, 4).alias("rolling_median")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C2 (A2/A3 + J2-rewrite): group-median imputation as broadcast join +
 # coalesce — the distributed replacement for the reference's driver-side
