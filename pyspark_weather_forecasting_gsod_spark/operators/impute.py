@@ -269,6 +269,97 @@ def seasonal_median_impute(
     )
 
 
+def forward_fill(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    order_by: str | Sequence[str],
+    out_col: str | None = None,
+    backward: bool = False,
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) fill: replace each NULL with
+    the most recent non-NULL value in the same group under ``order_by``
+    (``backward=True`` carries the NEXT observation backward instead — NOCB).
+
+    The natural extension of the reference's proximity family (ipynb:843-896)
+    for time-series gaps: a weather station that stops reporting keeps its
+    last reading rather than a frame mean. Scale shape: ONE shuffle on the
+    group key + in-partition sort, then a running ``last(ignorenulls)`` —
+    no iteration, no join, no growth with gap length (the frame is
+    unbounded-preceding, computed in a single forward pass per partition).
+    """
+    order_cols = _order_cols([order_by] if isinstance(order_by, str) else list(order_by))
+    out_col = out_col or column
+    if backward:
+        w = (
+            Window.partitionBy(group_by)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first(column, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(group_by)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last(column, ignorenulls=True).over(w)
+    keep = [c for c in df.columns if c != out_col]
+    return df.select(*keep, F.coalesce(F.col(column), carried).alias(out_col))
+
+
+def linear_interpolate(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    time_col: str,
+    tie_break: str | Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULL runs by linear interpolation between the bracketing non-NULL
+    observations in the same group: ``prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev)``, with ``time_col`` a NUMERIC time axis (epoch
+    seconds / days). Edge rows with only one bracket take that bracket's
+    value (nearest-neighbor extrapolation); all-NULL groups stay NULL.
+
+    The calendar-aware upgrade of the reference's frame-mean imputer: a
+    frame mean weights a 1-hour-old and a 6-day-old reading equally, while
+    interpolation respects the time axis. Scale shape: both bracket scans
+    (running ``last``/``first`` with ``ignorenulls``) share one partitioning
+    and one sort order, so Catalyst plans a single exchange + single sort
+    for all four carried columns — gap length never multiplies passes.
+    """
+    tie = [tie_break] if isinstance(tie_break, str) else list(tie_break)
+    order_cols = _order_cols([time_col, *tie])
+    out_col = out_col or column
+    wp = (
+        Window.partitionBy(group_by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(group_by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v, t = F.col(column), F.col(time_col)
+    t_if_obs = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(t_if_obs, ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    next_t = F.first(t_if_obs, ignorenulls=True).over(wn)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t), interp
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    keep = [c for c in df.columns if c != out_col]
+    return df.select(*keep, filled.alias(out_col))
+
+
 def zero_impute(df: DataFrame, columns: dict[str, float]) -> DataFrame:
     """Constant fill (reference C5, ipynb:953: ``na.fill({'prcp': 0})`` —
     "no report means no rain")."""

@@ -66,3 +66,42 @@ def missing_census(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in cols
     ]
     return df.agg(*aggs)
+
+
+def mad_outlier_flags(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    k: float = 3.0,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust per-group outlier gating via the median absolute deviation:
+    flag rows where ``|v - median(v)| > k * median(|v - median(v)|)``.
+
+    The quality gate that belongs UPSTREAM of the imputation family: the
+    reference nulls known sentinels (ipynb:239-247) but a 9998.9 typo sails
+    through and poisons every frame mean. Median/MAD are robust to exactly
+    such corruption (mean/stddev gating is not — the outlier inflates its
+    own threshold). Groups with MAD = 0 (constant-valued) flag any
+    deviation; NULLs are never flagged (three-valued logic preserved).
+
+    Scale shape: two grouped exact-median aggs (the second over the
+    deviation, which needs the first — an unavoidable two-pass dependency)
+    each followed by a **broadcast** join back on the group key; the fact
+    table itself never shuffles.
+    """
+    med_df = df.groupBy(group_by).agg(F.median(column).alias("__med"))
+    with_med = df.join(F.broadcast(med_df), on=group_by, how="left")
+    dev = F.abs(F.col(column) - F.col("__med"))
+    mad_df = (
+        with_med.groupBy(group_by)
+        .agg(F.median(dev).alias("__mad"))
+    )
+    flagged = with_med.join(F.broadcast(mad_df), on=group_by, how="left")
+    return flagged.withColumn(
+        flag_col,
+        F.when(
+            F.col(column).isNotNull(),
+            (F.abs(F.col(column) - F.col("__med")) > k * F.col("__mad")).cast("int"),
+        ),
+    ).drop("__med", "__mad")

@@ -103,3 +103,41 @@ def range_join_within(
         *[F.col(c) for c in left.columns if c != key],
         *[F.col(f"__r_{c}").alias(f"{c}_r") for c in right_cols],
     )
+
+
+def gap_fill_spine(
+    df: DataFrame,
+    group_by: str,
+    tick_col: str,
+    value_cols: list[str],
+    step: int = 1,
+) -> DataFrame:
+    """Densify an integer time axis: for every group emit one row per tick
+    from the group's min to max ``tick_col`` (stride ``step``), left-joining
+    the observed rows so introduced gap ticks carry NULLs (callers chain
+    ``forward_fill`` / ``linear_interpolate`` to fill them). ``tick_col``
+    must be integral (epoch day / epoch hour / any discretized axis).
+
+    The resample-to-regular-grid primitive every time-series pipeline needs
+    (the GSOD reference's station×day table is *assumed* dense; real feeds
+    are not). Scale shape: the spine is built from a per-group min/max agg
+    (tiny output) exploded JVM-side via ``sequence`` — rows generated
+    distributed, proportional to the gap span, never on the driver — then
+    ONE left equi-join on (group, tick), shuffle-hashable and
+    AQE-coalesced. Dense-span skew (one group spanning years) can be split
+    by salting the spine on tick ranges; at GSOD scale (365 ticks/group/yr)
+    no salt is needed.
+    """
+    observed = df.groupBy(group_by).agg(
+        F.min(tick_col).alias("__mn"), F.max(tick_col).alias("__mx")
+    )
+    spine = observed.select(
+        F.col(group_by),
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
+        ).alias(tick_col),
+    )
+    obs = df.select(
+        group_by, tick_col, *[F.col(c) for c in value_cols]
+    )
+    return spine.join(obs, on=[group_by, tick_col], how="left")

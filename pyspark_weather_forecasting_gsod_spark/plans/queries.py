@@ -1988,6 +1988,341 @@ QUERIES["minhash_md5_parity"] = (QUERIES["minhash_md5_parity"][0], _minhash_md5_
 
 
 # ---------------------------------------------------------------------------
+# C3-family extensions: time-series fills the reference's frame-mean imputer
+# cannot express — LOCF carry-forward, calendar-aware linear interpolation,
+# and gap-fill densification onto a regular daily spine.
+# ---------------------------------------------------------------------------
+@query(
+    "impute_locf_events",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), filled AS (
+        SELECT user_id, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        FROM base
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           CAST(SUM(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+           ROUND(SUM(fv), 4) AS sum_filled
+    FROM filled GROUP BY user_id
+    """,
+)
+def impute_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward-fill per user ordered by time: one shuffle + sort, a
+    running ``last(ignorenulls)`` — no iteration regardless of gap length
+    (vs the reference's doubling frame loop, ipynb:863-875). Leading-edge
+    NULLs (no prior observation) stay NULL and are reported."""
+    from ..operators.impute import forward_fill
+
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("v"),
+        F.col("value").isNull().cast("long").alias("was_null"),
+    )
+    filled = forward_fill(base, "v", "user_id", ["ts", "event_id"])
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").alias("n_imputed"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_unfilled"),
+        F.round(F.sum("v"), 4).alias("sum_filled"),
+    )
+
+
+@query(
+    "impute_interpolate_events",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), br AS (
+        SELECT user_id, t, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM base
+    ), filled AS (
+        SELECT user_id, v,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                    ELSE COALESCE(pv, nv) END AS fv
+        FROM br
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           ROUND(SUM(fv), 4) AS sum_filled
+    FROM filled GROUP BY user_id
+    """,
+)
+def impute_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation between bracketing observations on the epoch-
+    microsecond axis — the calendar-aware fill the reference's ROWS-frame
+    mean approximates (SURVEY.md §2.5 caveat). All four bracket scans share
+    one partitioning + sort → single exchange in the plan."""
+    from ..operators.impute import linear_interpolate
+
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.col("value").alias("v"),
+        F.col("value").isNull().cast("long").alias("was_null"),
+    )
+    filled = linear_interpolate(base, "v", "user_id", "t", tie_break="event_id")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("was_null").alias("n_imputed"),
+        F.round(F.sum("v"), 4).alias("sum_filled"),
+    )
+
+
+@query(
+    "gap_fill_daily",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v0
+        FROM events
+    ), daily AS (
+        SELECT user_id, day, ROUND(AVG(v0), 4) AS v
+        FROM base GROUP BY user_id, day
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx)) AS day
+        FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+              FROM daily GROUP BY user_id) s
+    ), joined AS (
+        SELECT sp.user_id, sp.day, d.v
+        FROM spine sp LEFT JOIN daily d
+          ON sp.user_id = d.user_id AND sp.day = d.day
+    ), filled AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        FROM joined
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+           ROUND(SUM(fv), 4) AS sum_filled
+    FROM filled GROUP BY user_id
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's stream onto a dense daily spine (per-group
+    ``sequence`` + explode, distributed, never driver-side), left-join the
+    observed daily means, LOCF the introduced gaps. The densification
+    primitive the GSOD station×day table silently assumes upstream."""
+    from ..operators.impute import forward_fill
+    from ..operators.temporal import gap_fill_spine
+
+    norm = _events_normalized(spark, sf_dir)
+    daily = norm.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    joined = gap_fill_spine(daily, "user_id", "day", ["v"])
+    filled = forward_fill(joined, "v", "user_id", "day", out_col="fv")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_gap_days"),
+        F.round(F.sum("fv"), 4).alias("sum_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family extension: CUBE grouping sets (rollup's 2^n sibling), grouping_id
+# parity with the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1/C9 extension: robust outlier gating (median absolute deviation) — the
+# quality gate upstream of imputation that catches near-sentinel corruption.
+# ---------------------------------------------------------------------------
+@query(
+    "mad_outliers_events",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), med AS (
+        SELECT user_id, median(v) AS m FROM base GROUP BY user_id
+    ), mad AS (
+        SELECT b.user_id, median(abs(b.v - med.m)) AS d
+        FROM base b JOIN med ON b.user_id = med.user_id
+        GROUP BY b.user_id
+    )
+    SELECT b.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(ANY_VALUE(med.m), 4) AS med,
+           ROUND(ANY_VALUE(mad.d), 4) AS mad,
+           CAST(SUM(CASE WHEN b.v IS NOT NULL
+                          AND abs(b.v - med.m) > 3.0 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM base b
+    JOIN med ON b.user_id = med.user_id
+    JOIN mad ON b.user_id = mad.user_id
+    GROUP BY b.user_id
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import mad_outlier_flags
+
+    norm = _events_normalized(spark, sf_dir)
+    base = norm.select("user_id", F.col("value").alias("v"))
+    flagged = mad_outlier_flags(base, "v", "user_id", k=3.0)
+    med_df = base.groupBy("user_id").agg(F.round(F.median("v"), 4).alias("med"))
+    mad_df = (
+        base.join(F.broadcast(base.groupBy("user_id").agg(F.median("v").alias("__m"))), "user_id")
+        .groupBy("user_id")
+        .agg(F.round(F.median(F.abs(F.col("v") - F.col("__m"))), 4).alias("mad"))
+    )
+    counts = flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("is_outlier"), F.lit(0)).cast("long")).alias(
+            "n_outliers"
+        ),
+    )
+    return (
+        counts.join(F.broadcast(med_df), "user_id")
+        .join(F.broadcast(mad_df), "user_id")
+        .select("user_id", "n_rows", "med", "mad", "n_outliers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics extensions: funnel conversion and cohort retention — the
+# two aggregate shapes every large-scale behavioral pipeline needs. Both are
+# conditional-aggregation compositions (no new physical shape: one hash-agg
+# per level, broadcast-free).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_view,
+           CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_click,
+           CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel (first-touch ordering): per-user
+    conditional-min aggregation, then one global roll-up. Two hash-aggs,
+    no join, no window — the shape that survives any user-count scale."""
+    ev = _t(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    seq2 = F.col("t_view") < F.col("t_click")
+    seq3 = seq2 & (F.col("t_click") < F.col("t_purchase"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("stage_view"),
+        F.sum(F.coalesce(seq2, F.lit(False)).cast("long")).alias("stage_click"),
+        F.sum(F.coalesce(seq3, F.lit(False)).cast("long")).alias("stage_purchase"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH activity AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id, day
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = c.cohort_day + 7
+                                    THEN a.user_id END) AS BIGINT) AS retained_d7,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = c.cohort_day + 30
+                                    THEN a.user_id END) AS BIGINT) AS retained_d30
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY c.cohort_day
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention at day-7 / day-30: distinct (user, day)
+    activity, per-user cohort anchor, count-distinct roll-up per cohort.
+    The cohort frame joins back on ``user_id`` only (the anchor is a
+    per-user scalar) — shuffle on user_id once, then a single hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(cohort, "user_id")
+    ret = lambda off: F.count_distinct(  # noqa: E731
+        F.when(F.col("day") == F.col("cohort_day") + off, F.col("user_id"))
+    )
+    return joined.groupBy("cohort_day").agg(
+        F.count_distinct("user_id").alias("cohort_size"),
+        ret(7).alias("retained_d7"),
+        ret(30).alias("retained_d30"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry_query(spark: SparkSession) -> DataFrame:

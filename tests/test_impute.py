@@ -158,3 +158,78 @@ def test_post_imputation_census_is_zero_on_events(spark, sf_dir):
     )
     row = missing_census(imputed, ["value"]).collect()[0]
     assert row.null_value == 0
+
+
+def test_forward_fill_carries_last_observation(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="a", t=1, v=10.0),
+            Row(g="a", t=2, v=None),
+            Row(g="a", t=3, v=None),
+            Row(g="a", t=4, v=40.0),
+            Row(g="a", t=5, v=None),
+            Row(g="b", t=1, v=None),  # leading null: nothing to carry
+            Row(g="b", t=2, v=7.0),
+        ]
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.impute import forward_fill
+
+    out = {
+        (r.g, r.t): r.v
+        for r in forward_fill(df, "v", "g", "t").collect()
+    }
+    assert out[("a", 2)] == 10.0 and out[("a", 3)] == 10.0
+    assert out[("a", 5)] == 40.0
+    assert out[("b", 1)] is None  # LOCF cannot invent a prior value
+    back = {
+        (r.g, r.t): r.v
+        for r in forward_fill(df, "v", "g", "t", backward=True).collect()
+    }
+    assert back[("a", 2)] == 40.0 and back[("a", 5)] is None
+    assert back[("b", 1)] == 7.0
+
+
+def test_linear_interpolate_respects_time_axis(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="a", t=0, v=10.0),
+            Row(g="a", t=1, v=None),   # 1/4 of the way 10 → 30
+            Row(g="a", t=4, v=30.0),
+            Row(g="a", t=9, v=None),   # trailing: nearest = 30
+            Row(g="b", t=1, v=None),   # leading: nearest = 5
+            Row(g="b", t=2, v=5.0),
+            Row(g="c", t=1, v=None),   # all-null group stays null
+        ]
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.impute import (
+        linear_interpolate,
+    )
+
+    out = {(r.g, r.t): r.v for r in linear_interpolate(df, "v", "g", "t").collect()}
+    assert out[("a", 1)] == 15.0  # 10 + (30-10) * (1-0)/(4-0)
+    assert out[("a", 9)] == 30.0
+    assert out[("b", 1)] == 5.0
+    assert out[("c", 1)] is None
+    # never modifies observed values
+    assert out[("a", 0)] == 10.0 and out[("a", 4)] == 30.0
+
+
+def test_gap_fill_spine_densifies_and_locf_completes(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.impute import forward_fill
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        gap_fill_spine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(g="a", day=10, v=1.0),
+            Row(g="a", day=13, v=4.0),
+            Row(g="b", day=5, v=9.0),
+        ]
+    )
+    dense = gap_fill_spine(df, "g", "day", ["v"])
+    rows = {(r.g, r.day): r.v for r in dense.collect()}
+    assert set(rows) == {("a", 10), ("a", 11), ("a", 12), ("a", 13), ("b", 5)}
+    assert rows[("a", 11)] is None and rows[("a", 10)] == 1.0
+    filled = {(r.g, r.day): r.v for r in forward_fill(dense, "v", "g", "day").collect()}
+    assert filled[("a", 11)] == 1.0 and filled[("a", 12)] == 1.0

@@ -48,3 +48,23 @@ def test_missing_census_single_row(spark):
     assert row.null_prcp == 2
     assert row.null_visib == 1
     assert row.null_stn == 0
+
+
+def test_mad_outlier_flags_robust_to_corruption(spark):
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        mad_outlier_flags,
+    )
+
+    # station a: tight cluster around 10 plus one near-sentinel typo (9998.9)
+    # that sentinel normalization (== 9999.9) would miss
+    rows = [Row(stn="a", v=float(v)) for v in (9.0, 10.0, 10.0, 10.0, 11.0, 9998.9)]
+    rows += [Row(stn="a", v=None)]           # NULL never flagged
+    rows += [Row(stn="b", v=5.0), Row(stn="b", v=5.0), Row(stn="b", v=5.0)]  # MAD=0
+    out = mad_outlier_flags(spark.createDataFrame(rows), "v", "stn", k=3.0)
+    got = [(r.stn, r.v, r.is_outlier) for r in out.collect()]
+    assert ("a", 9998.9, 1) in got          # corruption caught
+    assert ("a", 10.0, 0) in got            # inliers pass
+    assert ("a", None, None) in got         # three-valued logic preserved
+    assert ("b", 5.0, 0) in got             # constant group: no deviation, no flag
