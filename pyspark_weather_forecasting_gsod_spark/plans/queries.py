@@ -2323,6 +2323,82 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flagship training-data composite: quality-score → language-ID → threshold
+# filter → exact dedup (deterministic representative) → per-language corpus
+# stats. The end-to-end shape of a pretraining corpus-prep pass, all
+# codegen'd single-pass except the dedup's one hash-agg + semi-join.
+# ---------------------------------------------------------------------------
+@query("corpus_prep_pipeline", None)  # oracle attached below (marker dict)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext.dedup import exact_dedup_by_fingerprint
+    from ..ext.text import language_id, quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = language_id(quality_features(docs))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("avg_token_len") <= 12)
+        & (F.col("pred_lang") != "und")
+    )
+    deduped = exact_dedup_by_fingerprint(kept, "doc_id")
+    return deduped.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    from ..ext.text import (
+        CJK_CLASS,
+        DEFAULT_STOPWORDS,
+        LANG_DECISION_SQL,
+        LANG_MARKERS,
+    )
+
+    stop_list = ", ".join(repr(w) for w in DEFAULT_STOPWORDS)
+    score_exprs = [
+        f"len(list_filter({_TOKS}, t -> t IN ({', '.join(repr(w) for w in markers)}))) AS s_{lang}"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    score_exprs.append(
+        f"length(regexp_replace(text, '[^{CJK_CLASS}]', '', 'g')) AS s_zh"
+    )
+    return f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               ROUND(list_sum(list_transform({_TOKS}, t -> length(t)))
+                     / len({_TOKS}), 4) AS avg_token_len,
+               ROUND(len(list_filter({_TOKS}, t -> t IN ({stop_list})))
+                     / len({_TOKS}), 6) AS stopword_ratio,
+               {', '.join(score_exprs)}
+        FROM documents
+    ), lid AS (
+        SELECT *, {LANG_DECISION_SQL} AS pred_lang FROM q
+    ), kept AS (
+        SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM lid
+        WHERE n_tokens >= 5 AND avg_token_len <= 12 AND pred_lang <> 'und'
+    ), dedup AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp)
+    )
+    SELECT pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(stopword_ratio), 6) AS avg_stopword_ratio
+    FROM dedup GROUP BY pred_lang
+    """
+
+
+QUERIES["corpus_prep_pipeline"] = (
+    QUERIES["corpus_prep_pipeline"][0],
+    _corpus_prep_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry_query(spark: SparkSession) -> DataFrame:

@@ -166,3 +166,20 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines source with a mandatory explicit schema.
+
+    Same rationale as ``read_csv``: schema inference on JSON is a full
+    pre-scan AND type-unstable (an all-int sample infers LONG, then a float
+    arrives). Corrupt records are quarantined, not dropped: pass
+    ``columnNameOfCorruptRecord`` plus a matching StringType field in the
+    schema to capture them (PERMISSIVE mode, the default).
+    """
+    return spark.read.options(**options).schema(schema).json(path)

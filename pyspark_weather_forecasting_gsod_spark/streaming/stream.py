@@ -127,3 +127,44 @@ def run_streaming_tumbling(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Continuously upsert per-user running totals into a parquet dataset via
+    ``foreachBatch`` + keyed merge — the streaming→serving-table pattern
+    (CDC-style): each micro-batch's aggregates replace the target's rows for
+    the keys they touch, new keys append.
+
+    ``foreachBatch`` runs the merge transactionally *per micro-batch* (batch
+    replays after failure re-merge idempotently because the merge is keyed,
+    not append-only). Update output mode emits only the groups each batch
+    changed, so merge work scales with the delta, not the state size.
+    """
+    from ..sources.merge import merge_upsert
+
+    stream = read_events_stream(spark, sf_dir)
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_upsert(spark, target_path, batch_df, keys=["user_id"])
+
+    q = (
+        totals.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(target_path)

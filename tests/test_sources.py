@@ -7,6 +7,7 @@ import tempfile
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyspark_weather_forecasting_gsod_spark.sources.io import load_table, read_csv, write_parquet
@@ -74,3 +75,30 @@ def test_model_sink_and_source_roundtrip(spark, scratch):
     orig = [r.prediction for r in model.transform(feat).select("prediction").collect()]
     back = [r.prediction for r in loaded.transform(feat).select("prediction").collect()]
     assert orig == back
+
+
+def test_read_json_with_explicit_schema_and_corrupt_quarantine(spark, scratch):
+    import pyspark.sql.types as T
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import read_json
+
+    path = os.path.join(scratch, "docs.jsonl")
+    with open(path, "w") as f:
+        f.write('{"id": 1, "score": 2.5}\n')
+        f.write('{"id": 2, "score": "not-a-number"}\n')  # type mismatch
+        f.write("this is not json at all\n")             # corrupt line
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    out = read_json(
+        spark, path, schema, columnNameOfCorruptRecord="_corrupt"
+    ).cache()
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score == 2.5 and rows[1]._corrupt is None
+    assert rows[2].score is None and rows[2]._corrupt is not None  # quarantined
+    assert out.filter(F.col("id").isNull() & F.col("_corrupt").isNotNull()).count() == 1
+    out.unpersist()

@@ -3,6 +3,7 @@
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pyspark_weather_forecasting_gsod_spark.streaming.event_windows import (
     session_agg,
@@ -103,3 +104,27 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
 
     total = load_table(spark, sf_dir, "events").count()
     assert len(rows) < total  # real deduplication happened
+
+
+def test_streaming_foreachbatch_upsert_matches_batch_totals(spark, sf_dir, tmp_path):
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+    from pyspark_weather_forecasting_gsod_spark.streaming.stream import (
+        run_streaming_upsert,
+    )
+
+    target = str(tmp_path / "user_totals")
+    served = run_streaming_upsert(spark, sf_dir, target)
+    got = {r.user_id: (r.n_events, r.total_value) for r in served.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+    # second run over the same source is a pure overwrite-merge: idempotent
+    served2 = run_streaming_upsert(spark, sf_dir, target)
+    assert {r.user_id: (r.n_events, r.total_value) for r in served2.collect()} == want
