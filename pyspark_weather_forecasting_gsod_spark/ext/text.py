@@ -122,6 +122,35 @@ def normalize_text(text_col: str) -> Column:
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+ROLLING_HASH_BASE = 131
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "rhash",
+    base: int = ROLLING_HASH_BASE,
+    mod: int = ROLLING_HASH_MOD,
+) -> DataFrame:
+    """Polynomial (Rabin-Karp-style) rolling hash of the normalized text:
+    ``h = ((h * base) + codepoint) % mod`` folded over the character stream.
+
+    Unlike md5 this hash is *incrementally updatable* — appending a character
+    is O(1) — which is what makes it the right primitive for streaming
+    fingerprint maintenance and chunk-level content-defined slicing. Pure
+    JVM higher-order function (one fold per row, no shuffle, no Python), so
+    it scales linearly with input splits. ``mod < 2^31`` keeps every
+    intermediate ``a*base + c`` far below 2^63: identical exact arithmetic
+    in Spark longs and DuckDB BIGINTs (overflow semantics never engage).
+    """
+    norm_sql = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    h = F.expr(
+        f"aggregate(split({norm_sql}, ''), 0L, (a, c) -> (a * {base} + ascii(c)) % {mod})"
+    )
+    return df.withColumn(out_col, h)
+
+
 def fingerprint_md5(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

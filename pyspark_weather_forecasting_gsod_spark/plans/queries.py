@@ -579,6 +579,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 131 + c) % 1000000007
+           ) AS rhash
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish pretokenizer regex) and the
+    Rabin-Karp rolling-hash fingerprint, all in one map-only projection.
+    The hash arithmetic is bit-identical across engines (mod < 2^31 keeps
+    intermediates exact in both longs and BIGINTs), so this is a full
+    value-level oracle on the hash math, not just row counts."""
+    from ..ext.text import bpe_ish_token_count, rolling_hash_fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = rolling_hash_fingerprint(bpe_ish_token_count(token_count(docs)))
+    return out.select("doc_id", "n_tokens", "n_bpe_tokens", "rhash")
+
+
+@query(
     "dedup_exact_stats",
     """
     SELECT lang, source,

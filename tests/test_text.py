@@ -60,3 +60,34 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = [r.fingerprint for r in fingerprint_md5(df).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 32
+
+
+def test_rolling_hash_fingerprint_math_and_edges(spark):
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        rolling_hash_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world"),
+            Row(doc_id=2, text="  Hello   WORLD  "),  # normalizes to the same
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="hello worle"),  # 1-char difference
+        ]
+    )
+    got = {r.doc_id: r.rhash for r in rolling_hash_fingerprint(df).collect()}
+
+    def ref(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+        return h
+
+    assert got[1] == ref("hello world")
+    assert got[2] == got[1]  # case/whitespace normalization folded in
+    assert got[3] == 0  # empty text hashes to the fold seed
+    assert got[4] != got[1]  # single-char change moves the hash
