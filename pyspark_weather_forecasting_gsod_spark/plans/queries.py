@@ -2429,6 +2429,81 @@ QUERIES["corpus_prep_pipeline"] = (
 
 
 # ---------------------------------------------------------------------------
+# Training-data layout: sequence packing and Z-order clustering
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+               AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (ext/packing.py): every doc
+    gets a (shard, start_offset, seq_id) placement via an exclusive prefix
+    sum — one shuffle regardless of corpus size, deterministic output."""
+    from ..ext.packing import pack_sequences
+    from ..ext.text import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    packed = pack_sequences(docs, budget=512, shards=8)
+    return packed.select(
+        "doc_id", "n_tokens", "shard", F.col("offset").alias("start_offset"), "seq_id"
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql(["pk", "sk"], bits=16)
+    return f"""
+    WITH q AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 65536 AS BIGINT) AS pk,
+               CAST(l_suppkey % 65536 AS BIGINT) AS sk
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, pk, sk, CAST({expr} AS BIGINT) AS zkey
+    FROM q
+    """
+
+
+@query("zorder_keys", None)  # oracle attached below (built from shared bit math)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key computation (operators/layout.py) value-checked bit-for-bit
+    against the identical interleave in DuckDB — the clustering key behind
+    the ``write_zordered`` pruning sink."""
+    from ..operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 65536).cast("long").alias("pk"),
+        (F.col("l_suppkey") % 65536).cast("long").alias("sk"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "pk", "sk", zorder_key(["pk", "sk"], bits=16)
+    )
+
+
+QUERIES["zorder_keys"] = (QUERIES["zorder_keys"][0], _zorder_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry_query(spark: SparkSession) -> DataFrame:
