@@ -2466,6 +2466,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           'I' AS change_op
+    FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, 'U'
+    FROM base
+    WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0 AND o_totalprice <> 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, NULL, 'D' FROM base WHERE o_orderkey % 97 = 0
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.py): old = orders, new = orders with
+    ~1% deleted (key % 97 == 0), ~1% price-doubled (key % 89 == 0), ~1%
+    inserted under negated keys (key % 101 == 0). The generic full-outer
+    hash-diff must reproduce exactly the changeset the oracle constructs
+    from the scenario definition — two independent derivations of the same
+    delta."""
+    from ..operators.cdc import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            # key 0 excluded: its negation would collide with the deleted key 0
+            base.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(base, new, ["o_orderkey"])
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import zorder_key_sql
 

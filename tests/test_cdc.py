@@ -1,0 +1,83 @@
+"""CDC snapshot diff / apply (operators/cdc.py)."""
+
+from pyspark.sql import Row
+
+from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+    apply_changeset,
+    snapshot_diff,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v="a", x=1.0),
+            Row(k=2, v="b", x=2.0),
+            Row(k=3, v="c", x=3.0),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v="a", x=1.0),   # unchanged
+            Row(k=2, v="B", x=2.0),   # updated
+            Row(k=4, v="d", x=4.0),   # inserted
+        ]
+    )
+    got = {r.k: r.change_op for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "U", 3: "D", 4: "I"}
+
+
+def test_snapshot_diff_null_vs_empty_vs_literal_null_string(spark):
+    # the length-prefixed hash must distinguish NULL, '', and 'null'
+    old = spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=2, v=""), Row(k=3, v="null")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v=""), Row(k=2, v="null"), Row(k=3, v="null")],
+        "k long, v string",
+    )
+    got = {r.k: r.change_op for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "U", 2: "U"}  # k=3 unchanged
+
+    # adjacent-column bleed: ('ab','') vs ('a','b') must differ
+    old2 = spark.createDataFrame([Row(k=1, a="ab", b="")], "k long, a string, b string")
+    new2 = spark.createDataFrame([Row(k=1, a="a", b="b")], "k long, a string, b string")
+    assert {r.change_op for r in snapshot_diff(old2, new2, ["k"]).collect()} == {"U"}
+
+
+def test_apply_changeset_roundtrip_reconstructs_new(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") > 0))
+            .select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(base, new, ["o_orderkey"]).cache()
+    assert diff.count() > 0
+    rebuilt = apply_changeset(base, diff, ["o_orderkey"])
+    assert _rows(rebuilt) == _rows(new)
+    # empty diff is a no-op
+    assert _rows(apply_changeset(new, snapshot_diff(new, new, ["o_orderkey"]), ["o_orderkey"])) == _rows(new)
+    diff.unpersist()
