@@ -82,6 +82,31 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "per-query top-k: rank-window with WindowGroupLimit pushdown — each partition keeps k rows before the shuffle, never a global sort",
     ),
+    "token_stats": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "Window", "Join"],
+        "token counting + rolling hash are ONE codegen'd map-only projection — zero shuffles at any scale",
+    ),
+    "zorder_keys": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "Join"],
+        "Morton-key interleave is pure bit arithmetic inside whole-stage codegen — map-only, no shuffle",
+    ),
+    "sequence_packing": (
+        ["Window", "Exchange"],
+        ["Join", "SortMergeJoin"],
+        "concatenate-and-chunk packing is one hash exchange on the shard key + per-partition sort — a single shuffle regardless of corpus size",
+    ),
+    "snapshot_diff_orders": (
+        ["SortMergeJoin FullOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "snapshot diff is exactly one full-outer shuffle join carrying (key, row-hash), never a nested-loop compare",
+    ),
+    "corpus_prep_pipeline": (
+        ["LeftSemi", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin FullOuter"],
+        "corpus prep fuses score→lang-ID→filter into the scan projection; dedup is one hash agg + semi join (broadcast at small rep-sets, AQE picks SMJ when the rep-set outgrows the driver)",
+    ),
 }
 
 
