@@ -2466,6 +2466,23 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hll_distinct_users", None)  # rows-only: sketch estimates are
+# implementation-defined (Datasketches HLL vs DuckDB's HLL disagree past
+# sparse mode); the error bound and merge-consistency are pytest-proven.
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (operators/sketches.py): per-type
+    HLL sketches of user_id, plus an '__all__' row whose estimate comes from
+    *merging the per-type sketches* — the rollup never rescans events."""
+    from ..operators.sketches import hll_distinct, hll_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = hll_distinct(ev, ["event_type"], "user_id")
+    total = hll_rollup(per_type, []).select(
+        F.lit("__all__").alias("event_type"), "n_distinct_est"
+    )
+    return per_type.select("event_type", "n_distinct_est").unionByName(total)
+
+
 @query(
     "snapshot_diff_orders",
     """
