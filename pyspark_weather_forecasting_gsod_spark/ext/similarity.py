@@ -62,12 +62,20 @@ def cosine_topk(
     )
 
 
+#: ``cosine_allpairs`` refuses corpora larger than this (driver-collect +
+#: broadcast matrix ≈ 8 B × rows × dim; 200k × 128-d ≈ 200 MB — the upper
+#: end of what a driver/executor broadcast should carry). The unbounded
+#: path is ``embedding_neardup_pairs`` (LSH bucket join, never all-pairs).
+ALLPAIRS_MAX_ROWS = 200_000
+
+
 def cosine_allpairs(
     corpus: DataFrame,
     min_cosine: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_rows: int = ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via Arrow-batched numpy matmul.
 
@@ -78,12 +86,26 @@ def cosine_allpairs(
     exact all-pairs computation; LSH is the unbounded path) and each
     partition computes a (batch × corpus) matmul in one BLAS call.
 
+    Guarded: a corpus over ``max_rows`` raises ``ValueError`` instead of
+    OOMing the driver — at that size use ``embedding_neardup_pairs``
+    (LSH bucket join) and verify only its candidates exactly.
+
     Returns (id_a, id_b, cosine) with id_a < id_b, matching the
     ``dot/(|a||b|)`` formula bit-for-bit within round_digits.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    # limit(n+1).count() stops the scan after max_rows+1 rows — O(max_rows)
+    # even on a 100 TB corpus, unlike a full count().
+    n_probe = corpus.select(id_col).limit(max_rows + 1).count()
+    if n_probe > max_rows:
+        raise ValueError(
+            f"cosine_allpairs: corpus exceeds max_rows={max_rows} "
+            f"(driver-collect + broadcast matrix would not fit); use "
+            f"embedding_neardup_pairs (LSH, unbounded) for corpora this size"
+        )
 
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

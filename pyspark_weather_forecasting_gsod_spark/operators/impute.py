@@ -38,14 +38,23 @@ def impute_with_group_median(
     column: str,
     group_by: str | Sequence[str],
     out_col: str | None = None,
+    broadcast_groups: bool | None = None,
 ) -> DataFrame:
     """Fill NULLs in ``column`` with the per-group exact median, falling back
     to the global median for groups that are entirely NULL.
 
     Scale shape: one hash-agg per grouping (shuffle on the group key, small
-    output), then a **broadcast** left join back to the fact table — the agg
+    output), then a broadcast left join back to the fact table — the agg
     side is |groups| rows, tiny relative to the fact side, so no fact-side
     shuffle happens. Replaces reference ipynb:797-826 (collect + dict + UDF).
+
+    ``broadcast_groups``: ``True`` forces the ``F.broadcast`` hint (only do
+    this when |groups| is known-bounded — the hint OVERRIDES Spark's
+    ``autoBroadcastJoinThreshold`` size check, so an unbounded group key
+    would OOM the driver); ``None`` (default) leaves the choice to
+    Catalyst/AQE, which broadcasts iff the agg output is actually small at
+    runtime; ``False`` never broadcasts. The 1-row global-median join is
+    always hinted (size known by construction).
     """
     group_cols = [group_by] if isinstance(group_by, str) else list(group_by)
     out_col = out_col or column
@@ -54,7 +63,11 @@ def impute_with_group_median(
     group_med = df.groupBy(*group_cols).agg(F.median(column).alias(med_col))
     global_med = df.agg(F.median(column).alias(gmed_col))
 
-    joined = df.join(F.broadcast(group_med), on=group_cols, how="left").join(
+    if broadcast_groups:
+        group_med = F.broadcast(group_med)
+    elif broadcast_groups is False:
+        group_med = group_med.hint("merge")  # sort-merge: safe at any |groups|
+    joined = df.join(group_med, on=group_cols, how="left").join(
         F.broadcast(global_med)
     )
     filled = F.coalesce(F.col(column), F.col(med_col), F.col(gmed_col)).alias(out_col)

@@ -61,3 +61,20 @@ def test_ivf_topk_probes_clusters(spark):
     out = ivf_topk(emb, emb.filter("vec_id = 0"), k=2, n_centroids=2, nprobe=2)
     got = [r.nid for r in out.orderBy("rk").collect()]
     assert got[0] == 1
+
+
+def test_cosine_allpairs_small_corpus_ok(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import cosine_allpairs
+
+    out = cosine_allpairs(_emb(spark), min_cosine=0.95)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs and (0, 2) not in pairs
+
+
+def test_cosine_allpairs_guard_refuses_oversized_corpus(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import cosine_allpairs
+
+    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        cosine_allpairs(_emb(spark), min_cosine=0.9, max_rows=3)
