@@ -57,17 +57,21 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    # The driver records stdout head-truncated (r01 lost 20 of 90 timings);
+    # also persist the full timing map so per-query regressions stay
+    # diffable round over round.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

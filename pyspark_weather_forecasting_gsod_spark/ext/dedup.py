@@ -413,6 +413,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausting max_iter means labels have NOT converged — returning
+        # them silently would hand back wrong clusters for any graph with
+        # diameter > max_iter
+        adj.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); raise max_iter"
+        )
     adj.unpersist()
     return labels
 

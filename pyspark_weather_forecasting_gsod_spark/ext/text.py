@@ -143,6 +143,14 @@ def rolling_hash_fingerprint(
     it scales linearly with input splits. ``mod < 2^31`` keeps every
     intermediate ``a*base + c`` far below 2^63: identical exact arithmetic
     in Spark longs and DuckDB BIGINTs (overflow semantics never engage).
+
+    Cross-engine bit-exactness assumes BMP-only text: Spark's
+    ``split(str, '')`` yields UTF-16 code units, so an astral codepoint
+    (emoji, rare CJK) becomes TWO surrogates fed to ``ascii()``, while
+    DuckDB's ``string_split(s, '')`` yields whole codepoints — the two
+    engines would hash different sequences. Fingerprints stay deterministic
+    *within* each engine either way; only the cross-engine parity claim is
+    BMP-scoped.
     """
     norm_sql = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     h = F.expr(

@@ -38,16 +38,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Keyed diff of two snapshots → rows of ``new`` (or ``old`` for
     deletes) plus a ``change_op`` column in {'I','U','D'}; unchanged rows
     are dropped. One full-outer hash join on ``keys``."""
+    # Side-presence is tracked with explicit marker columns, NOT key
+    # nullness: the join is eqNullSafe (NULL keys deliberately match), so a
+    # legitimately-NULL key present in both snapshots must classify as
+    # 'U'/unchanged, not 'I'.
     o = old.withColumn("__h", _row_hash(old, keys)).select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         F.col("__h").alias("__oh"),
+        F.lit(True).alias("__old_present"),
     )
-    n = new.withColumn("__h", _row_hash(new, keys))
+    n = new.withColumn("__h", _row_hash(new, keys)).withColumn(
+        "__new_present", F.lit(True)
+    )
     cond = [n[k].eqNullSafe(o[f"__ok_{k}"]) for k in keys]
     j = n.join(o, cond, "full_outer")
     op = (
-        F.when(F.col(f"__ok_{keys[0]}").isNull(), F.lit("I"))
-        .when(n[keys[0]].isNull(), F.lit("D"))
+        F.when(F.col("__old_present").isNull(), F.lit("I"))
+        .when(F.col("__new_present").isNull(), F.lit("D"))
         .when(F.col("__h") != F.col("__oh"), F.lit("U"))
         .otherwise(F.lit(None))
     )
@@ -63,7 +70,10 @@ def apply_changeset(old: DataFrame, changes: DataFrame, keys: list[str]) -> Data
     """Replay a ``snapshot_diff`` changeset onto ``old``: deletes remove the
     key, inserts/updates replace it. Anti-join + union — same shuffle key as
     the diff, so AQE reuses the exchange when both run in one plan."""
-    touched = changes.select(*keys)
-    kept = old.join(touched, on=keys, how="left_anti")
+    touched = changes.select(*[F.col(k).alias(f"__ck_{k}") for k in keys])
+    # null-safe anti-join: a changed row with a legitimately-NULL key must
+    # still remove/replace the matching old row (old ⊕ diff == new property)
+    cond = [old[k].eqNullSafe(touched[f"__ck_{k}"]) for k in keys]
+    kept = old.join(touched, cond, "left_anti")
     upserts = changes.filter(F.col("change_op") != "D").drop("change_op")
     return kept.unionByName(upserts)

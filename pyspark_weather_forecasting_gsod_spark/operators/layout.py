@@ -23,14 +23,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_key_width(d: int, bits: int) -> None:
+    # bit i of column k lands at position i*d + k; position 63 is the long
+    # sign bit — reaching it would make high-coordinate keys NEGATIVE, so
+    # range-partition/sort order the hottest rows first and the curve (and
+    # every min/max prune built on it) silently corrupts.
+    if d * bits > 63:
+        raise ValueError(
+            f"zorder_key: {d} columns x {bits} bits = {d * bits} key bits; "
+            f"the key is a signed 64-bit long, so at most 63 are usable — "
+            f"lower `bits` (e.g. bits={63 // d}) or drop a column"
+        )
+
+
 def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of each column.
 
     Inputs must be non-negative integers below ``2**bits`` (quantize /
     ``pmod`` beforehand). For ``d`` columns the key is ``d*bits`` wide; bit
-    ``i`` of column ``k`` lands at key position ``i*d + k``.
+    ``i`` of column ``k`` lands at key position ``i*d + k``. ``d*bits`` must
+    be ≤ 63 (signed-long key; raises ``ValueError`` otherwise — e.g. the
+    default ``bits=16`` supports at most 3 columns).
     """
     d = len(cols)
+    _check_key_width(d, bits)
     terms: list[Column] = []
     for k, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
@@ -45,6 +61,7 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
     arithmetic is exact and engine-independent) — used by the DuckDB oracle
     so the bit math itself is value-checked cross-engine."""
     d = len(cols)
+    _check_key_width(d, bits)
     terms = [
         f"((({c} >> {i}) & 1) << {i * d + k})"
         for k, c in enumerate(cols)

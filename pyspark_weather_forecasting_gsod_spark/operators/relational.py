@@ -49,11 +49,14 @@ def keep_latest(
     One hash shuffle on ``keys`` + per-partition sort; no global sort, no
     self-join — the shape that survives 100 TB (and AQE splits skewed keys).
     """
+    rn = "__kl_rn"  # sentinel-named: withColumn would silently overwrite
+    if rn in df.columns:  # a caller column of the same name
+        raise ValueError(f"keep_latest: input already has a {rn!r} column")
     spec = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
     return (
-        df.withColumn("_rn", F.row_number().over(spec))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(spec))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 

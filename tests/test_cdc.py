@@ -81,3 +81,26 @@ def test_apply_changeset_roundtrip_reconstructs_new(spark, sf_dir):
     # empty diff is a no-op
     assert _rows(apply_changeset(new, snapshot_diff(new, new, ["o_orderkey"]), ["o_orderkey"])) == _rows(new)
     diff.unpersist()
+
+
+def test_null_key_present_in_both_snapshots_is_update_not_insert(spark):
+    """eqNullSafe join keys: a row whose key is legitimately NULL and exists
+    in both snapshots must classify via presence markers ('U' / unchanged),
+    and apply_changeset must replace (not duplicate) the NULL-key row."""
+    old = spark.createDataFrame([Row(k=None, v="a"), Row(k=1, v="x")])
+    new = spark.createDataFrame([Row(k=None, v="CHANGED"), Row(k=1, v="x")])
+    diff = snapshot_diff(old, new, ["k"])
+    got = [(r.k, r.change_op) for r in diff.collect()]
+    assert got == [(None, "U")]
+
+    replayed = apply_changeset(old, diff, ["k"])
+    canon = lambda df: sorted(  # noqa: E731 — None-safe sort
+        (tuple(r) for r in df.collect()), key=str
+    )
+    assert canon(replayed) == canon(new)
+
+
+def test_null_key_unchanged_in_both_snapshots_emits_nothing(spark):
+    old = spark.createDataFrame([Row(k=None, v="same")], "k bigint, v string")
+    new = spark.createDataFrame([Row(k=None, v="same")], "k bigint, v string")
+    assert snapshot_diff(old, new, ["k"]).count() == 0

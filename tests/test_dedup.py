@@ -76,3 +76,17 @@ def test_connected_components_min_label(spark):
     )
     got = {(r.node, r.comp) for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import connected_components
+
+    # path graph 0-1-2-...-7: min-label needs ~7 rounds; max_iter=2 must
+    # raise instead of silently returning wrong labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="convergence"):
+        connected_components(edges, src="src", dst="dst", max_iter=2)

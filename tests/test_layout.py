@@ -99,3 +99,18 @@ def test_write_zordered_tightens_per_file_bounding_boxes(spark, tmp_path):
     # random layout: every file spans ~the whole grid; z-order: a fraction.
     assert avg_box_area(plain) > 0.9 * full
     assert avg_box_area(zed) < 0.4 * full
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.layout import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits → sign bit
+    with pytest.raises(ValueError, match="63"):
+        zorder_key_sql(["a", "b", "c", "d"], bits=16)
+    zorder_key(["a", "b", "c"], bits=21)  # 63 bits: allowed

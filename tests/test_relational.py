@@ -113,3 +113,13 @@ def test_stratified_sample_seeded_and_sized(spark):
     na = sum(1 for r in s1 if r.g == "a")
     nb = sum(1 for r in s1 if r.g == "b")
     assert 50 <= na <= 160 and 30 <= nb <= 70
+
+
+def test_keep_latest_rejects_sentinel_column_collision(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.relational import keep_latest
+
+    df = spark.createDataFrame([Row(k=1, ts=1, __kl_rn=9)])
+    with pytest.raises(ValueError, match="__kl_rn"):
+        keep_latest(df, keys=["k"], order_by=["ts"])
