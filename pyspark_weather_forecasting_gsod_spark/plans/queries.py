@@ -2553,6 +2553,72 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, new, ["o_orderkey"])
 
 
+@query(
+    "incremental_agg_orders",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN price * 2 ELSE price END AS price
+        FROM base WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_orderstatus, price
+        FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_price
+    FROM new GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/cdc.py
+    ``incremental_agg_update``): the Spark side maintains the per-status
+    SUM/COUNT aggregate by applying the retraction-based delta of the same
+    CDC scenario as ``snapshot_diff_orders`` to the OLD snapshot's
+    aggregate; the oracle recomputes the aggregate from the NEW snapshot
+    from scratch. DECIMAL(18,2) measures keep base+delta bit-identical to
+    the rescan (float sums are order-dependent). The maintenance shuffle is
+    |diff|-sized — the 100 TB point of the operator."""
+    from ..operators.cdc import incremental_agg_update, snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "price",
+            F.when(F.col("o_orderkey") % 89 == 0, F.col("price") * 2).otherwise(
+                F.col("price")
+            ),
+        )
+        .unionByName(
+            base.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "o_orderstatus", "price"
+            )
+        )
+    )
+    base_agg = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").alias("sum_price"),
+    )
+    diff = snapshot_diff(base, new, ["o_orderkey"], include_old=True)
+    maintained = incremental_agg_update(
+        base_agg, diff, group_by=["o_orderstatus"],
+        sum_cols={"sum_price": "price"}, count_col="n_orders",
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("sum_price").cast("double"), 4).alias("sum_price"),
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import zorder_key_sql
 
@@ -2667,7 +2733,7 @@ _EXPORT_PRIORITY: list[str] = [
     "lead_labels_events",  # W1/C10 window family
     "top10_orders",  # O1 top-k
     "asof_last_purchase",  # as-of join (temporal family)
-    "revenue_by_nation",  # multi-join rollup
+    "incremental_agg_orders",  # NEW in r2: incremental agg maintenance
 ]
 
 

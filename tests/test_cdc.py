@@ -104,3 +104,58 @@ def test_null_key_unchanged_in_both_snapshots_emits_nothing(spark):
     old = spark.createDataFrame([Row(k=None, v="same")], "k bigint, v string")
     new = spark.createDataFrame([Row(k=None, v="same")], "k bigint, v string")
     assert snapshot_diff(old, new, ["k"]).count() == 0
+
+
+def test_snapshot_diff_include_old_carries_prechange_values(spark):
+    old = spark.createDataFrame([Row(k=1, g="a", v=10.0), Row(k=2, g="a", v=20.0)])
+    new = spark.createDataFrame([Row(k=1, g="b", v=15.0), Row(k=3, g="c", v=30.0)])
+    diff = snapshot_diff(old, new, ["k"], include_old=True)
+    got = {
+        r["k"]: (r["change_op"], r["g"], r["v"], r["__old_g"], r["__old_v"])
+        for r in diff.collect()
+    }
+    assert got[1] == ("U", "b", 15.0, "a", 10.0)   # update: both versions
+    assert got[2] == ("D", None, None, "a", 20.0)  # delete: old only
+    assert got[3] == ("I", "c", 30.0, None, None)  # insert: new only
+
+
+def test_incremental_agg_update_matches_full_recompute(spark):
+    """Insert into a fresh group, update that moves a row between groups,
+    value-only update, and a delete that empties its group — the maintained
+    aggregate must equal a recompute from the new snapshot."""
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        incremental_agg_update,
+    )
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, g="a", v=10.0),
+            Row(k=2, g="a", v=20.0),
+            Row(k=3, g="b", v=30.0),  # will move to group a with new value
+            Row(k=4, g="c", v=40.0),  # will be deleted → group c vanishes
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, g="a", v=10.0),   # unchanged
+            Row(k=2, g="a", v=25.0),   # value update
+            Row(k=3, g="a", v=35.0),   # group migration b→a
+            Row(k=5, g="d", v=50.0),   # insert into fresh group
+        ]
+    )
+
+    def recompute(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        )
+
+    base = recompute(old)
+    diff = snapshot_diff(old, new, ["k"], include_old=True)
+    maintained = incremental_agg_update(
+        base, diff, group_by=["g"], sum_cols={"sum_v": "v"}, count_col="n_rows"
+    )
+    want = sorted(tuple(r) for r in recompute(new).collect())
+    got = sorted(tuple(r) for r in maintained.collect())
+    assert got == want
