@@ -166,3 +166,45 @@ def fingerprint_md5(
     Engine-portable (identical hex in Spark and DuckDB), so it doubles as the
     exact-dedup key at scale."""
     return df.withColumn(out_col, F.md5(normalize_text(text_col).cast("binary")))
+
+
+# PII redaction patterns — deliberately restricted to the regex subset both
+# engines execute identically (Java regex in Spark, RE2 in DuckDB: character
+# classes, bounded quantifiers, non-capturing groups, \b; NO lookarounds).
+# Order matters: the SSN-shaped pattern must run before the looser phone one.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, SSN-shaped ids, phone
+    numbers) from ``text_col`` — the standard pre-training corpus hygiene
+    pass. Pure chained ``regexp_replace`` expressions: JVM-side,
+    codegen'd, shuffle-free, linear in input bytes — the replacement list
+    is fixed at plan time so a 100 TB scrub is exactly one map stage.
+
+    Heuristic by design (pattern-shaped, not validated); the patterns stay
+    within the Java-regex ∩ RE2 subset so a DuckDB oracle applies the
+    byte-identical rewrite.
+    """
+    out = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row match counts for each PII pattern (``n_<name>`` columns) —
+    the audit companion to ``pii_scrub`` (what WOULD be redacted)."""
+    counted = df
+    for name, pat, _repl in PII_PATTERNS:
+        counted = counted.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    return counted

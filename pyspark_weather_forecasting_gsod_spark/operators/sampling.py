@@ -52,3 +52,46 @@ def stratified_sample(
     """Seeded per-stratum Bernoulli sample (``sampleBy``): map-only, no
     shuffle; strata absent from ``fractions`` are dropped (fraction 0)."""
     return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_by: str | list[str],
+    n: int,
+    id_col: str,
+    keep: str = "hash",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the corpus-curation cap ("at most
+    N documents per domain/language") that bounds any one group's share of
+    a training set.
+
+    ``keep='hash'`` orders rows inside each group by an md5 of their id, so
+    the kept subset is a deterministic, engine-portable pseudo-random
+    sample that is STABLE under reruns and unaffected by input partition
+    layout (unlike ``rand()``-ordered limits). Any other value of ``keep``
+    is used as a column name and the TOP-n by that column (desc, id
+    tie-break) survive — the "keep the highest-quality n" variant.
+
+    One hash shuffle on the group key; ``row_number`` is a
+    WindowGroupLimit-eligible rank, so executors discard beyond-n rows
+    during the partial sort instead of materializing whole groups (the
+    shape that survives a group with a billion rows — no group fits in
+    memory requirement beyond the top-n heap).
+    """
+    from pyspark.sql.window import Window
+
+    groups = [group_by] if isinstance(group_by, str) else list(group_by)
+    rn = "__cap_rn"
+    if rn in df.columns:
+        raise ValueError(f"cap_per_group: input already has a {rn!r} column")
+    if keep == "hash":
+        order = [F.md5(F.col(id_col).cast("string").cast("binary")).asc(),
+                 F.col(id_col).asc()]
+    else:
+        order = [F.col(keep).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n)
+        .drop(rn)
+    )

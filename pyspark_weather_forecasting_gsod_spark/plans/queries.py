@@ -2657,6 +2657,98 @@ QUERIES["zorder_keys"] = (QUERIES["zorder_keys"][0], _zorder_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: per-group cap + PII scrub (ext extensions, LLM pipeline)
+# ---------------------------------------------------------------------------
+@query(
+    "cap_per_group_orders",
+    """
+    WITH r AS (
+        SELECT o_orderkey, o_orderpriority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority FROM r WHERE rn <= 100
+    """,
+)
+def cap_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group cap (operators/sampling.py::cap_per_group):
+    at most 100 orders per priority class, kept by md5-of-id order — the
+    corpus-curation "at most N docs per domain" operator. Hash order makes
+    the kept subset engine-portable (DuckDB derives the identical subset)
+    and stable under reruns/partitioning; row_number is WindowGroupLimit-
+    eligible so executors discard beyond-cap rows during the partial sort."""
+    from ..operators.sampling import cap_per_group
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return cap_per_group(orders, "o_orderpriority", 100, id_col="o_orderkey")
+
+
+def _pii_seeded_text_sql() -> str:
+    # identical synthetic-PII construction in both engines: the raw corpus
+    # has no PII, so append a doc_id-derived contact line before scrubbing
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+        " or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-123-4567"
+        " ssn 123-45-6789'"
+    )
+
+
+@query(
+    "pii_scrub_docs",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id, {_pii_seeded_text_sql()} AS text FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<ID>', 'g'),
+               '\\b\\d{{3}}[-. ]\\d{{3,4}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g')
+           ) AS clean_digest,
+           CAST(length(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(length(regexp_extract_all(text,
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ip,
+           CAST(length(regexp_extract_all(text,
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn
+    FROM seeded
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ext/text.py::pii_scrub) value-checked cross-engine:
+    both engines append an identical doc_id-derived contact line (the
+    synthetic corpus has no organic PII), scrub it through the same
+    Java-regex∩RE2 patterns, and compare md5 of the cleaned text plus
+    per-pattern match counts. One codegen'd map stage — no shuffle."""
+    from ..ext.text import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-123-4567 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    scrubbed = pii_scrub(pii_counts(docs), "text", out_col="clean_text")
+    return scrubbed.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_digest"),
+        "n_email",
+        "n_ip",
+        "n_ssn",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry_query(spark: SparkSession) -> DataFrame:
@@ -2726,10 +2818,10 @@ _EXPORT_PRIORITY: list[str] = [
     # -- 10 family representatives from the r01-green set
     "multimodal_decode",  # r01 crash fix must re-verify (spark_rows==500)
     "embedding_neardup_exact",  # collect-guard fix must stay hash-green
-    "q1_pricing_summary",  # A1/A7/A8 flagship agg
+    "cap_per_group_orders",  # NEW in r2: per-group corpus cap
     "sentinel_census",  # P1/P5/C1/C9 quality family
     "impute_group_median_events",  # J2/C2 broadcast-join imputer
-    "impute_seasonal_events",  # J1/C4 expression-key join imputer
+    "pii_scrub_docs",  # NEW in r2: PII redaction
     "lead_labels_events",  # W1/C10 window family
     "top10_orders",  # O1 top-k
     "asof_last_purchase",  # as-of join (temporal family)

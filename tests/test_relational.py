@@ -123,3 +123,26 @@ def test_keep_latest_rejects_sentinel_column_collision(spark):
     df = spark.createDataFrame([Row(k=1, ts=1, __kl_rn=9)])
     with pytest.raises(ValueError, match="__kl_rn"):
         keep_latest(df, keys=["k"], order_by=["ts"])
+
+
+def test_cap_per_group_hash_and_quality_modes(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [Row(id=i, g="a" if i % 2 == 0 else "b", score=float(i)) for i in range(40)]
+    )
+    capped = cap_per_group(df, "g", 5, id_col="id")
+    per_g = {r.g for r in capped.collect()}
+    assert capped.count() == 10 and per_g == {"a", "b"}
+    # deterministic: identical subset on rerun
+    again = cap_per_group(df, "g", 5, id_col="id")
+    assert sorted(r.id for r in capped.collect()) == sorted(r.id for r in again.collect())
+    # quality mode keeps the top-n by score
+    best = cap_per_group(df, "g", 3, id_col="id", keep="score")
+    assert sorted(r.id for r in best.filter("g = 'a'").collect()) == [34, 36, 38]
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="__cap_rn"):
+        cap_per_group(df.withColumn("__cap_rn", F.lit(1)), "g", 5, id_col="id")

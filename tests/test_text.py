@@ -91,3 +91,28 @@ def test_rolling_hash_fingerprint_math_and_edges(spark):
     assert got[2] == got[1]  # case/whitespace normalization folded in
     assert got[3] == 0  # empty text hashes to the fold seed
     assert got[4] != got[1]  # single-char change moves the hash
+
+
+def test_pii_scrub_redacts_all_pattern_families(spark):
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@ex-ample.org now"),
+            Row(doc_id=2, text="host 192.168.0.1 and ssn 123-45-6789"),
+            Row(doc_id=3, text="call 555-123-4567 twice 555-123-4567"),
+            Row(doc_id=4, text="clean text stays untouched"),
+        ]
+    )
+    out = {r.doc_id: r.clean_text for r in pii_scrub(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "host <IP> and ssn <ID>"
+    assert out[3] == "call <PHONE> twice <PHONE>"
+    assert out[4] == "clean text stays untouched"
+
+    counts = {r.doc_id: (r.n_email, r.n_ip, r.n_ssn, r.n_phone) for r in pii_counts(df).collect()}
+    assert counts[1] == (1, 0, 0, 0)
+    assert counts[2] == (0, 1, 1, 0)
+    assert counts[3] == (0, 0, 0, 2)
