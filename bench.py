@@ -55,6 +55,14 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Operators that persist intermediates (shingle arrays, featurized
+        # frames) release them only while their own call is live; each bench
+        # invocation is a fresh lineage, so leftovers accumulate across the
+        # 90-query sweep and the eviction/GC churn taxed late queries 3-4x
+        # (measured: minhash_neardup 4s isolated vs 14s late-in-sweep).
+        # Clearing between queries restores the per-job memory a real
+        # pipeline stage would have.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {

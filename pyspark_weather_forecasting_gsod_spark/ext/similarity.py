@@ -266,3 +266,94 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+def cosine_allpairs_blocked(
+    corpus: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver collect — the
+    distributed complement to ``cosine_allpairs`` (which broadcasts the
+    whole corpus matrix and is row-capped for that reason).
+
+    Block decomposition: rows hash into ``n_blocks`` blocks; the
+    B·(B+1)/2 unordered block pairs each become one cogroup task that
+    runs a single BLAS matmul over its two blocks. Every unordered row
+    pair lands in exactly one block pair, so results are exact and
+    duplicate-free. Each row is shuffled to B+1 block pairs, i.e. total
+    shuffle volume is O(N·B) while per-task memory is O((N/B)·dim) —
+    pick ``n_blocks`` ≈ corpus_bytes / executor_budget and the operator
+    scales to corpora that could never be broadcast. The quadratic
+    compute is inherent to EXACT all-pairs (use the LSH path
+    ``embedding_neardup_pairs`` when approximate recall is acceptable);
+    this shape just makes it embarrassingly parallel: B²/2 independent
+    matmul tasks, no task ever sees more than two blocks.
+
+    Decision rule (round to 9 dp, then compare) and output schema
+    (id_a < id_b, cosine rounded to ``round_digits``) are bit-identical
+    to ``cosine_allpairs`` and its SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+
+    def _side(role: str) -> DataFrame:
+        # fresh lineage per side: the cogroup below is otherwise a
+        # self-join Spark flags as ambiguous
+        tagged = corpus.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+        )
+        pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+        return tagged.join(
+            F.broadcast(pair_df), F.col("blk") == F.col(role)
+        ).select("ba", "bb", "id", "vec")
+
+    a_side, b_side = _side("ba"), _side("bb")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block_matmul(key, a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ba, bb = key
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        a_ids = a_pdf["id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["id"].to_numpy(dtype=np.int64)
+        A = np.array(a_pdf["vec"].tolist(), dtype=np.float64)
+        B = np.array(b_pdf["vec"].tolist(), dtype=np.float64)
+        C = (A @ B.T) / (
+            np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        )
+        # within-block pairs would otherwise appear twice (and self-pairs
+        # once); id ordering picks each unordered pair exactly once
+        mask = np.round(C, 9) >= min_cosine
+        if ba == bb:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        ida, idb = a_ids[ai], b_ids[bi]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(C[ai, bi], round_digits)}
+        )
+
+    return (
+        a_side.groupBy("ba", "bb")
+        .cogroup(b_side.groupBy("ba", "bb"))
+        .applyInPandas(block_matmul, out_schema)
+    )

@@ -2749,6 +2749,75 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed exact all-pairs (block-cogroup) + skew-mitigation join
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_neardup_blocked",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM e a, e b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM p WHERE ROUND(cos, 9) >= 0.35
+    """,
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine with NO driver collect
+    (ext/similarity.py::cosine_allpairs_blocked): rows hash into blocks,
+    each of the B(B+1)/2 block pairs becomes one cogrouped-applyInPandas
+    BLAS matmul task, and every unordered row pair lands in exactly one
+    task. Shuffle O(N*B), per-task memory O((N/B)*dim) — the exact-allpairs
+    shape that survives corpora too large for cosine_allpairs' broadcast
+    (which is row-capped for that reason). Same decision rule and oracle
+    as embedding_neardup_exact."""
+    from ..ext.similarity import cosine_allpairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_allpairs_blocked(emb, min_cosine=0.35, n_blocks=4)
+
+
+@query(
+    "salted_revenue_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.py::salted_join): orders (the
+    would-be-skewed fact) salted across 8 sub-keys, customer replicated
+    8x, so a hot customer key fans out over 8 tasks instead of
+    serializing one. Result is provably identical to the plain join — the
+    oracle IS the plain join. At bench scale the salted side still
+    broadcast-joins; the operator exists for the bucketed/SMJ regime AQE
+    skew-split cannot reach."""
+    from ..operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="custkey", num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry_query(spark: SparkSession) -> DataFrame:
@@ -2823,7 +2892,7 @@ _EXPORT_PRIORITY: list[str] = [
     "impute_group_median_events",  # J2/C2 broadcast-join imputer
     "pii_scrub_docs",  # NEW in r2: PII redaction
     "lead_labels_events",  # W1/C10 window family
-    "top10_orders",  # O1 top-k
+    "embedding_neardup_blocked",  # NEW in r2: distributed exact all-pairs
     "asof_last_purchase",  # as-of join (temporal family)
     "incremental_agg_orders",  # NEW in r2: incremental agg maintenance
 ]

@@ -78,3 +78,36 @@ def test_cosine_allpairs_guard_refuses_oversized_corpus(spark):
 
     with pytest.raises(ValueError, match="embedding_neardup_pairs"):
         cosine_allpairs(_emb(spark), min_cosine=0.9, max_rows=3)
+
+
+def test_cosine_allpairs_blocked_equals_broadcast_path(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        cosine_allpairs,
+        cosine_allpairs_blocked,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_allpairs(df, min_cosine=0.2).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_allpairs_blocked(df, min_cosine=0.2, n_blocks=5).collect()
+    }
+    assert got == want and len(got) > 50
+    # single block degenerates to one within-block task; still exact
+    one = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_allpairs_blocked(df, min_cosine=0.2, n_blocks=1).collect()
+    }
+    assert one == want
