@@ -69,16 +69,28 @@ def main() -> None:
         "metric": "declared_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": timings,
         "sf": sf_val,
     }
-    line = json.dumps(payload)
-    # The driver records stdout head-truncated (r01 lost 20 of 90 timings);
-    # also persist the full timing map so per-query regressions stay
-    # diffable round over round.
+    # Persist the complete timing map so per-query regressions stay diffable
+    # round over round (the driver's stdout capture is tail-limited).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(payload) + "\n")
+    # The driver keeps only the LAST 2000 chars of stdout (BENCH_r02.json:
+    # "tail" len == 2000, "parsed": null because our 2810-char line lost its
+    # head). Print a compact line that fits: keep the slowest queries (the
+    # informative ones) and drop the fastest until the line fits the buffer.
+    compact = dict(payload)
+    kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    while True:
+        compact["queries"] = {k: kept[k] for k in sorted(kept)}
+        compact["omitted_fast"] = len(timings) - len(kept)
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900 or not kept:
+            break
+        kept.pop(min(kept, key=lambda k: kept[k]))
     print(line)
 
 

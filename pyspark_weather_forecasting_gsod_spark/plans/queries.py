@@ -511,6 +511,172 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective dim filter → two fact joins → grouped agg →
+# top-k. Catalyst pushes c_mktsegment/o_orderdate/l_shipdate to the scans
+# (PushedFilters), broadcasts the filtered customer side, and plans the
+# final ORDER BY + LIMIT as TakeOrderedAndProject (no global sort).
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1997-01-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    return agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority").orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table join with a co-location constraint
+# (c_nationkey = s_nationkey). The two fact tables shuffle on the order
+# key; customer/supplier/nation/region all broadcast. At 100 TB the
+# lineitem⨝orders exchange dominates — bucketing both on the order key
+# (sources/bucketing.py) removes it entirely.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = (
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-items revenue per customer — selective fact
+# filter (l_returnflag = 'R'), date-windowed orders, grouped agg keyed on
+# the (high-cardinality) customer, top-20. The group-by key set includes
+# the functionally-dependent c_name/n_name so no second join is needed
+# after aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    return agg.select("c_custkey", "c_name", "revenue", "n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    ).limit(20)
+
+
 # ===========================================================================
 # Extension families (BASELINE.json north star): text analysis, dedup,
 # similarity search, multimodal columns, event-time windows, streaming.
@@ -1483,9 +1649,18 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch (``freqItems``): approximate frequent values
     with a single pass — the count-min-style shape for 100 TB cardinality
-    work where exact top-k's shuffle is unaffordable."""
+    work where exact top-k's shuffle is unaffordable.
+
+    The raw ``freqItems`` output is one row of array columns, which the
+    driver's pandas canonicalization cannot hash (r02 crash: "unhashable
+    type: 'list'") — emit sorted-JSON string digests instead; the digest is
+    deterministic given the sketch contents."""
     ev = _t(spark, sf_dir, "events")
-    return ev.freqItems(["event_type", "user_id"], support=0.05)
+    fi = ev.freqItems(["event_type", "user_id"], support=0.05)
+    return fi.select(
+        F.to_json(F.array_sort("event_type_freqItems")).alias("event_type_heavy"),
+        F.to_json(F.array_sort("user_id_freqItems")).alias("user_id_heavy"),
+    )
 
 
 @query("tfidf_doc_norms", None)  # hashed vocab + float vector math → rows-only
@@ -1850,12 +2025,20 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_quantiles", None)  # A5: GK-sketch output is config-dependent
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles (single pass, mergeable — the 100 TB shape).
+
+    Scalar columns, not the raw ``array<double>``: the driver's pandas
+    canonicalization cannot hash list cells (r02 crash)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        ),
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("pq"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+    return agg.select(
+        F.round(F.element_at("pq", 1), 2).alias("p25"),
+        F.round(F.element_at("pq", 2), 2).alias("p50"),
+        F.round(F.element_at("pq", 3), 2).alias("p75"),
+        "approx_parts",
     )
 
 
