@@ -208,3 +208,51 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
         )
     return counted
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals per document — the Gopher-style
+    "repetitious text" gate for pre-training corpora:
+
+      * ``ttr`` — type-token ratio (distinct/total tokens); low = repetitive.
+      * ``top_bigram_frac`` — fraction of all bigram occurrences taken by the
+        single most frequent bigram; high = boilerplate/spam.
+
+    Shape at scale: one map-only pass builds the token/bigram arrays
+    (JVM expressions), then a two-level hash aggregation keyed on
+    (doc, bigram) → doc. Both aggregations partial-combine map-side, the
+    key space is ~tokens-per-doc wide, and nothing is quadratic — the
+    whole operator is one shuffle on ``id_col``.
+
+    Documents with < 2 tokens have no bigram and are dropped (same rule in
+    the SQL oracle).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.expr(
+            f"zip_with(slice(split(trim({text_col}), '\\\\s+'), 1, "
+            f"size(split(trim({text_col}), '\\\\s+')) - 1), "
+            f"slice(split(trim({text_col}), '\\\\s+'), 2, "
+            f"size(split(trim({text_col}), '\\\\s+')) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("bis"),
+    )
+    bigram_counts = (
+        base.select(id_col, F.explode("bis").alias("bi"))
+        .groupBy(id_col, "bi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = bigram_counts.groupBy(id_col).agg(
+        F.max("c").alias("maxc"), F.sum("c").alias("sumc")
+    )
+    return base.join(per_doc, id_col).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("maxc") / F.col("sumc"), 6).alias("top_bigram_frac"),
+    )

@@ -777,6 +777,64 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, toks,
+               list_transform(
+                 list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+                 z -> z[1] || ' ' || z[2]) AS bis
+        FROM t WHERE len(toks) >= 2
+    ), bc AS (
+        SELECT doc_id, bi, COUNT(*) AS c
+        FROM b, UNNEST(bis) AS u(bi) GROUP BY doc_id, bi
+    ), bm AS (
+        SELECT doc_id, MAX(c) AS maxc, SUM(c) AS sumc FROM bc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           ROUND(len(list_distinct(b.toks)) / len(b.toks), 6) AS ttr,
+           ROUND(bm.maxc / bm.sumc, 6) AS top_bigram_frac
+    FROM b JOIN bm ON b.doc_id = bm.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (type-token ratio + top-bigram mass)
+    — corpus-quality signals computed as one shuffle on doc_id."""
+    from ..ext.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs)
+
+
+@query(
+    "doc_length_histogram",
+    f"""
+    SELECT CAST(FLOOR(LOG2(len({_TOKS}))) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE len({_TOKS}) > 0
+    GROUP BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the standard corpus
+    length-mix report (and the input to length-aware sampling). Map-side
+    bucket computation + a ~20-group hash agg: trivially 100 TB-safe."""
+    from ..ext.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(tokens("text"))
+    return (
+        docs.filter(n > 0)
+        .select(F.floor(F.log2(n)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "dedup_exact_stats",
     """
     SELECT lang, source,
@@ -1556,6 +1614,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, b.value AS purchase_value
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks ⨝ purchases within 30 min, both
+    sides watermarked so join state is bounded). On the AvailableNow
+    replay the emitted match set equals the batch time-range join — the
+    SQL oracle checks exactly that equivalence."""
+    from ..streaming.stream import run_streaming_stream_join
+
+    tune(spark)
+    return run_streaming_stream_join(spark, sf_dir)
 
 
 @query(

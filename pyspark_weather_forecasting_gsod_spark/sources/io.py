@@ -86,10 +86,13 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS, false): Spark reads it as int64
-    # nanoseconds (spark.sql.legacy.parquet.nanosAsLong); load_table converts
-    # it to a microsecond timestamp exactly as DuckDB's parquet reader does
-    # (floor-truncate ns → µs), so both engines see identical instants.
+    # events.ts physical type has varied across driver testdata generations:
+    # TIMESTAMP(NANOS, false) (Spark reads int64 ns under
+    # spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS, false)
+    # (native timestamp). ``load_table``/``events_schema_for`` probe the
+    # parquet footer and pick the matching schema + conversion so both
+    # generations produce an identical microsecond TimestampType column —
+    # the same floor-truncation DuckDB's reader applies.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -119,6 +122,50 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# footer-probe cache: path -> True if events.ts is int64 nanoseconds
+# (legacy NANOS parquet), False if it is a native timestamp column.
+_EVENTS_TS_IS_INT64: dict[str, bool] = {}
+
+
+def _events_ts_int64(spark: SparkSession, path: str) -> bool:
+    """Probe the parquet footer (driver-side metadata read, no scan) to see
+    whether ``ts`` surfaces as int64 (TIMESTAMP(NANOS) under
+    ``nanosAsLong``) or as a native timestamp (MICROS/MILLIS)."""
+    cached = _EVENTS_TS_IS_INT64.get(path)
+    if cached is None:
+        probed = spark.read.parquet(path).schema["ts"].dataType
+        cached = isinstance(probed, T.LongType)
+        _EVENTS_TS_IS_INT64[path] = cached
+    return cached
+
+
+def events_schema_for(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The pin-able read schema for this testdata generation's events table
+    (int64 ts for NANOS files, timestamp ts otherwise) — also what
+    ``readStream`` must be given, since streaming requires an explicit
+    schema."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = TABLE_SCHEMAS["events"]
+    if _events_ts_int64(spark, path):
+        return schema
+    fields = [
+        T.StructField("ts", T.TimestampNTZType()) if f.name == "ts" else f
+        for f in schema.fields
+    ]
+    return T.StructType(fields)
+
+
+def normalize_events_ts(df: DataFrame, ts_is_int64: bool) -> DataFrame:
+    """Make ``ts`` a microsecond TimestampType regardless of source
+    generation: int64 ns → floor-truncate to µs (integer domain — ns epoch
+    ≈ 1.7e18 exceeds double's 2^53 exact range, never divide as float);
+    native NTZ timestamp → reinterpret as UTC instant (session tz is pinned
+    UTC, so wall clock == instant, matching DuckDB's naive reader)."""
+    if ts_is_int64:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its pinned schema.
 
@@ -126,16 +173,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     callers should ``select``/``filter`` early and let Catalyst reach the scan.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        ts_int64 = _events_ts_int64(spark, path)
+        df = spark.read.schema(events_schema_for(spark, sf_dir)).parquet(path)
+        return normalize_events_ts(df, ts_int64)
     schema = TABLE_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(path)
-    if name == "events":
-        # ns→µs floor-truncation, integer domain (ns epoch ≈ 1.7e18 exceeds
-        # double's 2^53 exact range, so never divide this as a float).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return reader.parquet(path)
 
 
 def read_csv(

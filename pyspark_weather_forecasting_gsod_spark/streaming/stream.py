@@ -19,25 +19,29 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import TABLE_SCHEMAS
+from ..sources.io import _events_ts_int64, events_schema_for, normalize_events_ts
 from .event_windows import tumbling_agg
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming source over the events parquet (same ns→µs conversion as
-    the batch reader)."""
+    """Streaming source over the events parquet (same ts normalization as
+    the batch reader — the footer probe picks the generation-correct
+    schema)."""
+    import os as _os
+
+    ts_int64 = _events_ts_int64(spark, _os.path.join(sf_dir, "events.parquet"))
     # FileStreamSource requires a directory path; select just the events
     # table file via pathGlobFilter.
     reader = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        spark.readStream.schema(events_schema_for(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(df, ts_int64)
 
 
 def run_streaming_tumbling_append(
@@ -118,6 +122,67 @@ def run_streaming_tumbling(
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def run_streaming_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Stream-stream inner join with watermarks — the attribution shape:
+    click events joined to purchase events of the same user that occur
+    within ``window`` after the click.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so each side's buffered state is dropped once the other
+    side's watermark passes it — state is O(watermark × rate), not
+    O(stream length). Inner-join matches are emitted as soon as both rows
+    have arrived; on a bounded AvailableNow replay the result equals the
+    batch join (the SQL oracle)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
