@@ -128,3 +128,33 @@ def test_streaming_foreachbatch_upsert_matches_batch_totals(spark, sf_dir, tmp_p
     # second run over the same source is a pure overwrite-merge: idempotent
     served2 = run_streaming_upsert(spark, sf_dir, target)
     assert {r.user_id: (r.n_events, r.total_value) for r in served2.collect()} == want
+
+
+def test_stream_stream_join_matches_batch_time_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+    from pyspark_weather_forecasting_gsod_spark.streaming.stream import (
+        run_streaming_stream_join,
+    )
+
+    got = run_streaming_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows and len(got_rows) > 0

@@ -116,3 +116,25 @@ def test_pii_scrub_redacts_all_pattern_families(spark):
     assert counts[1] == (1, 0, 0, 0)
     assert counts[2] == (0, 1, 1, 0)
     assert counts[3] == (0, 0, 0, 2)
+
+
+def test_repetition_signals_known_values(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 4 tokens, 2 distinct -> ttr 0.5; bigrams: "a b","b a","a b"
+            # -> top bigram 2/3
+            (1, "a b a b"),
+            (2, "x y z w"),  # all distinct: ttr 1.0, all bigrams unique 1/3
+            (3, "solo"),  # < 2 tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 4
+    assert abs(rows[1]["ttr"] - 0.5) < 1e-9
+    assert abs(rows[1]["top_bigram_frac"] - round(2 / 3, 6)) < 1e-9
+    assert abs(rows[2]["ttr"] - 1.0) < 1e-9
+    assert abs(rows[2]["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
