@@ -211,6 +211,9 @@ def run_gsod_pipeline(
     feat_model = pipeline.fit(labeled)
     featurized = feat_model.transform(labeled)
     train, test = seeded_split(featurized)
+    # Four downstream consumers (LR fit/eval, GBT fit/eval) would each
+    # re-run the window + feature-pipeline lineage; persist the split once.
+    train, test = train.persist(), test.persist()
 
     lr = train_linear_regression(train, "next_day_max")
     reg_metrics = evaluate_regression(lr.transform(test), "next_day_max")
