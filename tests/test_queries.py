@@ -35,3 +35,25 @@ def test_oracle_sql_strings_are_duckdb_runnable(sf_dir):
     for name, sql in entrymod.oracle_sql().items():
         n = len(con.execute(sql).fetchall())
         assert n >= 0, name
+
+
+def test_all_declared_outputs_are_harness_hashable(spark, sf_dir):
+    """The driver canonicalizes results with pandas sort_values + row
+    hashing, which raises 'unhashable type' on array/map cells (crashed
+    freq_items_sketch and multimodal_decode in r01/r02). Guard: every
+    non-streaming declared query's schema must be atomic-typed.
+    Streaming queries execute on call, so they are checked by their own
+    tests; their sinks emit scalars already."""
+    from pyspark.sql import types as T
+
+    from pyspark_weather_forecasting_gsod_spark.plans import queries
+
+    bad: list[str] = []
+    for name, fn in queries().items():
+        if name.startswith("streaming_"):
+            continue
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-hashable output columns: {bad}"
