@@ -1100,6 +1100,81 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dup_span_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), spans AS (
+        SELECT DISTINCT doc_id, span FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(toks[i:i+7], ' '))) AS span
+            FROM t WHERE len(toks) >= 8
+        )
+    ), multi AS (
+        SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2
+    ), per_doc AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(m.span) AS BIGINT) AS n_dup_spans
+        FROM spans s LEFT JOIN multi m ON s.span = m.span
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           ROUND(n_dup_spans / n_spans, 6) AS dup_frac
+    FROM per_doc
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span audit (RefinedWeb/C4-style): the
+    fraction of each document's distinct 8-gram spans that also occur in
+    at least one other document — the exact-substring-dedup signal at
+    shingle granularity.
+
+    Scale shape: one explode pass builds (doc, span) pairs, distinct-per-doc
+    and span-multiplicity are two hash aggregations on the span key, and
+    the dup flag comes back via an equi-join on span — never a self-join of
+    documents, never quadratic. The span dictionary is the shuffled entity,
+    ~tokens-per-corpus wide, partial-aggregated map-side.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    spans = (
+        t.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7), "
+                    "i -> array_join(slice(toks, i, 8), ' '))"
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    multi = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    per_doc = (
+        spans.join(multi.withColumn("is_dup", F.lit(1)), "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("is_dup").alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+    )
+
+
 @query("minhash_neardup", None)  # LSH banding is hash-seed-specific → rows-only
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import minhash_lsh_pairs
@@ -3223,9 +3298,9 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 5 stable non-ts r01-greens (grouped_count, top10_orders, mode_event_type,
-# multimodal_meta, json_extract_props) are left out to make the window
-# exactly 50.
+# 6 family-covered r01-greens (grouped_count, top10_orders,
+# mode_event_type, multimodal_meta, json_extract_props,
+# impute_proximity_doubling) are left out to make the window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3239,6 +3314,7 @@ _EXPORT_PRIORITY: list[str] = [
     "doc_length_histogram",  # NEW in r3: corpus length mix
     "top_terms_by_lang",  # NEW in r3: WindowGroupLimit per-group top-k
     "neardup_keep_best",  # NEW in r3: cluster representative selection
+    "dup_span_stats",  # NEW in r3: cross-doc duplicated-span audit
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
@@ -3273,7 +3349,6 @@ _EXPORT_PRIORITY: list[str] = [
     "lag_delta_events",
     "range_window_day_avg",
     "lead_labels_strict",
-    "impute_proximity_doubling",
     "streaming_sliding",
     "range_join_errors",
     "sql_correlated_subquery",
