@@ -110,3 +110,54 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, DECODE_OUTPUT_SCHEMA)
+
+
+FRAME_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 256,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame sampling over an opaque (video-like) payload: every
+    ``stride``-th fixed-size frame is extracted and digested — the
+    1-row-in → N-rows-out Arrow shape real video pipelines need
+    (mapInPandas yields more rows than it consumes; Spark handles the
+    fan-out batch-wise, no driver involvement, no exploded intermediate
+    column).
+
+    Deterministic by construction (byte-offset framing + md5), so a SQL
+    oracle can replicate it exactly; a real codec would replace the
+    framing with keyframe extraction behind the same schema.
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        step = frame_bytes * stride
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            digs: list[str] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for k, off in enumerate(range(0, len(b) - frame_bytes + 1, step)):
+                    ids.append(did)
+                    idxs.append(k)
+                    digs.append(hashlib.md5(b[off : off + frame_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, FRAME_OUTPUT_SCHEMA)

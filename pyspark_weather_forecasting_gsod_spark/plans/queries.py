@@ -1292,6 +1292,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(k AS INT) * 512 + 1, 256)) AS frame_digest
+    FROM p, UNNEST(range(0, CAST(floor((n - 256) / 512) AS BIGINT) + 1)) AS t(k)
+    WHERE n >= 256
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload (every 2nd 256-byte frame,
+    md5-digested) — the 1→N Arrow ``mapInPandas`` fan-out shape of a video
+    keyframe pipeline. The corpus is ASCII (verified: octet_length ==
+    char length for every row), so the SQL oracle's text-substring md5
+    reproduces the byte framing exactly."""
+    from ..ext.multimodal import attach_binary_payload, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(attach_binary_payload(docs))
+
+
+@query(
     "json_extract_props",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -3298,9 +3322,10 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 6 family-covered r01-greens (grouped_count, top10_orders,
+# 7 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
-# impute_proximity_doubling) are left out to make the window exactly 50.
+# impute_proximity_doubling, tumbling_hourly) are left out to make the
+# window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3315,6 +3340,7 @@ _EXPORT_PRIORITY: list[str] = [
     "top_terms_by_lang",  # NEW in r3: WindowGroupLimit per-group top-k
     "neardup_keep_best",  # NEW in r3: cluster representative selection
     "dup_span_stats",  # NEW in r3: cross-doc duplicated-span audit
+    "multimodal_frame_sample",  # NEW in r3: 1-to-N Arrow frame fan-out
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
@@ -3341,7 +3367,6 @@ _EXPORT_PRIORITY: list[str] = [
     "ann_lsh_topk",
     "ivf_ann_topk",
     "embedding_neardup",
-    "tumbling_hourly",
     "sliding_halfhour",
     "session_windows",
     "streaming_tumbling",
