@@ -102,3 +102,43 @@ def test_read_json_with_explicit_schema_and_corrupt_quarantine(spark, scratch):
     assert rows[2].score is None and rows[2]._corrupt is not None  # quarantined
     assert out.filter(F.col("id").isNull() & F.col("_corrupt").isNotNull()).count() == 1
     out.unpersist()
+
+
+def test_events_ts_probe_handles_both_parquet_generations(spark, tmp_path):
+    """The driver's testdata generator has emitted events.ts as both
+    TIMESTAMP(NANOS) (Spark reads int64 under nanosAsLong) and
+    TIMESTAMP(MICROS) (native timestamp). load_table must yield identical
+    microsecond timestamps for either file."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    ts = [
+        datetime.datetime(2024, 1, 1, 0, 0, 7, 123456),
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 654321),
+    ]
+    t_ns = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    d_ns, d_us = tmp_path / "gen_ns", tmp_path / "gen_us"
+    d_ns.mkdir(), d_us.mkdir()
+    pq.write_table(t_ns, str(d_ns / "events.parquet"), version="2.6")
+    pq.write_table(
+        t_ns.set_column(1, "ts", t_ns["ts"].cast(pa.timestamp("us"))),
+        str(d_us / "events.parquet"),
+        version="2.6",
+    )
+    rows_ns = sorted(tuple(r) for r in load_table(spark, str(d_ns), "events").collect())
+    rows_us = sorted(tuple(r) for r in load_table(spark, str(d_us), "events").collect())
+    assert rows_ns == rows_us
+    assert rows_ns[0][1] == ts[0]  # microsecond-exact instants survive
