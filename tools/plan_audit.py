@@ -107,6 +107,31 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct", "SortMergeJoin FullOuter"],
         "corpus prep fuses score→lang-ID→filter into the scan projection; dedup is one hash agg + semi join (broadcast at small rep-sets, AQE picks SMJ when the rep-set outgrows the driver)",
     ),
+    "q3_shipping_priority": (
+        ["PushedFilters:", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+        "selective dim/date filters reach the scans, customer broadcasts, top-10 is a per-partition top-k merge — never a global sort",
+    ),
+    "q5_local_supplier_volume": (
+        ["BroadcastHashJoin", "PushedFilters:"],
+        ["CartesianProduct"],
+        "6-table join: the lineitem⨝orders exchange is the only fact shuffle; customer/supplier/nation/region all broadcast",
+    ),
+    "top_terms_by_lang": (
+        ["WindowGroupLimit", "HashAggregate"],
+        ["Join"],
+        "per-group top-k keeps only each partition's top rows before the sort (rank pushdown), after a two-level hash agg",
+    ),
+    "dup_span_stats": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "duplicated-span audit is hash aggs + an equi-join on the span key — never a document self-join",
+    ),
+    "label_centroids": (
+        ["Generate", "HashAggregate"],
+        ["Join"],
+        "posexplode + partial map-side agg; the exchange carries (label, dim) partials, not vectors",
+    ),
 }
 
 
