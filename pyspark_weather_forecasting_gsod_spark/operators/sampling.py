@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 HEX = "0123456789abcdef"
 
 
-def hash_bucket(key: Column, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets): int value of the first 4 hex
-    chars of md5(key as string), mod buckets. Engine-portable (no xxhash64
-    dependence) and uniform enough for split assignment."""
-    h = F.substring(F.md5(key.cast("string").cast("binary")), 1, 4)
+def hash_bucket(key: Column, buckets: int = 100, hex_chars: int = 4) -> Column:
+    """Deterministic bucket in [0, buckets): int value of the first
+    ``hex_chars`` hex chars of md5(key as string), mod buckets.
+    Engine-portable (no xxhash64 dependence) and uniform enough for split
+    assignment. ``hex_chars`` must give 16**hex_chars >> buckets for the
+    mod to stay uniform (4 chars for percent splits, 6+ for ppm rates)."""
+    h = F.substring(F.md5(key.cast("string").cast("binary")), 1, hex_chars)
     return F.conv(h, 16, 10).cast("long") % buckets
 
 
@@ -95,3 +97,29 @@ def cap_per_group(
         .filter(F.col(rn) <= n)
         .drop(rn)
     )
+
+
+def rate_sample_by_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key: str,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing primitive
+    ("keep 50% of English, all of French, ..."): a row survives iff its
+    key's md5 bucket falls under the stratum's rate.
+
+    Unlike seeded ``sampleBy`` (partition-layout-sensitive Bernoulli
+    draws), the decision is a pure function of the row key: reproducible
+    across engines and runs, stable under data growth, map-only and
+    shuffle-free at any scale. Strata absent from ``rates`` are dropped.
+    """
+    b = hash_bucket(F.col(key), buckets, hex_chars=6)
+    rate: Column = F.lit(None)
+    expr = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    rate = expr.otherwise(F.lit(0.0))
+    return df.filter(b < (rate * buckets))

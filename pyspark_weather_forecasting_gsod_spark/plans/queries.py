@@ -1924,6 +1924,38 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
 
 
+_MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
+
+
+@query(
+    "domain_mix_sample",
+    f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               list_reduce(list_transform(
+                   string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < (CASE lang
+        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+        ELSE 0.0 END) * 1000000
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: deterministic per-language downsampling toward a
+    target mix (keep 50% of dominant English, all French/German, ...).
+    Pure hash-of-key decision — engine-portable, stable under corpus
+    growth, map-only/shuffle-free (vs sampleBy's partition-sensitive
+    Bernoulli draws, which can only be rows-checked)."""
+    from ..operators.sampling import rate_sample_by_stratum
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return rate_sample_by_stratum(docs, "lang", _MIX_RATES, key="doc_id")
+
+
 @query(
     "hash_split_counts",
     """
@@ -3349,10 +3381,10 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 8 family-covered r01-greens (grouped_count, top10_orders,
+# 9 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
-# impute_proximity_doubling, tumbling_hourly, streaming_sliding) are left
-# out to make the window exactly 50.
+# impute_proximity_doubling, tumbling_hourly, streaming_sliding,
+# doc_fingerprint) are left out to make the window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3369,6 +3401,7 @@ _EXPORT_PRIORITY: list[str] = [
     "dup_span_stats",  # NEW in r3: cross-doc duplicated-span audit
     "multimodal_frame_sample",  # NEW in r3: 1-to-N Arrow frame fan-out
     "label_centroids",  # NEW in r3: UDF-free vector mean aggregation
+    "domain_mix_sample",  # NEW in r3: deterministic domain mixing
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
@@ -3382,7 +3415,6 @@ _EXPORT_PRIORITY: list[str] = [
     "revenue_by_nation",
     "text_quality",
     "lang_id",
-    "doc_fingerprint",
     "token_stats",
     "dedup_exact_stats",
     "dedup_keep_latest",
