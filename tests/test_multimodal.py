@@ -49,3 +49,25 @@ def test_real_codec_path_is_honestly_stubbed():
         _decode_real(b"\x89PNG", "image/png")
     with pytest.raises(NotImplementedError):
         _decode_real(b"RIFF", "audio/wav")
+
+
+def test_sample_frames_known_payload(spark):
+    import hashlib
+
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    text = "x" * 300 + "y" * 300 + "z" * 300  # 900 bytes -> frames at 0, 512
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["frame_idx"], r["frame_digest"])
+        for r in sample_frames(attach_binary_payload(df)).collect()
+    )
+    b = text.encode()
+    want = [
+        (0, hashlib.md5(b[0:256]).hexdigest()),
+        (1, hashlib.md5(b[512:768]).hexdigest()),
+    ]
+    assert rows == want

@@ -57,3 +57,22 @@ def test_all_declared_outputs_are_harness_hashable(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"non-hashable output columns: {bad}"
+
+
+def test_rate_sample_decisions_stable_under_growth(spark, sf_dir):
+    """A row's keep/drop decision is a pure function of its key — adding
+    rows (corpus growth) must never flip an existing decision (the property
+    seeded sampleBy lacks)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import (
+        rate_sample_by_stratum,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.3}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    full = set(r[0] for r in rate_sample_by_stratum(docs, "lang", rates, "doc_id").collect())
+    subset = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = set(r[0] for r in rate_sample_by_stratum(subset, "lang", rates, "doc_id").collect())
+    assert sub == {d for d in full if d % 2 == 0}
