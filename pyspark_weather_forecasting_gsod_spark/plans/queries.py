@@ -1924,6 +1924,41 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
 
 
+@query(
+    "python_datasource_scan",
+    """
+    WITH m AS (
+        SELECT i AS event_id, (i * 2654435761) % 2147483648 AS mixed
+        FROM range(0, 2000) t(i)
+    )
+    SELECT event_id,
+           CAST(mixed % 50 AS BIGINT) AS user_id,
+           ROUND(mixed / 2147483648.0 * 100.0, 6) AS value
+    FROM m
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API
+    (sources/pyds.py): partition-parallel pure-Python reads planned as a
+    normal scan. The source is a deterministic integer-arithmetic
+    generator, so the DuckDB oracle reproduces the scan bit-for-bit —
+    value-level verification of the connector plumbing itself (schema,
+    option passing, partition boundaries). The generated doubles are
+    dyadic rationals (k/2^31), which cannot land on exact decimal halves,
+    so ROUND agrees across engines."""
+    from ..sources.pyds import register
+
+    tune(spark)
+    register(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "2000")
+        .option("n_partitions", "8")
+        .option("n_users", "50")
+        .load()
+    )
+
+
 _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
 
 
@@ -3381,10 +3416,11 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 9 family-covered r01-greens (grouped_count, top10_orders,
+# 10 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
-# doc_fingerprint) are left out to make the window exactly 50.
+# doc_fingerprint, text_quality) are left out to make the window
+# exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3402,6 +3438,7 @@ _EXPORT_PRIORITY: list[str] = [
     "multimodal_frame_sample",  # NEW in r3: 1-to-N Arrow frame fan-out
     "label_centroids",  # NEW in r3: UDF-free vector mean aggregation
     "domain_mix_sample",  # NEW in r3: deterministic domain mixing
+    "python_datasource_scan",  # NEW in r3: Spark 4 Python DataSource connector
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
@@ -3413,7 +3450,6 @@ _EXPORT_PRIORITY: list[str] = [
     "impute_proximity_events",
     "orders_by_segment",
     "revenue_by_nation",
-    "text_quality",
     "lang_id",
     "token_stats",
     "dedup_exact_stats",

@@ -142,3 +142,27 @@ def test_events_ts_probe_handles_both_parquet_generations(spark, tmp_path):
     rows_us = sorted(tuple(r) for r in load_table(spark, str(d_us), "events").collect())
     assert rows_ns == rows_us
     assert rows_ns[0][1] == ts[0]  # microsecond-exact instants survive
+
+
+def test_python_datasource_partition_parallel_scan(spark):
+    """Spark 4 Python DataSource: options reach the reader, partition count
+    is respected, re-registration is idempotent, rows are the deterministic
+    generator function of event_id."""
+    from pyspark_weather_forecasting_gsod_spark.sources.pyds import _MIX, _MOD, register
+
+    register(spark)
+    register(spark)  # replaces with a warning; must not raise
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "100")
+        .option("n_partitions", "4")
+        .option("n_users", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert len(rows) == 100
+    for i in (0, 13, 99):
+        mixed = (i * _MIX) % _MOD
+        assert rows[i]["user_id"] == mixed % 7
+        assert abs(rows[i]["value"] - round(mixed / _MOD * 100.0, 6)) < 1e-12
