@@ -49,6 +49,7 @@ def main() -> None:
         "neardup_clusters",  # iterative convergence loop: re-runs fully every call
         "neardup_keep_best",  # same CC loop + representative pick
         "streaming_stream_join",  # stream executes on call; no codegen warm-up to buy
+        "python_source_stream_agg",  # multi-batch stream drain on call
     }
     timings: dict[str, float] = {}
     for name, fn in qs.items():

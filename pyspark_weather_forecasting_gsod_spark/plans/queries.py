@@ -1959,6 +1959,35 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "python_source_stream_agg",
+    """
+    WITH m AS (
+        SELECT i AS event_id, (i * 2654435761) % 2147483648 AS mixed
+        FROM range(0, 1000) t(i)
+    ), rows_ AS (
+        SELECT CAST(mixed % 50 AS BIGINT) AS user_id,
+               ROUND(mixed / 2147483648.0 * 100.0, 6) AS value
+        FROM m
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM rows_ GROUP BY user_id
+    """,
+)
+def python_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the Python DataSource connector
+    (simpleStreamReader): offsets advance 250 rows per micro-batch to 1000,
+    the complete-mode aggregate over all batches must equal the batch
+    aggregate over the same deterministic generator — end-to-end oracle on
+    the streaming-offset plumbing (replayable offsets, exactly-once
+    accumulation across micro-batches)."""
+    from ..sources.pyds import run_python_source_stream
+
+    tune(spark)
+    return run_python_source_stream(spark)
+
+
 _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
 
 
@@ -3416,11 +3445,11 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 10 family-covered r01-greens (grouped_count, top10_orders,
+# 11 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
-# doc_fingerprint, text_quality) are left out to make the window
-# exactly 50.
+# doc_fingerprint, text_quality, dedup_keep_latest) are left out to make
+# the window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3439,6 +3468,7 @@ _EXPORT_PRIORITY: list[str] = [
     "label_centroids",  # NEW in r3: UDF-free vector mean aggregation
     "domain_mix_sample",  # NEW in r3: deterministic domain mixing
     "python_datasource_scan",  # NEW in r3: Spark 4 Python DataSource connector
+    "python_source_stream_agg",  # NEW in r3: streaming side of the connector
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
@@ -3453,7 +3483,6 @@ _EXPORT_PRIORITY: list[str] = [
     "lang_id",
     "token_stats",
     "dedup_exact_stats",
-    "dedup_keep_latest",
     "rollup_reuse_daily",
     "ngram_jaccard_topk",
     "neardup_clusters",

@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # 32-bit Knuth multiplicative-hash constant: value mixing stays in exact
 # BIGINT range so DuckDB reproduces it with integer ops.
@@ -67,7 +72,104 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the custom source on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the connector: offsets are row positions in the
+    same deterministic generator, advanced ``rows_per_batch`` per
+    micro-batch up to ``n_rows`` — a replayable stream (same offset range
+    always yields the same rows, so failure recovery re-reads
+    identically, the property a real queue connector must provide)."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.n_users = int(options.get("n_users", 50))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        return iter(self._rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for i in range(lo, hi):
+            mixed = (i * _MIX) % _MOD
+            out.append((i, mixed % self.n_users, round(mixed / _MOD * 100.0, 6)))
+        return out
+
+
+def run_python_source_stream(
+    spark,
+    n_rows: int = 1000,
+    rows_per_batch: int = 250,
+    n_users: int = 50,
+    timeout_sec: int = 120,
+):
+    """Drive the streaming connector to completion and return the final
+    per-user aggregate table.
+
+    ``Trigger.AvailableNow`` is unsupported for Python stream sources
+    (Spark falls back to ONE micro-batch), so this uses a continuous
+    trigger and polls ``lastProgress`` until the source offset reaches
+    ``n_rows`` — i.e. every batch has committed. Complete-mode memory sink
+    then holds the aggregate over the whole stream, which must equal the
+    batch aggregate over the same generator (the SQL oracle).
+    """
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", str(n_rows))
+        .option("rows_per_batch", str(rows_per_batch))
+        .option("n_users", str(n_users))
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    # offsets surface as a dict repr ({'pos': N}) or JSON
+                    import ast
+
+                    end = ast.literal_eval(end)
+                if end and int(end.get("pos", 0)) >= n_rows:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream did not reach offset {n_rows}")
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -166,3 +166,16 @@ def test_python_datasource_partition_parallel_scan(spark):
         mixed = (i * _MIX) % _MOD
         assert rows[i]["user_id"] == mixed % 7
         assert abs(rows[i]["value"] - round(mixed / _MOD * 100.0, 6)) < 1e-12
+
+
+def test_python_datasource_stream_drains_all_batches(spark):
+    from pyspark_weather_forecasting_gsod_spark.sources.pyds import (
+        run_python_source_stream,
+    )
+
+    out = run_python_source_stream(
+        spark, n_rows=600, rows_per_batch=100, n_users=10, timeout_sec=120
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sum(r["n_events"] for r in rows) == 600  # every micro-batch counted once
