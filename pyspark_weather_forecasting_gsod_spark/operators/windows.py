@@ -147,3 +147,53 @@ def sliding_frame_avg(
     ipynb:863-875: ``avg(c).over(rowsBetween(-n, n))``)."""
     w = keyed_window(group_by, order_by).rowsBetween(-before, after)
     return df.withColumn(out_col, F.avg(column).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    order_by: str | Sequence[str],
+    alpha: float = 0.3,
+    lookback: int = 20,
+    out_col: str = "ewma",
+    digits: int = 6,
+) -> DataFrame:
+    """Exponentially weighted moving average over a bounded ROWS frame —
+    the smoothing kernel of a forecasting pipeline (the reference's domain)
+    without any sequential/driver computation.
+
+    For the frame [t-lookback+1 .. t] (ordered oldest→newest, m rows):
+    ``y_t = Σ_k (1-α)^(m-1-k) x_k / Σ_k (1-α)^(m-1-k)`` — pandas'
+    ``ewm(adjust=True)`` semantics truncated to the lookback. The frame is
+    materialized with ``collect_list`` (frame order follows the window
+    ORDER BY) and folded with JVM-side higher-order expressions: per-row
+    cost is O(lookback), shuffle cost is the one window exchange every
+    keyed window already pays. A closed-form prefix trick would avoid the
+    O(lookback) fold but is numerically explosive ((1-α)^-t overflows);
+    the bounded frame is the scale-safe shape.
+    """
+    w = keyed_window(group_by, order_by).rowsBetween(-(lookback - 1), 0)
+    frame = F.collect_list(F.col(column)).over(w)
+    decay = 1.0 - alpha
+    num = (
+        "aggregate(zip_with({f}, sequence(1, size({f})), "
+        "(x, i) -> x * pow({d}, size({f}) - i)), 0D, (a, v) -> a + v)"
+    )
+    den = (
+        "aggregate(sequence(1, size({f})), 0D, "
+        "(a, i) -> a + pow({d}, size({f}) - i))"
+    )
+    tmp = "__ewma_frame"
+    out = (
+        df.withColumn(tmp, frame)
+        .withColumn(
+            out_col,
+            F.round(
+                F.expr(num.format(f=tmp, d=decay)) / F.expr(den.format(f=tmp, d=decay)),
+                digits,
+            ),
+        )
+        .drop(tmp)
+    )
+    return out

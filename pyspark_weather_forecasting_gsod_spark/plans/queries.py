@@ -282,6 +282,39 @@ def sliding_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_events",
+    """
+    WITH f AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS fr
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             list_reduce(list_transform(range(1, len(fr) + 1),
+                 i -> fr[CAST(i AS INT)] * pow(0.7, len(fr) - i)),
+                 (a, v) -> a + v)
+             / list_reduce(list_transform(range(1, len(fr) + 1),
+                 i -> pow(0.7, len(fr) - i)),
+                 (a, v) -> a + v),
+             6) AS ewma
+    FROM f
+    """,
+)
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.3, 20-row lookback)
+    per user — the forecasting smoothing kernel, value-level-checked: both
+    engines fold the identical ordered frame with identical IEEE
+    arithmetic, so the oracle matches to the last bit before rounding."""
+    from ..operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = ewma(ev, "value", group_by="user_id", order_by=["ts", "event_id"])
+    return out.select("event_id", "user_id", "ewma")
+
+
+@query(
     "rolling_median_events",
     """
     SELECT event_id, user_id,
@@ -675,6 +708,116 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("c_custkey", "c_name", "revenue", "n_name").orderBy(
         F.col("revenue").desc(), F.col("c_custkey")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair join (disjunctive predicate on
+# two broadcast copies of the same dim) + year rollup. The OR condition
+# lives in the join, not a post-filter — Catalyst still broadcasts both
+# nation sides and the fact tables shuffle once on the order key.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join back onto the
+# fact chain (large-order customers). The inner aggregate reduces lineitem
+# to qualifying order keys BEFORE the joins — at 100 TB the semi-join side
+# is tiny and broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    return agg.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    ).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
 
 
 # ===========================================================================
@@ -3445,11 +3588,12 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 11 family-covered r01-greens (grouped_count, top10_orders,
+# 14 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
-# doc_fingerprint, text_quality, dedup_keep_latest) are left out to make
-# the window exactly 50.
+# doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
+# lag_delta_events, ngram_jaccard_topk) are left out to make the window
+# exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3469,12 +3613,14 @@ _EXPORT_PRIORITY: list[str] = [
     "domain_mix_sample",  # NEW in r3: deterministic domain mixing
     "python_datasource_scan",  # NEW in r3: Spark 4 Python DataSource connector
     "python_source_stream_agg",  # NEW in r3: streaming side of the connector
+    "q7_volume_shipping",  # NEW in r3: TPC-H Q7 shape
+    "q18_large_orders",  # NEW in r3: TPC-H Q18 shape
+    "ewma_events",  # NEW in r3: EWMA smoothing kernel
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "zero_impute_by_type",
     "median_by_supplier",
     "seasonal_median_by_user",
-    "sliding_avg_events",
     "rolling_median_events",
     "impute_seasonal_events",
     "impute_proximity_events",
@@ -3484,7 +3630,6 @@ _EXPORT_PRIORITY: list[str] = [
     "token_stats",
     "dedup_exact_stats",
     "rollup_reuse_daily",
-    "ngram_jaccard_topk",
     "neardup_clusters",
     "minhash_neardup",
     "simhash_fingerprints",
@@ -3496,7 +3641,6 @@ _EXPORT_PRIORITY: list[str] = [
     "session_windows",
     "streaming_tumbling",
     "rank_events_by_value",
-    "lag_delta_events",
     "range_window_day_avg",
     "lead_labels_strict",
     "range_join_errors",
