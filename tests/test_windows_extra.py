@@ -113,3 +113,25 @@ def test_skew_profile_orders_heaviest_first(spark):
     rows = skew_profile(df, "k").collect()
     assert [r.k for r in rows] == ["hot", "warm", "cold"]
     assert rows[0].n_rows == 5
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """With lookback >= group size, ewma() must equal pandas
+    ewm(adjust=True).mean() exactly (same closed form)."""
+    import pandas as pd
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.2, 2.6, 5.3]
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)], ["i", "g", "v"]
+    )
+    got = {
+        r["i"]: r["ewma"]
+        for r in ewma(
+            df, "v", group_by="g", order_by="i", alpha=0.3, lookback=100, digits=9
+        ).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i, w in enumerate(want):
+        assert abs(got[i] - round(w, 9)) < 1e-9, (i, got[i], w)
