@@ -820,6 +820,133 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional aggregation — CASE expressions inside SUM
+# split one scan into per-bucket tallies (no per-bucket subqueries, no
+# second pass). The priority classifier runs map-side inside codegen.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-numerator ratio (promo revenue share) — the
+# numerator and denominator come out of ONE aggregate pass over one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute join predicate (OR of ANDs
+# over both tables). Catalyst pushes the single-table conjuncts common to
+# every branch down to each scan and evaluates the residual disjunction at
+# the join — the hardest pushdown pattern in the classic suite.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ===========================================================================
 # Extension families (BASELINE.json north star): text analysis, dedup,
 # similarity search, multimodal columns, event-time windows, streaming.
@@ -3588,11 +3715,12 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 14 family-covered r01-greens (grouped_count, top10_orders,
+# 17 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
-# lag_delta_events, ngram_jaccard_topk) are left out to make the window
+# lag_delta_events, ngram_jaccard_topk, median_by_supplier,
+# zero_impute_by_type, session_windows) are left out to make the window
 # exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
@@ -3616,10 +3744,11 @@ _EXPORT_PRIORITY: list[str] = [
     "q7_volume_shipping",  # NEW in r3: TPC-H Q7 shape
     "q18_large_orders",  # NEW in r3: TPC-H Q18 shape
     "ewma_events",  # NEW in r3: EWMA smoothing kernel
+    "q12_shipmode_priority",  # NEW in r3: conditional aggregation
+    "q14_promo_revenue",  # NEW in r3: conditional-numerator ratio
+    "q19_discounted_revenue",  # NEW in r3: disjunctive pushdown
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
-    "zero_impute_by_type",
-    "median_by_supplier",
     "seasonal_median_by_user",
     "rolling_median_events",
     "impute_seasonal_events",
@@ -3638,7 +3767,6 @@ _EXPORT_PRIORITY: list[str] = [
     "ivf_ann_topk",
     "embedding_neardup",
     "sliding_halfhour",
-    "session_windows",
     "streaming_tumbling",
     "rank_events_by_value",
     "range_window_day_avg",
