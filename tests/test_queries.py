@@ -76,3 +76,24 @@ def test_rate_sample_decisions_stable_under_growth(spark, sf_dir):
     subset = docs.filter(F.col("doc_id") % 2 == 0)
     sub = set(r[0] for r in rate_sample_by_stratum(subset, "lang", rates, "doc_id").collect())
     assert sub == {d for d in full if d % 2 == 0}
+
+
+def test_gate_window_covers_every_query_without_a_driver_row():
+    """The driver checks the FIRST 50 exported queries. Every declared
+    query that has never received a driver CORRECTNESS row must be inside
+    that window, or it can never be verified by the hard signal."""
+    import json
+    import os
+
+    from pyspark_weather_forecasting_gsod_spark.plans import queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in sorted(os.listdir(repo)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            seen |= set(json.load(open(os.path.join(repo, f))))
+    names = list(queries())
+    window = set(names[:50])
+    assert len(window) == 50
+    missing = [n for n in names[50:] if n not in seen]
+    assert not missing, f"queries with no driver row outside the gate window: {missing}"
