@@ -132,6 +132,16 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["Join"],
         "posexplode + partial map-side agg; the exchange carries (label, dim) partials, not vectors",
     ),
+    "q19_discounted_revenue": (
+        ["Or(And(EqualTo(p_brand,Brand#1)", "Or(And(GreaterThanOrEqual(l_quantity,10.0)"],
+        ["CartesianProduct"],
+        "the per-table halves of the OR-of-ANDs predicate each push down to their scan (part gets the brand/size disjunction, lineitem the quantity ranges)",
+    ),
+    "q12_shipmode_priority": (
+        ["HashAggregate", "PushedFilters:"],
+        ["CartesianProduct"],
+        "CASE-inside-SUM tallies both priority buckets in ONE aggregation pass; the shipdate range reaches the lineitem scan",
+    ),
 }
 
 
