@@ -1713,6 +1713,63 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "running_totals_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_sum,
+           ROUND(percent_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id), 6) AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id), 6) AS cum_dist
+    FROM events
+    """,
+)
+def running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window family: running sum (expanding frame) +
+    percent_rank/cume_dist distribution functions — all three share the
+    per-user exchange; the unique (value, event_id) ordering makes the
+    distribution functions tie-free and cross-engine deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w_time), 4).alias("running_sum"),
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "variant_json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    into a binary variant, ``variant_get`` with a JSON path — the modern
+    (shredded, type-preserving) replacement for string-based
+    get_json_object; at scale variant columns store parsed-once binary
+    instead of re-parsing JSON text per query."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id", F.variant_get(v, "$.k", "bigint").alias("k_val")
+    )
+
+
+@query(
     "rank_events_by_value",
     """
     SELECT event_id, user_id,
@@ -3715,13 +3772,13 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 17 family-covered r01-greens (grouped_count, top10_orders,
+# 19 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
 # lag_delta_events, ngram_jaccard_topk, median_by_supplier,
-# zero_impute_by_type, session_windows) are left out to make the window
-# exactly 50.
+# zero_impute_by_type, session_windows, rolling_median_events,
+# rank_events_by_value) are left out to make the window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3747,10 +3804,11 @@ _EXPORT_PRIORITY: list[str] = [
     "q12_shipmode_priority",  # NEW in r3: conditional aggregation
     "q14_promo_revenue",  # NEW in r3: conditional-numerator ratio
     "q19_discounted_revenue",  # NEW in r3: disjunctive pushdown
+    "running_totals_events",  # NEW in r3: cumulative window family
+    "variant_json_props",  # NEW in r3: Spark 4 VARIANT access
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "seasonal_median_by_user",
-    "rolling_median_events",
     "impute_seasonal_events",
     "impute_proximity_events",
     "orders_by_segment",
@@ -3768,7 +3826,6 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_neardup",
     "sliding_halfhour",
     "streaming_tumbling",
-    "rank_events_by_value",
     "range_window_day_avg",
     "lead_labels_strict",
     "range_join_errors",
