@@ -447,3 +447,33 @@ def simhash_band_buckets(
         + ", ".join([str(n_bands)] + [f"{i}, sb_{i}" for i in range(n_bands)])
         + ") as (band_no, bucket)",
     )
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    known: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental dedup — the production daily-batch shape: drop from
+    ``new_docs`` anything whose normalized-text fingerprint already exists
+    in the historical fingerprint store ``known`` (a table of ``fp_col``),
+    then dedup the increment internally (smallest id wins).
+
+    Shape at scale: the increment is small relative to the corpus, so the
+    anti-join shuffles only the increment's fingerprints against the
+    bucketed/partitioned store — never rescans corpus text. The store is
+    append-only: publish the surviving increment's fingerprints back after
+    each batch.
+    """
+    fp = F.md5(normalize_text(text_col).cast("binary"))
+    tagged = new_docs.withColumn("__fp", fp)
+    fresh = tagged.join(
+        known.select(F.col(fp_col).alias("__fp")), on="__fp", how="left_anti"
+    )
+    first = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(first.select(id_col), on=id_col, how="left_semi")
+        .drop("__fp")
+    )

@@ -1105,6 +1105,100 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_increment",
+    """
+    WITH known AS (
+        SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id < 400
+    ), inc AS (
+        SELECT doc_id, lang,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id >= 400
+    ), fresh AS (
+        SELECT i.doc_id, i.lang, i.fp
+        FROM inc i LEFT JOIN known k ON i.fp = k.fp WHERE k.fp IS NULL
+    ), first AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+    )
+    SELECT f.doc_id, f.lang FROM fresh f JOIN first u ON f.doc_id = u.doc_id
+    """,
+)
+def dedup_increment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) dedup: the increment (doc_id >= 400)
+    anti-joins the historical fingerprint store built from the corpus
+    (doc_id < 400), then dedups internally with smallest-id-wins. The
+    production shape: per batch, shuffle only increment fingerprints
+    against the append-only store — the corpus text is never rescanned."""
+    from ..ext.dedup import dedup_increment
+    from ..ext.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    known = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5(normalize_text("text").cast("binary")).alias("fingerprint"))
+        .distinct()
+    )
+    inc = docs.filter(F.col("doc_id") >= 400).select("doc_id", "lang", "text")
+    return dedup_increment(inc, known).select("doc_id", "lang")
+
+
+@query(
+    "skew_profile_events",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY user_id
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight (operators/skew.py::skew_profile): heaviest
+    partition keys before committing to a window/join partitioning — the
+    check that decides between a plain keyed shuffle, salting
+    (salted_revenue_by_segment), or AQE skew-join handling."""
+    from ..operators.skew import skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", top=10)
+
+
+@query(
+    "curation_audit",
+    f"""
+    WITH sig AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS ttr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN ttr < 0.3 THEN 'repetitive'
+                ELSE 'pass' END AS verdict
+    FROM sig
+    """,
+)
+def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation audit with reason codes — the explainable-filtering shape:
+    every document gets the FIRST failing rule (or 'pass'), so corpus
+    yield loss is attributable per rule. One map-only pass; the rule
+    cascade is a single CASE expression inside codegen."""
+    from ..ext.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    verdict = (
+        F.when(n < 20, "too_short")
+        .when(n > 5000, "too_long")
+        .when(ttr < 0.3, "repetitive")
+        .otherwise("pass")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
+@query(
     "dedup_exact_stats",
     """
     SELECT lang, source,
@@ -3772,13 +3866,14 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 19 family-covered r01-greens (grouped_count, top10_orders,
+# 22 family-covered r01-greens (grouped_count, top10_orders,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
 # lag_delta_events, ngram_jaccard_topk, median_by_supplier,
 # zero_impute_by_type, session_windows, rolling_median_events,
-# rank_events_by_value) are left out to make the window exactly 50.
+# rank_events_by_value, seasonal_median_by_user, orders_by_segment,
+# rollup_reuse_daily) are left out to make the window exactly 50.
 _EXPORT_PRIORITY: list[str] = [
     # -- never driver-checked / fixed this round / new this round
     "salted_revenue_by_segment",  # never checked in r01/r02
@@ -3806,17 +3901,17 @@ _EXPORT_PRIORITY: list[str] = [
     "q19_discounted_revenue",  # NEW in r3: disjunctive pushdown
     "running_totals_events",  # NEW in r3: cumulative window family
     "variant_json_props",  # NEW in r3: Spark 4 VARIANT access
+    "dedup_increment",  # NEW in r3: incremental batch-vs-store dedup
+    "skew_profile_events",  # NEW in r3: key-skew pre-flight
+    "curation_audit",  # NEW in r3: reason-coded corpus filtering
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
-    "seasonal_median_by_user",
     "impute_seasonal_events",
     "impute_proximity_events",
-    "orders_by_segment",
     "revenue_by_nation",
     "lang_id",
     "token_stats",
     "dedup_exact_stats",
-    "rollup_reuse_daily",
     "neardup_clusters",
     "minhash_neardup",
     "simhash_fingerprints",
