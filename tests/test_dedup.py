@@ -90,3 +90,28 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="convergence"):
         connected_components(edges, src="src", dst="dst", max_iter=2)
+
+
+def test_dedup_increment_drops_known_and_internal_dups(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import dedup_increment
+    from pyspark_weather_forecasting_gsod_spark.ext.text import normalize_text
+
+    corpus = spark.createDataFrame(
+        [(1, "the same old text"), (2, "something else")], ["doc_id", "text"]
+    )
+    known = corpus.select(
+        F.md5(normalize_text("text").cast("binary")).alias("fingerprint")
+    ).distinct()
+    inc = spark.createDataFrame(
+        [
+            (10, "THE  SAME old   text"),  # normalizes to a known fingerprint
+            (11, "genuinely new"),
+            (12, "genuinely  NEW"),  # internal dup of 11 after normalization
+            (13, "also new"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_increment(inc, known).collect())
+    assert kept == [11, 13]  # 10 known, 12 loses smallest-id-wins to 11
