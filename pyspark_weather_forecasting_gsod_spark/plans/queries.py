@@ -1199,6 +1199,40 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorize_events",
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           ROUND(LEAST(GREATEST(value, lo), hi), 4) AS v_winsor
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at per-group p05/p95) — the outlier-robust
+    feature-prep pass: one exact-percentile aggregate (|groups| rows) and
+    a broadcast join back onto the fact table. Same agg-then-broadcast
+    shape as the median imputer (J2), so the fact table never re-shuffles
+    at any scale."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+        ).alias("v_winsor"),
+    )
+
+
+@query(
     "dedup_exact_stats",
     """
     SELECT lang, source,
@@ -3866,7 +3900,7 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 22 family-covered r01-greens (grouped_count, top10_orders,
+# 23 family-covered r01-greens (grouped_count, top10_orders, lang_id,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
@@ -3904,12 +3938,12 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_increment",  # NEW in r3: incremental batch-vs-store dedup
     "skew_profile_events",  # NEW in r3: key-skew pre-flight
     "curation_audit",  # NEW in r3: reason-coded corpus filtering
+    "winsorize_events",  # NEW in r3: per-group percentile clipping
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "impute_seasonal_events",
     "impute_proximity_events",
     "revenue_by_nation",
-    "lang_id",
     "token_stats",
     "dedup_exact_stats",
     "neardup_clusters",

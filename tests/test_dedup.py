@@ -115,3 +115,25 @@ def test_dedup_increment_drops_known_and_internal_dups(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_increment(inc, known).collect())
     assert kept == [11, 13]  # 10 known, 12 loses smallest-id-wins to 11
+
+
+def test_dedup_increment_publish_back_is_idempotent(spark):
+    """After publishing the surviving increment's fingerprints back to the
+    store, re-running the same increment must drop everything."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import dedup_increment
+    from pyspark_weather_forecasting_gsod_spark.ext.text import normalize_text
+
+    known = spark.createDataFrame([("seed",)], ["text"]).select(
+        F.md5(normalize_text("text").cast("binary")).alias("fingerprint")
+    )
+    inc = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    kept = dedup_increment(inc, known)
+    assert kept.count() == 2
+    published = known.union(
+        kept.select(F.md5(normalize_text("text").cast("binary")).alias("fingerprint"))
+    )
+    assert dedup_increment(inc, published).count() == 0
