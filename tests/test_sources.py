@@ -179,3 +179,59 @@ def test_python_datasource_stream_drains_all_batches(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert sum(r["n_events"] for r in rows) == 600  # every micro-batch counted once
+
+
+def test_orc_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively — verify a
+    lossless roundtrip of a driver table (schema + values) so the engine's
+    source story is not parquet-only."""
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == orders.schema
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """The real multimodal ingestion path: ``binaryFile`` reads opaque
+    payload files as (path, length, content); the frame sampler consumes
+    the binary column directly — no decode on the scan path."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import sample_frames
+
+    blobs = {"a.bin": b"\x01" * 700, "b.bin": b"\x02" * 300}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length"),
+            F.col("content"),
+        )
+    )
+    rows = {r["fname"]: r["length"] for r in df.collect()}
+    assert rows == {"a.bin": 700, "b.bin": 300}
+    keyed = df.withColumn(
+        "doc_id", F.when(F.col("fname") == "a.bin", 1).otherwise(2).cast("long")
+    )
+    frames = sample_frames(keyed, payload_col="content", id_col="doc_id").collect()
+    got = sorted((r["doc_id"], r["frame_idx"], r["frame_digest"]) for r in frames)
+    # a.bin (700 B): only offset 0 fits a full 256-B frame at stride 512
+    # (512+256 > 700); b.bin (300 B): only offset 0.
+    want = sorted(
+        [
+            (1, 0, hashlib.md5(b"\x01" * 256).hexdigest()),
+            (2, 0, hashlib.md5(b"\x02" * 256).hexdigest()),
+        ]
+    )
+    assert got == want
