@@ -947,6 +947,70 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the canonical pushdown benchmark — pure filter + global
+# aggregate, no join. Every predicate reaches the scan; the whole query is
+# one codegen'd map + partial/final agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+# (customers with zero orders must appear) followed by TWO aggregation
+# levels: per-customer count, then histogram of counts. The second agg
+# runs over |customers| rows, i.e. it is nearly free after the first.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 # ===========================================================================
 # Extension families (BASELINE.json north star): text analysis, dedup,
 # similarity search, multimodal columns, event-time windows, streaming.
@@ -3900,7 +3964,8 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # queries, then (b) the 44 r01-green queries that r02's rotation displaced
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
-# 23 family-covered r01-greens (grouped_count, top10_orders, lang_id,
+# 25 family-covered r01-greens (grouped_count, top10_orders, lang_id,
+# impute_seasonal_events, cosine_topk,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
@@ -3939,9 +4004,10 @@ _EXPORT_PRIORITY: list[str] = [
     "skew_profile_events",  # NEW in r3: key-skew pre-flight
     "curation_audit",  # NEW in r3: reason-coded corpus filtering
     "winsorize_events",  # NEW in r3: per-group percentile clipping
+    "q6_forecast_revenue",  # NEW in r3: pure-pushdown benchmark shape
+    "q13_customer_distribution",  # NEW in r3: outer-join double agg
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
-    "impute_seasonal_events",
     "impute_proximity_events",
     "revenue_by_nation",
     "token_stats",
@@ -3949,7 +4015,6 @@ _EXPORT_PRIORITY: list[str] = [
     "neardup_clusters",
     "minhash_neardup",
     "simhash_fingerprints",
-    "cosine_topk",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "embedding_neardup",
