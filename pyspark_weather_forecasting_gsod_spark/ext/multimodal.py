@@ -161,3 +161,51 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, FRAME_OUTPUT_SCHEMA)
+
+
+RESIZE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_digest", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 4,
+) -> DataFrame:
+    """Resize/downsample stub: keep every ``factor``-th byte of the opaque
+    payload (a real image resize is a decode → interpolate → re-encode with
+    the same 1-row-in/1-row-out Arrow shape and a size-reduction contract).
+    Deterministic byte selection, so a SQL oracle reproduces the digest
+    exactly; emits original/resized sizes so the reduction ratio is
+    auditable downstream."""
+
+    def process(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            orig, small, digs = [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                r = b[::factor]
+                orig.append(len(b))
+                small.append(len(r))
+                digs.append(hashlib.md5(r).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "orig_bytes": orig,
+                    "resized_bytes": small,
+                    "resized_digest": digs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, RESIZE_OUTPUT_SCHEMA)

@@ -1962,6 +1962,33 @@ def variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    WITH p AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS orig_bytes,
+           CAST((n + 3) // 4 AS BIGINT) AS resized_bytes,
+           md5(array_to_string(
+               list_transform(range(1, CAST(n AS INT) + 1, 4),
+                              i -> substring(text, CAST(i AS INT), 1)), ''))
+               AS resized_digest
+    FROM p
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stub (every 4th payload byte, md5-digested) —
+    the 1-in/1-out Arrow shape of a real image resize with a verifiable
+    size contract. ASCII corpus ⇒ the SQL oracle's char-stride selection
+    reproduces the byte stride exactly."""
+    from ..ext.multimodal import attach_binary_payload, resize_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_payload(attach_binary_payload(docs))
+
+
+@query(
     "rank_events_by_value",
     """
     SELECT event_id, user_id,
@@ -3965,7 +3992,7 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # — re-verifying them matters doubly this round because the events.ts
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
 # 25 family-covered r01-greens (grouped_count, top10_orders, lang_id,
-# impute_seasonal_events, cosine_topk,
+# impute_seasonal_events, cosine_topk, simhash_fingerprints,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
@@ -4006,6 +4033,7 @@ _EXPORT_PRIORITY: list[str] = [
     "winsorize_events",  # NEW in r3: per-group percentile clipping
     "q6_forecast_revenue",  # NEW in r3: pure-pushdown benchmark shape
     "q13_customer_distribution",  # NEW in r3: outer-join double agg
+    "multimodal_resize",  # NEW in r3: 1-in/1-out resize stub, md5 oracle
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "impute_proximity_events",
@@ -4014,7 +4042,6 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_exact_stats",
     "neardup_clusters",
     "minhash_neardup",
-    "simhash_fingerprints",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "embedding_neardup",
