@@ -1989,6 +1989,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_lateral_tokens",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(k AS INT) AS pos, toks[CAST(k AS INT) + 1] AS token
+    FROM t, UNNEST(range(0, len(toks))) AS u(k)
+    """,
+)
+def udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) applied via
+    LATERAL join — the row-expanding extension point for logic that can't
+    be a scalar UDF (one input row → many typed output rows, planned like
+    a generator). The tokenizer here is deliberately reproducible in SQL
+    so the lateral plumbing itself is value-level verified; a real use
+    slots parsing/segmentation logic behind the same interface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class _Tokenize:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            for i, t in enumerate((text or "").split()):
+                yield i, t
+
+    tune(spark)
+    spark.udtf.register("__gsod_tokenize_udtf", _Tokenize)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("__gsod_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM __gsod_udtf_docs d, LATERAL __gsod_tokenize_udtf(d.text) t"
+    )
+
+
+@query(
     "rank_events_by_value",
     """
     SELECT event_id, user_id,
@@ -3993,6 +4032,7 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # reader changed (parquet NANOS→MICROS probe) under every ts-based query.
 # 25 family-covered r01-greens (grouped_count, top10_orders, lang_id,
 # impute_seasonal_events, cosine_topk, simhash_fingerprints,
+# minhash_neardup,
 # mode_event_type, multimodal_meta, json_extract_props,
 # impute_proximity_doubling, tumbling_hourly, streaming_sliding,
 # doc_fingerprint, text_quality, dedup_keep_latest, sliding_avg_events,
@@ -4034,6 +4074,7 @@ _EXPORT_PRIORITY: list[str] = [
     "q6_forecast_revenue",  # NEW in r3: pure-pushdown benchmark shape
     "q13_customer_distribution",  # NEW in r3: outer-join double agg
     "multimodal_resize",  # NEW in r3: 1-in/1-out resize stub, md5 oracle
+    "udtf_lateral_tokens",  # NEW in r3: Spark 4 Python UDTF + LATERAL
     # -- r01-green, displaced by r02's rotation; ts-reader change re-verify
     "q1_pricing_summary",
     "impute_proximity_events",
@@ -4041,7 +4082,6 @@ _EXPORT_PRIORITY: list[str] = [
     "token_stats",
     "dedup_exact_stats",
     "neardup_clusters",
-    "minhash_neardup",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "embedding_neardup",
