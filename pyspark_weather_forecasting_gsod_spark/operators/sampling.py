@@ -114,10 +114,16 @@ def rate_sample_by_stratum(
     draws), the decision is a pure function of the row key: reproducible
     across engines and runs, stable under data growth, map-only and
     shuffle-free at any scale. Strata absent from ``rates`` are dropped.
+
+    ``hex_chars=8`` keeps ``hash_bucket``'s uniformity precondition
+    (16**8 ≈ 4.3e9 >> 1e6 buckets, still fits in a long): at 6 chars the
+    16.78M hash space mod 1M gave buckets below 777216 one extra md5
+    preimage each, skewing realized keep-rates ~1% off nominal.
     """
-    b = hash_bucket(F.col(key), buckets, hex_chars=6)
-    rate: Column = F.lit(None)
-    expr = None
+    if not rates:
+        raise ValueError("rate_sample_by_stratum: rates must be non-empty")
+    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    expr: Column | None = None
     for stratum, r in sorted(rates.items()):
         cond = F.col(stratum_col) == stratum
         expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))

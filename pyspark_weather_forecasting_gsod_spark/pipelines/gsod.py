@@ -212,20 +212,25 @@ def run_gsod_pipeline(
     featurized = feat_model.transform(labeled)
     train, test = seeded_split(featurized)
     # Four downstream consumers (LR fit/eval, GBT fit/eval) would each
-    # re-run the window + feature-pipeline lineage; persist the split once.
+    # re-run the window + feature-pipeline lineage; persist the split once
+    # and release the cached partitions once the consumers are done (a
+    # long-lived session re-running the pipeline would otherwise leak them).
     train, test = train.persist(), test.persist()
+    try:
+        lr = train_linear_regression(train, "next_day_max")
+        reg_metrics = evaluate_regression(lr.transform(test), "next_day_max")
 
-    lr = train_linear_regression(train, "next_day_max")
-    reg_metrics = evaluate_regression(lr.transform(test), "next_day_max")
-
-    out: dict[str, object] = {
-        "imputed": imputed,
-        "census": census.asDict(),
-        "regression": reg_metrics,
-    }
-    if with_classifier:
-        clf = train_gbt_classifier(train, "next_day_rain", max_iter=5)
-        out["classification"] = evaluate_classification(
-            clf.transform(test), "next_day_rain"
-        )
-    return out
+        out: dict[str, object] = {
+            "imputed": imputed,
+            "census": census.asDict(),
+            "regression": reg_metrics,
+        }
+        if with_classifier:
+            clf = train_gbt_classifier(train, "next_day_rain", max_iter=5)
+            out["classification"] = evaluate_classification(
+                clf.transform(test), "next_day_rain"
+            )
+        return out
+    finally:
+        train.unpersist()
+        test.unpersist()

@@ -288,7 +288,7 @@ def sliding_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id,
                list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS fr
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, user_id,
            ROUND(
@@ -306,10 +306,19 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α = 0.3, 20-row lookback)
     per user — the forecasting smoothing kernel, value-level-checked: both
     engines fold the identical ordered frame with identical IEEE
-    arithmetic, so the oracle matches to the last bit before rounding."""
+    arithmetic, so the oracle matches to the last bit before rounding.
+
+    NULL values are filtered on BOTH engine sides: Spark's collect_list
+    drops NULLs (and sorts NULLS FIRST) while DuckDB's list() keeps them
+    (NULLS LAST), so parity on a NULL-carrying generation would otherwise
+    depend on an undocumented testdata property."""
     from ..operators.windows import ewma
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     out = ewma(ev, "value", group_by="user_id", order_by=["ts", "event_id"])
     return out.select("event_id", "user_id", "ewma")
 
@@ -1914,17 +1923,24 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY value, event_id), 6) AS pct_rank,
            ROUND(cume_dist() OVER (PARTITION BY user_id
                                    ORDER BY value, event_id), 6) AS cum_dist
-    FROM events
+    FROM events WHERE value IS NOT NULL
     """,
 )
 def running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window family: running sum (expanding frame) +
     percent_rank/cume_dist distribution functions — all three share the
     per-user exchange; the unique (value, event_id) ordering makes the
-    distribution functions tie-free and cross-engine deterministic."""
+    distribution functions tie-free and cross-engine deterministic.
+    NULLs are filtered on both engine sides (engines disagree on NULL sort
+    placement in window ORDER BY, so parity must not hinge on the testdata
+    happening to be NULL-free)."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     w_time = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2582,7 +2598,7 @@ _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
     WITH b AS (
         SELECT doc_id, lang,
                list_reduce(list_transform(
-                   string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''),
+                   string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
                    (a, b) -> a * 16 + b) % 1000000 AS bucket
         FROM documents

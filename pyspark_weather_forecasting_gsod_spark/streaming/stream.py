@@ -23,6 +23,19 @@ from ..sources.io import _events_ts_int64, events_schema_for, normalize_events_t
 from .event_windows import tumbling_agg
 
 
+def _await_or_raise(q, timeout_sec: int, what: str) -> None:
+    """Await query termination; raise on timeout instead of silently
+    returning a partially-populated sink (which would surface downstream as
+    a confusing oracle hash mismatch rather than the timeout it is)."""
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"{what} did not terminate within {timeout_sec}s")
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -68,11 +81,7 @@ def run_streaming_tumbling_append(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, name)
     return spark.table(name)
 
 
@@ -98,11 +107,7 @@ def streaming_dedup_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, name)
     return spark.table(name)
 
 
@@ -125,11 +130,7 @@ def run_streaming_tumbling(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, name)
     return spark.table(name)
 
 
@@ -186,11 +187,7 @@ def run_streaming_stream_join(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, name)
     return spark.table(name)
 
 
@@ -227,9 +224,5 @@ def run_streaming_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, "streaming upsert")
     return spark.read.parquet(target_path)
