@@ -449,6 +449,44 @@ def simhash_band_buckets(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band-bucket candidates (docs sharing
+    any ``band_bits``-bit band of their 64-bit fingerprint), refined by an
+    exact Hamming-distance cut on the full fingerprints.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b. Banding guarantees
+    every pair within ``64/band_bits - 1`` differing bands is a candidate
+    (pigeonhole), so with 4 bands and ``max_hamming ≤ 3`` recall is exact;
+    larger cuts are approximate. Same scale shape as MinHash-LSH: bucket
+    join → distinct candidates → refine candidates only, never all-pairs.
+    """
+    sim = simhash64(df, id_col, text_col).persist()
+    buckets = simhash_band_buckets(sim, id_col, band_bits)
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band_no", "bucket")
+    candidates = (
+        a.join(b, on=["band_no", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("__fp_a"))
+    fb = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("__fp_b"))
+    return (
+        candidates.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.expr("__fp_a ^ __fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_increment(
     new_docs: DataFrame,
     known: DataFrame,

@@ -215,21 +215,30 @@ def brp_lsh_ann(
     )
 
 
-def ivf_topk(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    index_dir: str,
     n_centroids: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: seeded KMeans partitions the corpus into
-    ``n_centroids`` cells; each query scans only its ``nprobe`` nearest
-    cells. At 100 TB the corpus would be written bucketed/partitioned by
-    ``centroid`` so each probe is a partition-pruned scan."""
+    seed: int = 42,
+    max_iter: int = 5,
+) -> None:
+    """Build a persistent IVF index: fit seeded KMeans ONCE over the corpus,
+    then write
+
+      * ``{index_dir}/corpus`` — the (nid, ne) vectors as parquet
+        PARTITIONED BY ``centroid``, so a probe scan that filters on
+        centroid ids is partition-pruned (reads ~nprobe/n_centroids of the
+        data, the FAISS-IVF property), and
+      * ``{index_dir}/centroids`` — the n_centroids (centroid, cvec) rows.
+
+    This is the 100 TB shape: the expensive corpus pass (train + assign +
+    re-layout) happens once at build time; every subsequent query batch is
+    a probe-only ``ivf_search`` that never re-fits anything.
+    """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = corpus.select(
         F.col(id_col).alias("nid"),
@@ -239,15 +248,40 @@ def ivf_topk(
         ),
     )
     km = KMeans(
-        k=n_centroids, seed=42, maxIter=5,
+        k=n_centroids, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="centroid",
     )
     model = km.fit(feat)
     assigned = model.transform(feat).select("nid", "ne", "centroid")
-
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+        f"{index_dir}/corpus"
+    )
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     centers_df = corpus.sparkSession.createDataFrame(centers, ["centroid", "cvec"])
+    centers_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-only IVF ANN over an index built by ``build_ivf_index`` — no
+    KMeans fit, no full-corpus pass.
+
+    Each query ranks the (tiny, broadcast) centroid table and keeps its
+    ``nprobe`` nearest cells; the union of probed cells (≤ n_centroids ids
+    — a bounded driver collect by construction) becomes a STATIC partition
+    filter on the bucketed corpus scan, so the scan physically reads only
+    the probed partitions (``PartitionFilters`` in the plan, not a
+    post-scan filter). Scoring then joins probes to the pruned corpus on
+    ``centroid`` and takes per-query top-k.
+    """
+    centers_df = spark.read.parquet(f"{index_dir}/centroids")
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
     qc = q.join(F.broadcast(centers_df))
     cdot = F.expr(DOT.format(a="qe", b="cvec"))
@@ -255,6 +289,13 @@ def ivf_topk(
     qc = qc.select("qid", "qe", "centroid", (cdot / (cnq * cnc)).alias("ccos"))
     wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("centroid"))
     probes = qc.withColumn("prk", F.row_number().over(wq)).filter(F.col("prk") <= nprobe)
+
+    # bounded collect: the probed-cell union can never exceed n_centroids
+    # ids, independent of corpus or query-batch size
+    probed_cells = [r[0] for r in probes.select("centroid").distinct().collect()]
+    assigned = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("centroid").isin(probed_cells)
+    )
 
     pairs = probes.join(assigned, on="centroid").filter(F.col("qid") != F.col("nid"))
     dot = F.expr(DOT.format(a="qe", b="ne"))
@@ -265,6 +306,81 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "nid", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """One-shot convenience over ``build_ivf_index`` + ``ivf_search``:
+    builds a transient index (under ``index_dir``, or a fresh temp dir) and
+    probes it. Anyone issuing repeated query batches should call
+    ``build_ivf_index`` once and ``ivf_search`` per batch — the build is a
+    full corpus pass (KMeans fit + bucketed rewrite) and must not be paid
+    per query."""
+    import tempfile
+
+    d = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(corpus, d, n_centroids, id_col, vec_col)
+    return ivf_search(corpus.sparkSession, d, queries, k, nprobe, id_col, vec_col)
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against its exact
+    companion: (qid, recall_vs_exact) where recall = |approx ∩ exact| /
+    |exact| for that qid. Both inputs carry (qid, nid) rows. The join keys
+    are ids, not scores, so float noise cannot flip the measurement."""
+    e = exact.select("qid", "nid")
+    a = approx.select("qid", "nid")
+    n_exact = e.groupBy("qid").agg(F.count(F.lit(1)).alias("__n_exact"))
+    n_hit = (
+        a.join(e, on=["qid", "nid"], how="inner")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return n_exact.join(n_hit, "qid", "left").select(
+        "qid",
+        F.round(
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"), 6
+        ).alias("recall_vs_exact"),
+    )
+
+
+def pair_recall_summary(
+    approx: DataFrame, exact: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """One-row (n_exact, n_approx, recall_vs_exact, n_false_positive)
+    comparing two undirected pair sets (id_a < id_b convention on both
+    sides). A false positive is an approx pair absent from the exact set."""
+    a = approx.select(id_a, id_b)
+    e = exact.select(id_a, id_b)
+    n_e = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_a = a.agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hit = a.join(e, on=[id_a, id_b], how="inner").agg(
+        F.count(F.lit(1)).alias("__n_hit")
+    )
+    n_fp = a.join(e, on=[id_a, id_b], how="left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_positive")
+    )
+    return (
+        n_e.crossJoin(n_a)
+        .crossJoin(n_hit)
+        .crossJoin(n_fp)
+        .select(
+            "n_exact",
+            "n_approx",
+            F.round(F.col("__n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+                "recall_vs_exact"
+            ),
+            "n_false_positive",
+        )
     )
 
 
