@@ -15,9 +15,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+#: Above this many rows, ``profile_numeric`` swaps ``F.median`` (whole-group
+#: value buffer in one agg buffer — the thing that cannot hold a 100 TB
+#: global group) for the bounded-memory ``scalable_exact_median``. The
+#: default keeps every test/bench scale on the single-pass plan while the
+#: production-scale path engages automatically.
+SCALABLE_MEDIAN_OVER = 50_000_000
+
+
+def profile_numeric(
+    df: DataFrame,
+    columns: list[str],
+    scalable_median_over: int | None = SCALABLE_MEDIAN_OVER,
+) -> DataFrame:
     """One-row summary: mean/stddev/min/max/exact-median/distinct per column,
-    single pass (reference runs ~5 jobs per column; ipynb:633-643)."""
+    single pass (reference runs ~5 jobs per column; ipynb:631-646).
+
+    ``F.median`` buffers the entire (global) group's values in the agg
+    buffer; above ``scalable_median_over`` rows (O(threshold) limit-probe,
+    never a full count) the medians switch to
+    ``quantiles.scalable_exact_median`` — identical exact semantics
+    (mean-of-middle-two), bounded memory via GK-sketch range narrowing —
+    while every other statistic stays in the one aggregation pass. Pass
+    ``None`` to force the single-pass plan regardless of size."""
+    use_scalable = False
+    if scalable_median_over is not None and columns:
+        probe = df.limit(scalable_median_over + 1).count()
+        use_scalable = probe > scalable_median_over
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs += [
@@ -25,10 +50,25 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
             F.stddev(c).alias(f"stddev_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.max(c).alias(f"max_{c}"),
-            F.median(c).alias(f"median_{c}"),
+            *([] if use_scalable else [F.median(c).alias(f"median_{c}")]),
             F.count_distinct(F.col(c)).alias(f"distinct_{c}"),
         ]
-    return df.agg(*aggs)
+    out = df.agg(*aggs)
+    if use_scalable:
+        from .quantiles import scalable_exact_median
+
+        for c in columns:
+            out = out.withColumn(
+                f"median_{c}", F.lit(scalable_exact_median(df, c))
+            )
+        # restore the canonical column order of the single-pass plan
+        ordered = ["n_rows"] + [
+            f"{s}_{c}"
+            for c in columns
+            for s in ("mean", "stddev", "min", "max", "median", "distinct")
+        ]
+        out = out.select(*ordered)
+    return out
 
 
 def profile_categorical(df: DataFrame, columns: list[str]) -> DataFrame:

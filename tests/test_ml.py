@@ -93,6 +93,29 @@ def test_gsod_pipeline_end_to_end(spark):
     assert out["regression"]["rmse"] < 20.0
 
 
+def test_gsod_pipeline_metric_parity_band(spark):
+    """BASELINE parity envelope on the full 347k-row fixture (the declared
+    ``gsod_pipeline_e2e`` config): the reference publishes LR RMSE 6.2103 /
+    R² 0.93168 on real GSOD 2023 (BASELINE.md, ipynb:1528/1531). The
+    synthetic fixture is easier than real weather (measured R² ≈ 0.965,
+    RMSE ≈ 4.08 — seasonal signal + bounded uniform noise, no fronts or
+    regime shifts), so exact parity is impossible; the band instead pins
+    the metrics to a regression-catching envelope: R² ≥ 0.9 (a silent
+    feature-pipeline bug — dropped column, mis-joined label — craters R²
+    long before it reaches 0.9) and 2.0 ≤ RMSE ≤ 6.5 (the lower bound
+    catches label leakage: predicting next_day_max better than the
+    fixture's irreducible ±6 noise band means the label leaked into the
+    features)."""
+    import importlib
+
+    Q = importlib.import_module("pyspark_weather_forecasting_gsod_spark.plans.queries")
+    rows = Q.QUERIES["gsod_pipeline_e2e"][0](spark, "/root/testdata/sf0.001").collect()
+    m = {r.metric: r.value for r in rows}
+    assert all(v == 0.0 for k, v in m.items() if k.startswith("census_null_"))
+    assert m["reg_r2"] >= 0.9, f"feature pipeline regression: R²={m['reg_r2']}"
+    assert 2.0 <= m["reg_rmse"] <= 6.5, f"RMSE out of band: {m['reg_rmse']}"
+
+
 def test_weather_fixture_pathologies(spark):
     from pyspark.sql import functions as F
 

@@ -31,6 +31,28 @@ def test_profile_numeric_single_pass(spark):
     assert row.distinct_v == 3
 
 
+def test_profile_numeric_scalable_median_path_matches_single_pass(spark):
+    """Above the row threshold, profile_numeric swaps F.median for the
+    bounded-memory scalable_exact_median — identical values, identical
+    schema/column order, so the switch is invisible to consumers (and to
+    the profile_lineitem oracle)."""
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    single = profile_numeric(li, cols, scalable_median_over=None).collect()[0]
+    scal = profile_numeric(li, cols, scalable_median_over=10).collect()[0]
+    s, c = single.asDict(), scal.asDict()
+    assert list(s) == list(c)  # identical schema and column order
+    for k in s:
+        if k.startswith(("median_", "min_", "max_", "n_rows", "distinct_")):
+            assert s[k] == c[k], k  # medians (and exact stats) match exactly
+        else:
+            # mean/stddev: dropping the median columns changes the physical
+            # agg, so partial-sum order (and the last float bits) may differ
+            assert abs(s[k] - c[k]) <= 1e-9 * max(abs(s[k]), 1.0), k
+
+
 def test_profile_categorical(spark):
     df = spark.createDataFrame([Row(a="x", b="1"), Row(a="y", b="1")])
     row = profile_categorical(df, ["a", "b"]).collect()[0]
