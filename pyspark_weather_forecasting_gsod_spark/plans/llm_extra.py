@@ -1,0 +1,276 @@
+"""LLM-training-pipeline extras: contamination audit, embedding
+quantization, BM25 retrieval scoring.
+
+Three operations a 100-TB curation pipeline runs that rounds 1-3 did not
+yet declare:
+
+* **benchmark contamination check** — the n-gram-overlap audit every lab
+  runs before training (GPT-3 appendix C / PaLM-style): what fraction of
+  each training document's 5-grams also appears in a held-out benchmark
+  set. Same inverted-shingle-index shape as ``dup_span_stats`` — never a
+  doc×doc comparison.
+* **int8 embedding quantization** — symmetric per-vector max-abs scaling
+  with reconstruction-error accounting, the storage-reduction step before
+  shipping vectors to an ANN index. Pure per-row array expressions: zero
+  shuffles, zero Python.
+* **BM25 scoring** — the classic sparse-retrieval companion to the dense
+  ANN path (``cosine_topk``): Okapi BM25 with k1=1.2, b=0.75 over the
+  whitespace token stream, exact df/dl statistics.
+
+All three follow plans.queries hashing conventions (shared aliases,
+rounded derived floats, BIGINT counts, tie-broken LIMITs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _TOKS, _t, query
+
+_BENCH_SOURCES = ("src0", "src1")  # held-out "benchmark" slice of documents
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), spans AS (
+        SELECT DISTINCT doc_id, source, span FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(toks) - 3),
+                          i -> array_to_string(toks[i:i+4], ' '))) AS span
+            FROM t WHERE len(toks) >= 5
+        )
+    ), bench AS (
+        SELECT DISTINCT span FROM spans
+        WHERE source IN ('src0', 'src1')
+    ), per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(b.span) AS BIGINT) AS n_contaminated
+        FROM spans s LEFT JOIN bench b ON s.span = b.span
+        WHERE s.source NOT IN ('src0', 'src1')
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT doc_id, source, n_spans, n_contaminated,
+           ROUND(n_contaminated / n_spans, 6) AS contamination_frac
+    FROM per_doc
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: fraction of each training document's
+    distinct word 5-grams that occur anywhere in the benchmark slice
+    (sources src0/src1 stand in for an eval set).
+
+    Scale shape: one explode pass builds (doc, span) pairs; the benchmark
+    span dictionary is DISTINCT-reduced before the equi-join, so the join
+    key cardinality is bounded by benchmark size (eval sets are tiny next
+    to a 100-TB corpus → the bench side broadcasts); per-doc tallies are
+    one hash aggregate. Never doc×doc, never a regex over the corpus.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", toks.alias("toks")
+    )
+    spans = (
+        t.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4), "
+                    "i -> array_join(slice(toks, i, 5), ' '))"
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    bench = (
+        spans.filter(F.col("source").isin(*_BENCH_SOURCES))
+        .select("span")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        spans.filter(~F.col("source").isin(*_BENCH_SOURCES))
+        .join(F.broadcast(bench), "span", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_spans",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_spans"), 6).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH arrs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, arr,
+               127.0 / list_max(list_transform(arr, x -> abs(x))) AS scale
+        FROM arrs
+        WHERE list_max(list_transform(arr, x -> abs(x))) > 0
+    ), elems AS (
+        SELECT vec_id, label, scale, unnest(arr) AS v FROM scaled
+    )
+    SELECT vec_id,
+           ANY_VALUE(label) AS label,
+           ROUND(ANY_VALUE(scale), 6) AS scale_r,
+           CAST(SUM(CAST(round(v * scale) AS BIGINT)) AS BIGINT) AS q_checksum,
+           CAST(MAX(abs(CAST(round(v * scale) AS BIGINT))) AS BIGINT) AS q_max_abs,
+           ROUND(SUM(abs(v - round(v * scale) / scale)) / COUNT(*), 8)
+               AS mean_abs_err
+    FROM elems
+    GROUP BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = 127 / max|x|, q = round(x·scale), plus reconstruction-error
+    accounting (mean |x - q/scale|) and an exact integer checksum the
+    oracle can hash.
+
+    Scale shape: every statistic is a per-row JVM array expression
+    (transform/aggregate) — no explode, no shuffle, no Python; at 100 TB
+    this is a pure map stage that codegen fuses into the parquet scan.
+    q_max_abs ≤ 127 by construction (asserted in tests) — the int8 range
+    claim, checked not assumed.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    d = emb.select("vec_id", "label", arr.alias("arr"))
+    max_abs = F.expr(
+        "aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"
+    )
+    d = d.withColumn("max_abs", max_abs).filter(F.col("max_abs") > 0)
+    d = d.withColumn("scale", F.lit(127.0) / F.col("max_abs"))
+    q = F.expr("transform(arr, x -> CAST(round(x * scale) AS BIGINT))")
+    d = d.withColumn("q", q)
+    checksum = F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    q_max_abs = F.expr(
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))"
+    )
+    abs_err_sum = F.expr(
+        "aggregate(arrays_zip(arr, q), CAST(0.0 AS DOUBLE), "
+        "(a, p) -> a + abs(p.arr - p.q / scale))"
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        checksum.alias("q_checksum"),
+        q_max_abs.alias("q_max_abs"),
+        F.round(abs_err_sum / F.size("arr"), 8).alias("mean_abs_err"),
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), terms AS (
+        SELECT doc_id, unnest(t) AS term FROM toks
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM terms
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+               ) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25, n_terms_hit
+    FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a fixed term set — the
+    sparse-retrieval companion to the dense ``cosine_topk`` path
+    (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
+
+    Scale shape: the token explode is filtered to the query vocabulary
+    BEFORE the tf aggregate, so the shuffled entity is (matching doc,
+    term), not the full posting list; df and the (N, avgdl) scalars are
+    1-row/`|vocab|`-row broadcast sides; top-k is TakeOrderedAndProject.
+    A real search deployment would precompute df/dl offline — here both
+    come from the same corpus scan, which AQE shares.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("t"))
+    dl = docs.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = docs.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.round("score", 4).alias("bm25"), "n_terms_hit"
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

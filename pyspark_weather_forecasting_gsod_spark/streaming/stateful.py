@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .stream import read_events_stream
+from .stream import _await_or_raise, read_events_stream
 
 STATE_SCHEMA = T.StructType(
     [
@@ -73,11 +73,7 @@ def streaming_user_totals(
         out.writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(availableNow=True).start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
+    _await_or_raise(q, timeout_sec, "stateful user totals")
     # update mode appends one row per key per batch: keep each key's LATEST
     # state. The running count is strictly monotonic across batches, so it
     # is its own reliable ordering (row order of a re-read memory table is

@@ -158,3 +158,78 @@ def test_stream_stream_join_matches_batch_time_range_join(spark, sf_dir):
     got_rows = sorted(tuple(r) for r in got.collect())
     want_rows = sorted(tuple(r) for r in want.collect())
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_streaming_topk_state_matches_batch_rank(spark, sf_dir):
+    """The stateful top-k final state equals the batch window-rank answer
+    (the oracle's formulation) regardless of which state API ran."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+    from pyspark_weather_forecasting_gsod_spark.streaming.topk_state import streaming_user_topk
+
+    got = {
+        r.user_id: (r.n_seen, r.top1, r.top2, r.top3)
+        for r in streaming_user_topk(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp_rows = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max(F.when(F.col("rk") == 1, F.col("value"))).alias("top1"),
+            F.max(F.when(F.col("rk") == 2, F.col("value"))).alias("top2"),
+            F.max(F.when(F.col("rk") == 3, F.col("value"))).alias("top3"),
+        )
+        .collect()
+    )
+    exp = {r.user_id: (r.n_seen, r.top1, r.top2, r.top3) for r in exp_rows}
+    assert got == exp
+
+
+def test_streaming_topk_state_merge_is_incremental():
+    """The shared merge function is associative across micro-batches: two
+    chunks must land in the same state as one combined chunk."""
+    import pandas as pd
+
+    from pyspark_weather_forecasting_gsod_spark.streaming.topk_state import _merge_topk
+
+    a = pd.Series([5.0, 1.0, None, 9.0])
+    b = pd.Series([7.0, 2.0, 8.0])
+    n1, top1 = _merge_topk(0, [], a)
+    n2, top2 = _merge_topk(n1, top1, b)
+    n_all, top_all = _merge_topk(0, [], pd.concat([a, b]))
+    assert (n2, top2) == (n_all, top_all) == (6, [9.0, 8.0, 7.0])
+
+
+def test_transform_with_state_honestly_gated(spark, sf_dir):
+    """When the protobuf runtime is absent the real TWS path must be
+    reported unavailable (and the fallback selected); when present, the
+    real path must actually run and agree with the fallback."""
+    from pyspark_weather_forecasting_gsod_spark.streaming.topk_state import (
+        streaming_user_topk,
+        transform_with_state_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert transform_with_state_available() == have
+    if have:
+        via_tws = {
+            tuple(r) for r in streaming_user_topk(
+                spark, sf_dir, use_transform_with_state=True
+            ).collect()
+        }
+        via_fallback = {
+            tuple(r) for r in streaming_user_topk(
+                spark, sf_dir, use_transform_with_state=False
+            ).collect()
+        }
+        assert via_tws == via_fallback

@@ -142,6 +142,76 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "CASE-inside-SUM tallies both priority buckets in ONE aggregation pass; the shipdate range reaches the lineitem scan",
     ),
+    "q2_min_cost_supplier": (
+        ["BroadcastHashJoin", "Window", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "the correlated MIN is a window over one part-key shuffle (no second scan, no self-join); every dim edge broadcasts; top-100 is a per-partition top-k merge",
+    ),
+    "q4_order_priority": (
+        ["LeftSemi", "PushedFilters:"],
+        ["CartesianProduct"],
+        "EXISTS with a correlated non-equi predicate compiles to a LEFT SEMI join with the range check as a residual; the orderdate window reaches the scan",
+    ),
+    "q8_market_share": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct"],
+        "seven-table star: part/supplier/nation×2/region broadcast; the conditional-sum ratio is one aggregation pass",
+    ),
+    "q9_product_profit": (
+        ["BroadcastHashJoin", "PushedFilters:"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "LIKE-pruned part dim broadcasts; profit expression folds into the scan projection; lineitem⨝orders is the only exchange",
+    ),
+    "q11_important_parts": (
+        ["ReusedExchange", "BroadcastExchange"],
+        ["CartesianProduct"],
+        "the HAVING threshold aggregates the SAME per-part subtree — ReuseExchange dedupes the shuffle so lineitem is scanned once; the 1-row scalar broadcasts",
+    ),
+    "q15_top_supplier": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "argmax via global window MAX over the post-aggregate rev view (supplier-cardinality, so the single-partition frame is safe) — lineitem scans once; supplier broadcasts",
+    ),
+    "q16_supplier_count": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "NOT IN compiles to a broadcast LEFT ANTI join; COUNT DISTINCT expands to a two-level partial aggregate on one grouping exchange",
+    ),
+    "q17_small_quantity_revenue": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "the correlated AVG is a window over the brand-restricted join — one part-key shuffle, no decorrelation join, no second lineitem scan",
+    ),
+    "q20_excess_shippers": (
+        ["LeftSemi", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "nested IN chain: the inner aggregate reduces to supplier keys before any dim join; the semi-join side is tiny and broadcasts",
+    ),
+    "q21_last_shipper": (
+        ["LeftSemi", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "EXISTS/NOT-EXISTS self-joins are semi+anti hash joins on the SAME order key — inequality predicates ride as residuals, never a nested loop",
+    ),
+    "q22_idle_customers": (
+        ["LeftAnti", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+        "NOT EXISTS is an anti join against the date-pruned orders key projection; the average-balance scalar and nation dim broadcast",
+    ),
+    "contamination_check": (
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "contamination audit is explode → distinct → equi-join on the span key against the DISTINCT-reduced benchmark dictionary — never doc×doc",
+    ),
+    "embedding_quantize": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "Join", "Generate"],
+        "int8 quantization + error accounting are per-row array expressions fused into the scan — zero shuffles, zero explode, zero Python",
+    ),
+    "bm25_topk": (
+        ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+        "BM25 filters the token explode to the query vocabulary before aggregating; df and corpus stats are broadcast scalars; top-k never global-sorts",
+    ),
 }
 
 
@@ -158,6 +228,10 @@ def main() -> None:
     failures: list[str] = []
     for name, (required, forbidden, why) in AUDITS.items():
         df = qs[name](spark, sf_dir)
+        if "ReusedExchange" in required:
+            # exchange reuse is an AQE-finalization decision: execute first so
+            # the explain shows the plan that actually ran
+            df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # same text explain() prints
             df._jdf.queryExecution(), "formatted"
         )
