@@ -336,20 +336,23 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Per-query recall of an approximate top-k result against its exact
     companion: (qid, recall_vs_exact) where recall = |approx ∩ exact| /
     |exact| for that qid. Both inputs carry (qid, nid) rows. The join keys
-    are ids, not scores, so float noise cannot flip the measurement."""
+    are ids, not scores, so float noise cannot flip the measurement.
+
+    Single-pass: one left join from exact onto approx + one aggregate, so
+    each input's (possibly expensive) subtree appears exactly once in the
+    plan — callers that also emit the approx rows should materialize the
+    tiny approx result (``localCheckpoint``) rather than let the search
+    re-run per reference."""
     e = exact.select("qid", "nid")
-    a = approx.select("qid", "nid")
-    n_exact = e.groupBy("qid").agg(F.count(F.lit(1)).alias("__n_exact"))
-    n_hit = (
-        a.join(e, on=["qid", "nid"], how="inner")
+    a = approx.select("qid", "nid").withColumn("__in_a", F.lit(1))
+    return (
+        e.join(a, on=["qid", "nid"], how="left")
         .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("__n_hit"))
-    )
-    return n_exact.join(n_hit, "qid", "left").select(
-        "qid",
-        F.round(
-            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"), 6
-        ).alias("recall_vs_exact"),
+        .agg(
+            F.round(F.count("__in_a") / F.count(F.lit(1)), 6).alias(
+                "recall_vs_exact"
+            )
+        )
     )
 
 
@@ -358,29 +361,27 @@ def pair_recall_summary(
 ) -> DataFrame:
     """One-row (n_exact, n_approx, recall_vs_exact, n_false_positive)
     comparing two undirected pair sets (id_a < id_b convention on both
-    sides). A false positive is an approx pair absent from the exact set."""
-    a = approx.select(id_a, id_b)
-    e = exact.select(id_a, id_b)
-    n_e = e.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_a = a.agg(F.count(F.lit(1)).alias("n_approx"))
-    n_hit = a.join(e, on=[id_a, id_b], how="inner").agg(
-        F.count(F.lit(1)).alias("__n_hit")
-    )
-    n_fp = a.join(e, on=[id_a, id_b], how="left_anti").agg(
-        F.count(F.lit(1)).alias("n_false_positive")
-    )
-    return (
-        n_e.crossJoin(n_a)
-        .crossJoin(n_hit)
-        .crossJoin(n_fp)
-        .select(
-            "n_exact",
-            "n_approx",
-            F.round(F.col("__n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
-                "recall_vs_exact"
-            ),
-            "n_false_positive",
-        )
+    sides). A false positive is an approx pair absent from the exact set.
+
+    Single-pass: one full-outer join + one aggregate, so the approx and
+    exact subtrees each appear exactly once in the plan (the previous
+    four-aggregate formulation recomputed each side up to three times —
+    a 3-4x wall-clock amplification when the sides are LSH pipelines or
+    inverted-index Jaccard scans)."""
+    a = approx.select(id_a, id_b).withColumn("__in_a", F.lit(1))
+    e = exact.select(id_a, id_b).withColumn("__in_e", F.lit(1))
+    j = a.join(e, on=[id_a, id_b], how="full_outer")
+    return j.agg(
+        F.count("__in_e").alias("n_exact"),
+        F.count("__in_a").alias("n_approx"),
+        F.round(
+            F.count(F.when(F.col("__in_a").isNotNull(), F.col("__in_e")))
+            / F.greatest(F.count("__in_e"), F.lit(1)),
+            6,
+        ).alias("recall_vs_exact"),
+        F.count(F.when(F.col("__in_e").isNull(), F.col("__in_a"))).alias(
+            "n_false_positive"
+        ),
     )
 
 

@@ -1655,17 +1655,23 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest gate) instead of hiding behind a rows-only check. FP is 0 by
     construction (candidates are exact-Jaccard verified); recall ≈ 1.0 on
     this corpus (8 bands × 4 rows s-curve ≈ 0.59 vs threshold 0.5)."""
-    from ..ext.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..ext.dedup import minhash_lsh_pairs, ngram_jaccard_pairs_dense
     from ..ext.similarity import pair_recall_summary
 
     docs = _t(spark, sf_dir, "documents")
     # 8 bands × 4 rows: s-curve threshold (1/8)^(1/4) ≈ 0.59 — random pairs
     # (jaccard ≈ 0.06 here) collide with p ≈ 1e-4, true near-dups (≥0.9)
     # with p ≈ 0.9998, so candidate volume stays ~linear in corpus size.
+    # near-dup pair sets are tiny (corpus-linear); materialize once so the
+    # LSH pipeline doesn't re-run for each of its two references below
     approx = minhash_lsh_pairs(
         docs, "doc_id", "text", n=2, num_hashes=32, bands=8, min_jaccard=0.5
-    )
-    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    ).localCheckpoint(eager=True)
+    # ground truth via the dense-BLAS exact join: this corpus's 2-gram
+    # universe is tiny (~900 shingles), the regime where the inverted
+    # index degenerates (every posting hot, measured 6.7× slower); the
+    # guards inside raise with the scale-path pointer on a real corpus
+    exact = ngram_jaccard_pairs_dense(docs, "doc_id", "text", n=2, min_jaccard=0.5)
     summary = pair_recall_summary(approx, exact, "doc_a", "doc_b")
     return approx.crossJoin(
         F.broadcast(summary.select("recall_vs_exact", "n_false_positive"))
@@ -1682,13 +1688,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the Jaccard truth threshold — SimHash's documented precision
     tradeoff (it approximates token-multiset cosine, not Jaccard), reported
     rather than hidden."""
-    from ..ext.dedup import ngram_jaccard_pairs, simhash64, simhash_neardup_pairs
+    from ..ext.dedup import (
+        ngram_jaccard_pairs_dense,
+        simhash64,
+        simhash_neardup_pairs,
+    )
     from ..ext.similarity import pair_recall_summary
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sim = simhash64(docs, "doc_id")
-    detected = simhash_neardup_pairs(docs, "doc_id", max_hamming=6)
-    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.7)
+    # detected pair set is tiny; materialize once (band join runs once)
+    detected = simhash_neardup_pairs(docs, "doc_id", max_hamming=6).localCheckpoint(
+        eager=True
+    )
+    # dense-BLAS exact truth — see minhash_neardup for the regime rationale
+    truth = ngram_jaccard_pairs_dense(docs, "doc_id", "text", n=2, min_jaccard=0.7)
     summary = pair_recall_summary(detected, truth, "doc_a", "doc_b").select(
         F.col("recall_vs_exact").alias("neardup_recall_vs_jaccard"),
         F.col("n_false_positive").alias("n_hamming_only_pairs"),
@@ -1761,7 +1775,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    approx = brp_lsh_ann(emb, q, k=5)
+    # |queries|×k rows: materialize so the LSH search runs once, not twice
+    approx = brp_lsh_ann(emb, q, k=5).localCheckpoint(eager=True)
     return approx.join(topk_recall(approx, cosine_topk(emb, q, k=5)), "qid")
 
 
@@ -1802,7 +1817,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     idx = _ivf_index_for(spark, sf_dir, n_centroids=16)
-    approx = ivf_search(spark, idx, q, k=5, nprobe=8)
+    # |queries|×k rows: materialize so the probe runs once, not twice
+    approx = ivf_search(spark, idx, q, k=5, nprobe=8).localCheckpoint(eager=True)
     return approx.join(topk_recall(approx, cosine_topk(emb, q, k=5)), "qid")
 
 
@@ -1820,7 +1836,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    approx = embedding_neardup_pairs(emb, min_cosine=0.35)
+    # near-dup pair set is tiny; materialize so the LSH join runs once
+    approx = embedding_neardup_pairs(emb, min_cosine=0.35).localCheckpoint(eager=True)
     exact = cosine_allpairs(emb, 0.35)
     summary = pair_recall_summary(approx, exact, "id_a", "id_b")
     return approx.crossJoin(

@@ -137,3 +137,55 @@ def test_dedup_increment_publish_back_is_idempotent(spark):
         kept.select(F.md5(normalize_text("text").cast("binary")).alias("fingerprint"))
     )
     assert dedup_increment(inc, published).count() == 0
+
+
+def test_exact_jaccard_variants_agree(spark, sf_dir):
+    """The three exact n-gram Jaccard strategies (inverted index, AllPairs
+    prefix filtering, dense-BLAS bitmap) must produce identical pair sets —
+    same algorithm contract, different cost regimes."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_dense,
+        ngram_jaccard_pairs_prefix,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
+
+    for n, t, mv in [(2, 0.5, 4096), (2, 0.7, 4096), (3, 0.3, 100_000)]:
+        naive = key(
+            ngram_jaccard_pairs(docs, "doc_id", "text", n=n, min_jaccard=t).collect()
+        )
+        prefix = key(
+            ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", n=n, min_jaccard=t
+            ).collect()
+        )
+        dense = key(
+            ngram_jaccard_pairs_dense(
+                docs, "doc_id", "text", n=n, min_jaccard=t, max_vocab=mv
+            ).collect()
+        )
+        assert naive == prefix, (n, t, len(naive), len(prefix))
+        assert naive == dense, (n, t, len(naive), len(dense))
+        assert naive, "degenerate test: no pairs found"
+
+
+def test_dense_jaccard_guards_raise(spark, sf_dir):
+    import pytest as _pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs_dense,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="docs"):
+        ngram_jaccard_pairs_dense(docs, "doc_id", max_rows=3)
+    with _pytest.raises(ValueError, match="shingles"):
+        ngram_jaccard_pairs_dense(docs, "doc_id", n=3, max_vocab=16)
+    with _pytest.raises(ValueError, match="min_jaccard"):
+        ngram_jaccard_pairs_dense(docs, "doc_id", min_jaccard=0.0)
