@@ -48,6 +48,7 @@ def main() -> None:
         "streaming_tumbling",
         "neardup_clusters",  # iterative convergence loop: re-runs fully every call
         "neardup_keep_best",  # same CC loop + representative pick
+        "semantic_dedup",  # KMeans fit + CC loop: the fit IS the cost
         "streaming_stream_join",  # stream executes on call; no codegen warm-up to buy
         "python_source_stream_agg",  # multi-batch stream drain on call
     }

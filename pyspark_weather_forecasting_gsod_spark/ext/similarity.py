@@ -332,6 +332,97 @@ def ivf_topk(
     return ivf_search(corpus.sparkSession, d, queries, k, nprobe, id_col, vec_col)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    min_cosine: float = 0.35,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): embedding
+    near-duplicates are detected WITHIN KMeans cells only, so the pairwise
+    work is one bounded BLAS task per cell instead of corpus².
+
+    1. seeded KMeans partitions the corpus into ``n_cells`` semantic cells
+       (at 100 TB this reuses ``build_ivf_index``'s persisted
+       centroid-partitioned layout — fit once, re-read clustered);
+    2. per cell, pairwise cosine ≥ ``min_cosine`` edges via one in-task
+       matmul (|cell| ≈ N/n_cells; pick n_cells so a cell fits an
+       executor — exactly the SemDeDup recipe, and the skew caveat:
+       a giant cell needs a finer clustering, visible in the output's
+       ``cell`` column);
+    3. connected components pick the min-id representative per duplicate
+       group; survivors are representatives plus edge-free rows.
+
+    Returns (id, cell, component, keep). Cross-cell near-dup pairs are
+    invisible by construction — the SemDeDup approximation; the declared
+    query quantifies that miss rate against the exact blocked all-pairs
+    companion instead of leaving it as prose.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    from .dedup import connected_components
+
+    feat = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        ).alias("features"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cell",
+    )
+    assigned = (
+        km.fit(feat).transform(feat).select("id", "vec", "cell")
+    ).persist()
+
+    edge_schema = T.StructType(
+        [T.StructField("doc_a", T.LongType()), T.StructField("doc_b", T.LongType())]
+    )
+
+    def cell_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        c = m @ m.T
+        # same decision rule as the exact blocked path: round then compare
+        mask = np.round(c, 9) >= min_cosine
+        mask &= ids[:, None] < ids[None, :]
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    edges = assigned.groupBy("cell").applyInPandas(cell_edges, edge_schema)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    out = (
+        assigned.join(
+            comp.select(F.col("node").alias("id"), F.col("comp").alias("component")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "cell",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
+    # materialize before releasing the cell assignment cache: the CC loop
+    # above already ran its eager rounds against the cached frame
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Per-query recall of an approximate top-k result against its exact
     companion: (qid, recall_vs_exact) where recall = |approx ∩ exact| /

@@ -180,6 +180,48 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semantic_dedup", None)  # KMeans-cell partition is seed/impl-specific
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (ext/similarity.py::semantic_dedup): KMeans cells → within-cell BLAS
+    cosine edges → connected components → min-id representative kept.
+
+    Quality is measured in-query, not asserted in prose: every row carries
+    (pair_recall_vs_exact, n_transitive_pairs) comparing the dedup's
+    implied duplicate pairs (component-mates) against the exact blocked
+    all-pairs companion at the same threshold. Recall < 1 is the SemDeDup
+    approximation itself — cross-cell near-dups are invisible by
+    construction, and isotropic random embeddings (this corpus) are its
+    documented worst case; transitive pairs are component-mates linked
+    through a chain rather than a direct ≥-threshold edge — inherent to
+    ANY connected-component dedup, reported rather than hidden. The pytest
+    gate pins both so a cell-assignment regression (recall → ~1/n_cells)
+    fails loudly."""
+    from ..ext.similarity import (
+        cosine_allpairs_blocked,
+        pair_recall_summary,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, min_cosine=0.35, n_cells=16)  # checkpointed inside
+    a = out.select(F.col("id").alias("doc_a"), F.col("component").alias("ca"))
+    b = out.select(F.col("id").alias("doc_b"), F.col("component").alias("cb"))
+    implied = (
+        a.join(b, F.col("ca") == F.col("cb"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    exact = cosine_allpairs_blocked(emb, 0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    summary = pair_recall_summary(implied, exact, "doc_a", "doc_b").select(
+        F.col("recall_vs_exact").alias("pair_recall_vs_exact"),
+        F.col("n_false_positive").alias("n_transitive_pairs"),
+    )
+    return out.crossJoin(F.broadcast(summary))
+
+
 _BM25_TERMS = ("spark", "vector", "stream")
 _BM25_K1 = 1.2
 _BM25_B = 0.75

@@ -189,3 +189,52 @@ def test_dense_jaccard_guards_raise(spark, sf_dir):
         ngram_jaccard_pairs_dense(docs, "doc_id", n=3, max_vocab=16)
     with _pytest.raises(ValueError, match="min_jaccard"):
         ngram_jaccard_pairs_dense(docs, "doc_id", min_jaccard=0.0)
+
+
+def test_property_jaccard_strategies_match_brute_force(spark):
+    """Property: on randomized small-vocab corpora, all three exact
+    strategies agree with a pure-Python brute-force Jaccard — an oracle
+    independent of every Spark expression involved."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_dense,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=2, max_size=12).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8), st.sampled_from([0.3, 0.6]))
+    def check(texts, t):
+        rows = [(i, s) for i, s in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def shingles(s):
+            w = s.split()
+            return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+        sets = {i: shingles(s) for i, s in rows if len(s.split()) >= 2}
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if union and inter / union >= t:
+                        want.add((a, b, inter, round(inter / union, 9)))
+
+        for fn in (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_prefix,
+            ngram_jaccard_pairs_dense,
+        ):
+            got = {
+                (r.doc_a, r.doc_b, r.common, round(r.jaccard, 9))
+                for r in fn(df, "doc_id", "text", n=2, min_jaccard=t).collect()
+            }
+            assert got == want, (fn.__name__, t, texts)
+
+    check()

@@ -218,3 +218,47 @@ def test_simhash_neardup_recall_gate(spark):
     rows = _declared("simhash_fingerprints")(spark, SF_GATE).collect()
     assert rows, "no fingerprints"
     assert rows[0].neardup_recall_vs_jaccard >= 0.85
+
+
+def test_semantic_dedup_survivor_properties(spark, sf_dir):
+    """Every dropped row shares a component with exactly one kept
+    representative (the min id); survivors of different components in the
+    SAME cell have no direct ≥-threshold edge between them."""
+    import numpy as np
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = semantic_dedup(emb, min_cosine=0.35, n_cells=16).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == 1 and kept[0].id == comp == min(m.id for m in members)
+    # survivor pair check within one cell: no direct near-dup edge remains
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        if r.keep:
+            by_cell.setdefault(r.cell, []).append(r.id)
+    for cell, ids in by_cell.items():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                assert round(cos, 9) < 0.35, (cell, a, b, cos)
+
+
+def test_semantic_dedup_query_recall_gate(spark, sf_dir):
+    """The declared query's measured pair recall must stay above the
+    cell-locality floor: a cell-assignment regression collapses recall
+    toward ~1/n_cells ≈ 0.06; the seeded measurement on this corpus is
+    ≈0.35 (sf0.001) / ≈0.43 (sf0.01) — isotropic random embeddings are
+    SemDeDup's documented worst case."""
+    from pyspark_weather_forecasting_gsod_spark.plans import queries
+
+    row = queries()["semantic_dedup"](spark, sf_dir).limit(1).collect()[0]
+    assert row.pair_recall_vs_exact >= 0.3
+    assert row.n_transitive_pairs >= 0
