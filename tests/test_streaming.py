@@ -233,3 +233,31 @@ def test_transform_with_state_honestly_gated(spark, sf_dir):
             ).collect()
         }
         assert via_tws == via_fallback
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_dir):
+    """Production streaming state lives in RocksDB, not the default
+    in-memory HDFS-backed provider; the stateful operators must produce
+    identical results under it (provider is a per-query conf read at
+    stream start)."""
+    from pyspark_weather_forecasting_gsod_spark.streaming.topk_state import (
+        streaming_user_topk,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(key, None)
+    baseline = {tuple(r) for r in streaming_user_topk(spark, sf_dir).collect()}
+    try:
+        spark.conf.set(key, rocks)
+        via_rocksdb = {
+            tuple(r) for r in streaming_user_topk(spark, sf_dir).collect()
+        }
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    assert via_rocksdb == baseline and baseline
