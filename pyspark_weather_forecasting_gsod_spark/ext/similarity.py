@@ -332,6 +332,52 @@ def ivf_topk(
     return ivf_search(corpus.sparkSession, d, queries, k, nprobe, id_col, vec_col)
 
 
+def sampled_pair_audit(
+    docs: DataFrame,
+    id_col: str,
+    approx: DataFrame,
+    exact_fn,
+    sample_pct: int = 30,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """The 100 TB recall-audit pattern: ground truth computed ONLY on a
+    deterministic document sample, never the full corpus.
+
+    At unbounded scale an exact all-pairs ground truth is impossible — the
+    production audit instead md5-buckets ``sample_pct`` % of documents
+    (engine-portable, partition-independent; operators/sampling.py), runs
+    the caller's exact builder on that subset alone (quadratic work drops
+    by sample²), restricts the approximate pair set to pairs with BOTH
+    endpoints sampled (an unbiased pair sample under independent doc
+    sampling), and compares with ``pair_recall_summary``. Output adds
+    ``n_sampled_docs`` so a too-small audit is visible, and recall is NULL
+    (not a fake 0 or 1) when the sample contains no exact pair to measure.
+    """
+    from ..operators.sampling import hash_bucket
+
+    sample = docs.select(F.col(id_col)).filter(
+        hash_bucket(F.col(id_col)) < sample_pct
+    )
+    sampled_docs = docs.join(F.broadcast(sample), id_col, "left_semi")
+    keys = sample.select(F.col(id_col).alias("__k"))
+    approx_s = approx.join(
+        F.broadcast(keys), F.col(id_a) == F.col("__k"), "left_semi"
+    ).join(F.broadcast(keys), F.col(id_b) == F.col("__k"), "left_semi")
+    exact_s = exact_fn(sampled_docs)
+    n_docs = sampled_docs.agg(F.count(F.lit(1)).alias("n_sampled_docs"))
+    summary = pair_recall_summary(approx_s, exact_s, id_a, id_b)
+    return summary.crossJoin(F.broadcast(n_docs)).select(
+        "n_exact",
+        "n_approx",
+        F.when(F.col("n_exact") > 0, F.col("recall_vs_exact")).alias(
+            "recall_vs_exact"
+        ),
+        "n_false_positive",
+        "n_sampled_docs",
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     min_cosine: float = 0.35,

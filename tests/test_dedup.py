@@ -238,3 +238,29 @@ def test_property_jaccard_strategies_match_brute_force(spark):
             assert got == want, (fn.__name__, t, texts)
 
     check()
+
+
+def test_auto_jaccard_selects_and_matches(spark, sf_dir):
+    """auto must equal the strategy-specific outputs on both sides of its
+    decision boundary (dense regime here; prefix regime forced via caps)."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
+
+    want = key(ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5).collect())
+    dense_route = key(
+        ngram_jaccard_pairs_auto(docs, "doc_id", "text", n=2, min_jaccard=0.5).collect()
+    )
+    prefix_route = key(
+        ngram_jaccard_pairs_auto(
+            docs, "doc_id", "text", n=2, min_jaccard=0.5, max_vocab=16
+        ).collect()
+    )
+    assert dense_route == want and prefix_route == want and want

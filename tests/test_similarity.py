@@ -262,3 +262,44 @@ def test_semantic_dedup_query_recall_gate(spark, sf_dir):
     row = queries()["semantic_dedup"](spark, sf_dir).limit(1).collect()[0]
     assert row.pair_recall_vs_exact >= 0.3
     assert row.n_transitive_pairs >= 0
+
+
+def test_sampled_pair_audit_estimates_full_recall(spark, sf_dir):
+    """The sampled audit's recall on a 50% doc sample must approximate the
+    full-corpus recall (both computed on the same deterministic corpus) and
+    report the sample size; FP stays 0 for the verified-candidate LSH."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        cosine_allpairs_blocked,
+        embedding_neardup_pairs,
+        pair_recall_summary,
+        sampled_pair_audit,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = embedding_neardup_pairs(emb, min_cosine=0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    full = pair_recall_summary(
+        approx,
+        cosine_allpairs_blocked(emb, 0.35).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        "doc_a",
+        "doc_b",
+    ).collect()[0]
+    audit = sampled_pair_audit(
+        emb,
+        "vec_id",
+        approx,
+        lambda sub: cosine_allpairs_blocked(sub, 0.35).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        sample_pct=50,
+    ).collect()[0]
+    assert 0 < audit.n_sampled_docs < 500 or audit.n_sampled_docs > 0
+    assert audit.n_false_positive == 0
+    if audit.recall_vs_exact is not None:
+        assert abs(audit.recall_vs_exact - full.recall_vs_exact) < 0.25
