@@ -394,13 +394,18 @@ def semantic_dedup(
     1. seeded KMeans partitions the corpus into ``n_cells`` semantic cells
        (at 100 TB this reuses ``build_ivf_index``'s persisted
        centroid-partitioned layout — fit once, re-read clustered);
-    2. per cell, pairwise cosine ≥ ``min_cosine`` edges via one in-task
-       matmul (|cell| ≈ N/n_cells; pick n_cells so a cell fits an
-       executor — exactly the SemDeDup recipe, and the skew caveat:
-       a giant cell needs a finer clustering, visible in the output's
-       ``cell`` column);
-    3. connected components pick the min-id representative per duplicate
-       group; survivors are representatives plus edge-free rows.
+    2. ONE Arrow task per cell does everything local to the cell: pairwise
+       cosine ≥ ``min_cosine`` via an in-task matmul, then union-find over
+       the resulting edges (|cell| ≈ N/n_cells; pick n_cells so a cell
+       fits an executor — exactly the SemDeDup recipe, and the skew
+       caveat: a giant cell needs a finer clustering, visible in the
+       output's ``cell`` column). Because edges never cross cells,
+       components are cell-local BY CONSTRUCTION — no distributed
+       label-propagation rounds at all (the iterative
+       ``connected_components`` loop measured 27 s on this graph's long
+       random-embedding chains vs ~0 in-task);
+    3. the min-id member is the kept representative; survivors are
+       representatives plus edge-free rows.
 
     Returns (id, cell, component, keep). Cross-cell near-dup pairs are
     invisible by construction — the SemDeDup approximation; the declared
@@ -413,8 +418,6 @@ def semantic_dedup(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
-    from .dedup import connected_components
-
     feat = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
@@ -426,47 +429,55 @@ def semantic_dedup(
         k=n_cells, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="cell",
     )
-    assigned = (
-        km.fit(feat).transform(feat).select("id", "vec", "cell")
-    ).persist()
+    assigned = km.fit(feat).transform(feat).select("id", "vec", "cell")
 
-    edge_schema = T.StructType(
-        [T.StructField("doc_a", T.LongType()), T.StructField("doc_b", T.LongType())]
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("component", T.LongType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
     )
 
-    def cell_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+    def cell_dedup(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["id"].to_numpy(dtype=np.int64)
-        m = np.array(pdf["vec"].tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        c = m @ m.T
-        # same decision rule as the exact blocked path: round then compare
-        mask = np.round(c, 9) >= min_cosine
-        mask &= ids[:, None] < ids[None, :]
-        ai, bi = np.nonzero(mask)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+        cell = pdf["cell"].to_numpy(dtype=np.int32)
+        parent = np.arange(len(ids))
 
-    edges = assigned.groupBy("cell").applyInPandas(cell_edges, edge_schema)
-    comp = connected_components(edges, "doc_a", "doc_b")
-    out = (
-        assigned.join(
-            comp.select(F.col("node").alias("id"), F.col("comp").alias("component")),
-            "id",
-            "left",
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        if len(ids) >= 2:
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            c = m @ m.T
+            # same decision rule as the exact blocked path: round, compare
+            mask = np.round(c, 9) >= min_cosine
+            mask &= ids[:, None] < ids[None, :]
+            for a, b in zip(*np.nonzero(mask)):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(len(ids))])
+        # component label = min member id (deterministic representative)
+        comp_min: dict[int, int] = {}
+        for i, r in enumerate(roots):
+            comp_min[r] = min(comp_min.get(r, ids[i]), ids[i])
+        component = np.array([comp_min[r] for r in roots], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": cell,
+                "component": component,
+                "keep": ids == component,
+            }
         )
-        .select(
-            "id",
-            "cell",
-            F.coalesce(F.col("component"), F.col("id")).alias("component"),
-        )
-        .withColumn("keep", F.col("id") == F.col("component"))
-    )
-    # materialize before releasing the cell assignment cache: the CC loop
-    # above already ran its eager rounds against the cached frame
-    out = out.localCheckpoint(eager=True)
-    assigned.unpersist()
-    return out
+
+    return assigned.groupBy("cell").applyInPandas(cell_dedup, out_schema)
 
 
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
