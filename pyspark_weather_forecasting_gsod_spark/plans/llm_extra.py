@@ -222,6 +222,103 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(summary))
 
 
+_MIX_ALPHA = 0.7  # temperature-smoothing exponent (multilingual-LM style)
+_MIX_TARGET = 0.5  # keep ~half the corpus overall
+_BUCKET_SQL = (
+    "list_reduce(list_transform("
+    "string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) % 1000000"
+)
+
+
+@query(
+    "temperature_mix_sample",
+    f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY lang
+    ), t AS (
+        SELECT CAST(SUM(n_total) AS DOUBLE) AS n_docs,
+               SUM(pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA})) AS sum_w
+        FROM c
+    ), r AS (
+        SELECT lang, n_total,
+               ROUND(LEAST(1.0,
+                     pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA}) / t.sum_w
+                     * (t.n_docs * {_MIX_TARGET}) / CAST(n_total AS DOUBLE)),
+                     6) AS rate_r
+        FROM c CROSS JOIN t
+    ), b AS (
+        SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+    ), k AS (
+        SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM b JOIN r USING (lang)
+        WHERE b.bucket < r.rate_r * 1000000
+        GROUP BY b.lang
+    )
+    SELECT r.lang, r.n_total, r.rate_r,
+           COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+    FROM r LEFT JOIN k USING (lang)
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (the multilingual-pretraining
+    sampling rule): per-language keep-rates ∝ n^α / Σ n^α with α < 1, so
+    high-resource languages are downweighted relative to their corpus
+    share and low-resource ones upweighted, scaled to an overall target
+    fraction and capped at 1. Rates are DERIVED FROM THE DATA in-engine
+    (one tiny per-language aggregate, cross-joined back as a broadcast) —
+    no driver-side collect — and the keep decision is the same
+    engine-portable md5-bucket rule as ``domain_mix_sample``, so the whole
+    pipeline is deterministic and oracle-hashable end to end.
+
+    Scale shape: two aggregates over one scan (per-lang counts, then the
+    1-row totals), a broadcast rate join, a map-side filter, and the
+    per-lang summary agg. Nothing keyed by more than |languages| rows ever
+    shuffles.
+    """
+    from ..operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    t = c.agg(
+        F.sum("n_total").cast("double").alias("n_docs"),
+        F.sum(F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))).alias(
+            "sum_w"
+        ),
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_total",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))
+                / F.col("sum_w")
+                * (F.col("n_docs") * _MIX_TARGET)
+                / F.col("n_total").cast("double"),
+            ),
+            6,
+        ).alias("rate_r"),
+    )
+    kept = (
+        docs.join(F.broadcast(r), "lang")
+        .filter(
+            hash_bucket(F.col("doc_id"), 1_000_000, hex_chars=8)
+            < F.col("rate_r") * 1_000_000
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return r.join(kept, "lang", "left").select(
+        "lang",
+        "n_total",
+        "rate_r",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
 _BM25_TERMS = ("spark", "vector", "stream")
 _BM25_K1 = 1.2
 _BM25_B = 0.75

@@ -125,3 +125,18 @@ def test_q11_threshold_filters_strictly(spark, sf_dir, q):
     if rows:  # sf0.001 may produce few parts; invariant: sorted desc
         vals = [r.part_value for r in rows]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_temperature_mix_downweights_high_resource_langs(spark, sf_dir, q):
+    """α<1 makes keep-rate strictly decreasing in corpus share: the
+    highest-resource language must get the lowest rate, and realized kept
+    counts must stay within the deterministic bucket rule's reach."""
+    rows = q["temperature_mix_sample"](spark, sf_dir).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.rate_r for r in by_n]
+    # monotone non-increasing in n_total (ties allowed when capped at 1.0)
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    for r in rows:
+        assert 0.0 <= r.rate_r <= 1.0
+        assert 0 <= r.n_kept <= r.n_total
