@@ -765,3 +765,90 @@ def dedup_increment(
         fresh.join(first.select(id_col), on=id_col, how="left_semi")
         .drop("__fp")
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication at token-span granularity (the
+    "Deduplicating Training Data Makes Language Models Better" operation,
+    Lee et al. 2022, arXiv:2107.06499): REMOVE every token covered by an
+    ``n``-gram that occurs in at least ``min_docs`` distinct documents,
+    and rebuild each document from its surviving tokens.
+
+    Where ``dup_span_stats`` only *measures* cross-document span overlap,
+    this operator performs the rewrite — the destructive step a curation
+    pipeline actually ships. Returns one row per input document:
+    ``(id, n_tokens, n_removed, clean_text)``.
+
+    Scale shape (no suffix array needed at shingle granularity):
+      1. one explode builds (doc, start_pos, span) — tokens×1 rows;
+      2. span multiplicity is a hash agg on the span key (map-side
+         combined; the exchange carries the span dictionary, not docs);
+      3. duplicated spans come back via an equi-join on span (hot spans
+         are FEW by definition of the dictionary agg — no skew blowup);
+      4. covered positions are an ``n``-way in-row fan-out + distinct;
+      5. surviving tokens anti-join covered and re-assemble per doc via
+         a position-sorted array aggregation.
+    Every stage is an explode / hash-agg / equi-join — never doc×doc,
+    never a regex scan, never Python.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+    # (doc, pos, token): pos is 1-based token position
+    tok_pos = base.select(
+        "__id", F.posexplode("toks").alias("pos0", "token")
+    ).select("__id", (F.col("pos0") + 1).alias("pos"), "token")
+    # (doc, start, span): all n-gram spans with their start positions
+    spans = base.filter(F.size("toks") >= n).select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))"
+            )
+        ).alias("start0", "span"),
+    ).select("__id", (F.col("start0") + 1).alias("start"), "span")
+    dup_spans = (
+        spans.select("__id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        spans.join(dup_spans, "span")
+        .select(
+            "__id",
+            F.explode(
+                F.expr(f"sequence(start, start + {n - 1})")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, ["__id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = tok_pos.groupBy("__id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -622,3 +622,133 @@ def cosine_allpairs_blocked(
         .cogroup(b_side.groupBy("ba", "bb"))
         .applyInPandas(block_matmul, out_schema)
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Population covariance matrix of the embedding column as a tidy
+    ``(i, j, n_vecs, cov)`` table, upper triangle (i ≤ j).
+
+    Scale shape — the d²-partials pattern: each partition reduces its rows
+    to ONE d×d outer-product partial (numpy BLAS ``X.T @ X`` inside
+    ``mapInPandas``) plus per-dimension sums, so the exchange carries
+    |partitions|·d² tiny partial rows, never the vectors themselves; a
+    d²-key hash agg finishes. d=64 → 2 080 output rows regardless of
+    corpus size: covariance of 100 TB of vectors is one scan + a
+    constant-size shuffle. This is the statistic PCA / whitening /
+    Mahalanobis pipelines precompute offline.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            p = x.T @ x  # d×d product-sum partial
+            s = x.sum(axis=0)  # per-dim sum partial
+            iu, ju = np.triu_indices(x.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "pxy": p[iu, ju],
+                    "psi": s[iu],
+                    "psj": s[ju],
+                    "pn": np.full(len(iu), len(pdf), dtype="int64"),
+                }
+            )
+
+    part = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+        partials,
+        schema="i int, j int, pxy double, psi double, psj double, pn long",
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("pxy").alias("sxy"),
+        F.sum("psi").alias("si"),
+        F.sum("psj").alias("sj"),
+        F.sum("pn").alias("n_vecs"),
+    )
+    cov = (
+        F.col("sxy") / F.col("n_vecs")
+        - (F.col("si") / F.col("n_vecs")) * (F.col("sj") / F.col("n_vecs"))
+    )
+    return agg.select("i", "j", "n_vecs", cov.alias("cov"))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[list[float], list[list[float]], list[float], float]:
+    """Fit PCA from the distributed covariance: collect the d×d covariance
+    table (tiny and corpus-size-independent — the ONLY thing that ever
+    reaches the driver), eigendecompose with ``numpy.linalg.eigh``, and
+    return ``(mean, components, eigenvalues, total_var)`` with a
+    deterministic sign convention (each component's largest-|x| entry is
+    positive) so repeated fits are bit-comparable.
+
+    The collect here is the legitimate kind: d² scalars, not data."""
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in mean_rows:
+        mean[r["i"]] = r["m"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    evs = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        evs.append(float(vals[idx]))
+    return (
+        [float(x) for x in mean],
+        comps,
+        evs,
+        float(vals.sum()),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fitted components: center then dot with each
+    component — pure JVM array expressions (the component matrix rides
+    along as literals, d·k scalars), zero Python, zero shuffle; at 100 TB
+    this is a map stage fused into the scan."""
+    mean_lit = "array({})".format(", ".join(f"{m!r}D" for m in mean))
+    centered = f"zip_with({vec_col}, {mean_lit}, (x, m) -> CAST(x AS DOUBLE) - m)"
+    dots = ", ".join(
+        "aggregate(zip_with(__c, array({w}), (x, w) -> x * w), 0D, (a, v) -> a + v)".format(
+            w=", ".join(f"{w!r}D" for w in comp)
+        )
+        for comp in components
+    )
+    return df.withColumn("__c", F.expr(centered)).withColumn(
+        out_col, F.expr(f"array({dots})")
+    ).drop("__c")

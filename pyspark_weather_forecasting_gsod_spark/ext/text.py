@@ -256,3 +256,75 @@ def repetition_signals(
         F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
         F.round(F.col("maxc") / F.col("sumc"), 6).alias("top_bigram_frac"),
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet / Gopher perplexity-filter
+    pattern, arXiv:1911.00359 §4.3, done entirely in-engine): train an
+    add-k-smoothed bigram language model ON the corpus itself, then score
+    every document by its mean negative log-likelihood under that model.
+    Boilerplate-heavy / templated documents score low NLL, lexically odd
+    ones high — both tails are curation signals. Returns one row per doc:
+    ``(id, n_bigrams, nll, ppl)``.
+
+    logp(w_i | w_{i-1}) = ln( (c(w_{i-1} w_i) + k) / (c_ctx(w_{i-1}) + k·V) )
+    with V = |unigram vocabulary| and c_ctx the bigram-prefix count, so the
+    conditional distributions are exactly normalized.
+
+    Scale shape: the model IS two hash aggregates (per-doc bigram tf, then
+    global bigram counts); context counts and V reduce from the bigram
+    table (vocab-sized, not corpus-sized); scoring is one equi-join of
+    per-doc bigrams against the model keyed by bigram plus a per-doc agg.
+    Training a 100-TB "LM" this way is exactly as hard as word-count —
+    no iterative fitting, fully deterministic, oracle-hashable.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    doc_tf = bigrams.groupBy("__id", "bigram").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    model = doc_tf.groupBy("bigram").agg(F.sum("tf").alias("c_bg"))
+    ctx = (
+        model.withColumn("prev", F.expr("split_part(bigram, ' ', 1)"))
+        .groupBy("prev")
+        .agg(F.sum("c_bg").alias("c_ctx"))
+    )
+    vocab = base.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("v")
+    )
+    scored = (
+        doc_tf.join(model, "bigram")
+        .withColumn("prev", F.expr("split_part(bigram, ' ', 1)"))
+        .join(F.broadcast(ctx), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c_bg") + F.lit(k_smooth))
+                / (F.col("c_ctx") + F.lit(k_smooth) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("nll"),
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        "nll",
+        F.exp(F.col("nll")).alias("ppl"),
+    )

@@ -56,3 +56,89 @@ def hll_rollup(
         ),
     ]
     return sketch_df.groupBy(*group_cols).agg(*agg) if group_cols else sketch_df.agg(*agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation (heavy hitters).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: "F.Column", row: int, width: int) -> "F.Column":
+    """Deterministic, engine-portable CMS hash: row ``row``'s bucket for
+    ``key`` is the md5 of ``"<row>:<key>"`` folded to an int mod width.
+    Seeding by prefix makes the depth rows independent hash functions
+    without any engine-specific hash (DuckDB reproduces it exactly)."""
+    from ..operators.sampling import hash_bucket
+
+    return hash_bucket(F.concat_ws(":", F.lit(row), key), width, hex_chars=8)
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` as a (row, bucket, count)
+    table — depth×width cells, each the EXACT sum of weights hashing there.
+
+    The sketch array is tiny (depth×width rows) and mergeable: summing two
+    sketch tables cell-wise is the CMS of the concatenated streams, so
+    per-day / per-shard sketches roll up without rescanning — the same
+    property ``hll_rollup`` exploits. Build cost is one scan with an
+    in-row depth-way fan-out and a map-side-combined hash agg on depth×width
+    keys; at 100 TB the exchange carries only the (tiny) cell partials.
+
+    Unlike a sampled or randomized sketch, every cell value is exact and
+    deterministic, so the whole estimation pipeline is oracle-hashable.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("cell_count"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 16,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the CMS estimate
+    is min over the depth rows of the key's cell count (never an
+    underestimate; overestimation = collision mass). The sketch table is
+    depth×width rows → broadcast; the probe is a map-side join + one
+    per-key min agg. Keys absent from the stream estimate as NULL (their
+    cells may still be non-empty — that is exactly CMS collision noise)."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min("cell_count").alias("cms_count"))
+    )

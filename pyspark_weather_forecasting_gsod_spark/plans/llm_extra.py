@@ -413,3 +413,275 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# r4b: exact-substring dedup rewrite, LM-perplexity quality scoring,
+# count-min heavy hitters, embedding covariance + PCA.
+# ---------------------------------------------------------------------------
+
+_FOLD8 = (
+    "list_reduce(list_transform("
+    "string_split(substr(md5({x}), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "dedup_strip_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, CAST(k + 1 AS BIGINT) AS pos,
+               toks[CAST(k AS INT) + 1] AS token
+        FROM t, UNNEST(range(0, len(toks))) AS u(k)
+    ), spans AS (
+        SELECT doc_id, CAST(k + 1 AS BIGINT) AS start,
+               array_to_string(toks[CAST(k AS INT) + 1:CAST(k AS INT) + 8], ' ')
+                   AS span
+        FROM t, UNNEST(range(0, len(toks) - 7)) AS u(k)
+        WHERE len(toks) >= 8
+    ), dup AS (
+        SELECT span FROM (SELECT DISTINCT doc_id, span FROM spans)
+        GROUP BY span HAVING COUNT(*) >= 2
+    ), cov AS (
+        SELECT DISTINCT s.doc_id, s.start + o AS pos
+        FROM spans s JOIN dup d USING (span), UNNEST(range(0, 8)) AS u(o)
+    ), kept AS (
+        SELECT tok.doc_id, tok.pos, tok.token
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        WHERE cov.pos IS NULL
+    ), reb AS (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(r.clean_text, '')) AS clean_md5
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication REWRITE (Lee et al. 2022 semantics at
+    8-token-span granularity): remove every token covered by a span that
+    occurs in ≥2 documents and rebuild the text
+    (ext/dedup.py::strip_duplicated_spans). Where ``dup_span_stats``
+    measures the overlap, this ships the cleaned corpus; the oracle
+    rebuilds every document independently and md5-compares the rewritten
+    text byte-for-byte."""
+    from ..ext.dedup import strip_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = strip_duplicated_spans(docs, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@query(
+    "lm_bigram_nll",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INT)] || ' ' ||
+                           toks[CAST(i AS INT) + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ), doc_tf AS (
+        SELECT doc_id, bigram, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM bg GROUP BY doc_id, bigram
+    ), model AS (
+        SELECT bigram, SUM(tf) AS c_bg FROM doc_tf GROUP BY bigram
+    ), ctx AS (
+        SELECT split_part(bigram, ' ', 1) AS prev, SUM(c_bg) AS c_ctx
+        FROM model GROUP BY prev
+    ), v AS (
+        SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS tk FROM t)
+    ), sc AS (
+        SELECT d.doc_id, d.tf,
+               ln((m.c_bg + 0.5) / (c.c_ctx + 0.5 * v.v)) AS logp
+        FROM doc_tf d
+        JOIN model m USING (bigram)
+        JOIN ctx c ON split_part(d.bigram, ' ', 1) = c.prev
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(tf * logp) / SUM(tf), 6) AS nll_r,
+           ROUND(exp(-SUM(tf * logp) / SUM(tf)), 4) AS ppl_r
+    FROM sc GROUP BY doc_id
+    """,
+)
+def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring, trained and applied in one engine
+    pass (ext/text.py::bigram_lm_nll): add-0.5-smoothed bigram model fit on
+    the corpus, every document scored by mean NLL / perplexity under it —
+    the CCNet-style perplexity filter with word-count-shaped cost. The
+    oracle retrains the identical model in DuckDB and hash-compares every
+    document's score."""
+    from ..ext.text import bigram_lm_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_nll(docs, k_smooth=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("nll", 6).alias("nll_r"),
+        F.round("ppl", 4).alias("ppl_r"),
+    )
+
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 16
+
+
+def _cms_bucket_sql(key_sql: str) -> str:
+    return (
+        _FOLD8.format(x=f"CAST(r AS VARCHAR) || ':' || {key_sql}")
+        + f" % {_CMS_WIDTH}"
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ), cells AS (
+        SELECT r, {_cms_bucket_sql('token')} AS bucket
+        FROM tok, UNNEST(range(0, {_CMS_DEPTH})) AS u(r)
+    ), cms AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+        FROM cells GROUP BY r, bucket
+    ), exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY token
+    ), probe AS (
+        SELECT token, r, {_cms_bucket_sql('token')} AS bucket
+        FROM exact, UNNEST(range(0, {_CMS_DEPTH})) AS u(r)
+    ), est AS (
+        SELECT p.token, MIN(c.cell_count) AS cms_count
+        FROM probe p JOIN cms c USING (r, bucket)
+        GROUP BY p.token
+    )
+    SELECT e.token, e.exact_count,
+           CAST(s.cms_count AS BIGINT) AS cms_count,
+           CAST(s.cms_count - e.exact_count AS BIGINT) AS overestimate
+    FROM exact e JOIN est s USING (token)
+    ORDER BY exact_count DESC, token LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (operators/sketches.py::cms_table/cms_estimate): the mergeable
+    frequency sketch (depth 3 × width 16 — deliberately undersized so
+    collisions are REAL on this 31-token vocabulary) probed for every
+    distinct token, with the exact count and the overestimate (collision
+    mass) side by side. Every cell is an exact deterministic sum with
+    engine-portable md5 hashing, so the whole sketch pipeline — build,
+    probe, error — is oracle-hashable, unlike the JVM-internal HLL/freq
+    sketches (``hll_distinct_users``, ``freq_items_sketch``) which stay
+    rows-only by design."""
+    from ..operators.sketches import cms_estimate, cms_table
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("token"))
+    )
+    cms = cms_table(tok, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(
+        cms, exact.select("token"), "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            (F.col("cms_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(k AS INT) AS i,
+               CAST(embedding[CAST(k AS INT) + 1] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS t(k)
+    ), p AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(a.x * b.x) AS sxy, SUM(a.x) AS si, SUM(b.x) AS sj,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT i, j, n_vecs,
+           ROUND(sxy / n_vecs - (si / n_vecs) * (sj / n_vecs), 6) + 0.0 AS cov_r
+    FROM p
+    """,
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding column
+    (ext/similarity.py::embedding_covariance): per-partition BLAS
+    outer-product partials via mapInPandas, reduced by a d²-key hash agg —
+    the exchange carries |partitions|·d² scalars, never vectors, so the
+    cost at 100 TB is one scan + a constant-size shuffle. The oracle
+    recomputes every upper-triangle cell from first principles (pairwise
+    self-join on vec_id) — the statistic PCA/whitening pipelines
+    precompute offline, hash-checked cell by cell."""
+    from ..ext.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # `+ 0.0` canonicalizes IEEE -0.0 → +0.0 after rounding (tiny negative
+    # covariances round to zero; both engines must agree on its sign)
+    return embedding_covariance(emb).select(
+        "i", "j", "n_vecs", (F.round("cov", 6) + F.lit(0.0)).alias("cov_r")
+    )
+
+
+@query("pca_project_check", None)  # eigensolver is impl-specific → rows-only
+def pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + projection (ext/similarity.py::pca_fit/pca_project): the
+    d×d covariance (the ONLY thing collected — corpus-size-independent)
+    is eigendecomposed on the driver with a deterministic sign convention,
+    and the top-8 components ride back as array literals for a pure-JVM
+    zero-shuffle projection. Output carries the in-query quality signal
+    ``var_explained_r`` (Σ top-8 eigenvalues / total variance) so a
+    regression in the fit is visible in the result, and pytest asserts
+    orthonormality + per-component projected variance ≈ eigenvalue."""
+    from ..ext.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, evs, total_var = pca_fit(emb, k=8)
+    var_explained = sum(evs) / total_var
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at("pc", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+        F.lit(round(var_explained, 6)).alias("var_explained_r"),
+    )

@@ -264,3 +264,41 @@ def test_auto_jaccard_selects_and_matches(spark, sf_dir):
         ).collect()
     )
     assert dense_route == want and prefix_route == want and want
+
+
+def test_strip_duplicated_spans_removes_shared_span_only(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        strip_duplicated_spans,
+    )
+
+    shared = "a b c d e f g h"  # one 8-token span, present in docs 1 and 2
+    rows = [
+        (1, f"x1 x2 {shared} y1 y2"),
+        (2, f"z1 {shared} z2 z3"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique: untouched
+        (4, "short doc"),  # below span width: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(df).collect()}
+    assert out[1]["clean_text"] == "x1 x2 y1 y2"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "z1 z2 z3"
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "short doc"
+
+
+def test_strip_duplicated_spans_fully_duplicated_doc_empties(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        strip_duplicated_spans,
+    )
+
+    text = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(df).collect()}
+    for i in (1, 2):
+        assert out[i]["n_tokens"] == 8
+        assert out[i]["n_removed"] == 8
+        assert out[i]["clean_text"] == ""

@@ -303,3 +303,56 @@ def test_sampled_pair_audit_estimates_full_recall(spark, sf_dir):
     assert audit.n_false_positive == 0
     if audit.recall_vs_exact is not None:
         assert abs(audit.recall_vs_exact - full.recall_vs_exact) < 0.25
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        embedding_covariance,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(4)
+    rows = df.select("embedding").collect()
+    x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    want = (x.T @ x) / len(x) - np.outer(x.mean(0), x.mean(0))
+    got = embedding_covariance(df).collect()
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for r in got:
+        assert abs(r["cov"] - want[r["i"], r["j"]]) < 1e-9
+        assert r["n_vecs"] == len(x)
+
+
+def test_pca_components_orthonormal_and_variance_consistent(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, evs, total_var = pca_fit(df, k=4)
+    w = np.array(comps)
+    # orthonormal rows
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-9)
+    # deterministic sign convention: max-|x| entry positive
+    for row in w:
+        assert row[np.argmax(np.abs(row))] > 0
+    # eigenvalues sorted descending, var share sane
+    assert evs == sorted(evs, reverse=True)
+    assert 0.0 < sum(evs) / total_var <= 1.0 + 1e-12
+    # projected variance per component equals its eigenvalue
+    proj = pca_project(df, mean, comps)
+    stats = proj.select(
+        *[
+            F.variance(F.element_at("pc", i + 1)).alias(f"v{i}")
+            for i in range(4)
+        ]
+    ).first()
+    n = df.count()
+    for i in range(4):
+        # F.variance is the sample variance; eigenvalues are population
+        pop_var = stats[f"v{i}"] * (n - 1) / n
+        assert abs(pop_var - evs[i]) / evs[i] < 1e-6

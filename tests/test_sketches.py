@@ -43,3 +43,48 @@ def test_hll_exact_in_sparse_mode(spark, sf_dir):
         .collect()
     }
     assert est == exact  # small cardinalities stay in the exact sparse path
+
+
+def test_cms_never_underestimates_and_detects_collisions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    )
+    cms = cms_table(tok, "token", depth=3, width=16)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(cms, exact.select("token"), "token", depth=3, width=16)
+    rows = exact.join(est, "token").collect()
+    assert rows, "empty corpus"
+    # CMS structural guarantee: estimate >= exact, always
+    assert all(r["cms_count"] >= r["exact"] for r in rows)
+    # width 16 < vocab: at least one collision must be visible
+    assert any(r["cms_count"] > r["exact"] for r in rows)
+
+
+def test_cms_is_mergeable_cellwise(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import cms_table
+
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    )
+    whole = cms_table(tok, "token", depth=3, width=16)
+    lo = cms_table(tok.filter(F.col("doc_id") % 2 == 0), "token", depth=3, width=16)
+    hi = cms_table(tok.filter(F.col("doc_id") % 2 == 1), "token", depth=3, width=16)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    a = {(r["r"], r["bucket"]): r["cell_count"] for r in whole.collect()}
+    b = {(r["r"], r["bucket"]): r["cell_count"] for r in merged.collect()}
+    assert a == b

@@ -138,3 +138,68 @@ def test_repetition_signals_known_values(spark):
     assert abs(rows[1]["top_bigram_frac"] - round(2 / 3, 6)) < 1e-9
     assert abs(rows[2]["ttr"] - 1.0) < 1e-9
     assert abs(rows[2]["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_bigram_lm_nll_matches_hand_computation(spark):
+    import math
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import bigram_lm_nll
+
+    # corpus: doc1 "a b a b", doc2 "a b c"
+    # bigrams: d1: (a b)x2? no — positions: (a,b),(b,a),(a,b) = "a b"x2, "b a"x1
+    #          d2: (a b), (b c)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_nll(df, k_smooth=0.5).collect()}
+    v = 3.0  # vocab {a, b, c}
+    c_bg = {"a b": 3.0, "b a": 1.0, "b c": 1.0}
+    c_ctx = {"a": 3.0, "b": 2.0}
+
+    def logp(bg):
+        prev = bg.split()[0]
+        return math.log((c_bg[bg] + 0.5) / (c_ctx[prev] + 0.5 * v))
+
+    nll1 = -(2 * logp("a b") + 1 * logp("b a")) / 3
+    nll2 = -(1 * logp("a b") + 1 * logp("b c")) / 2
+    assert abs(out[1]["nll"] - nll1) < 1e-12
+    assert abs(out[2]["nll"] - nll2) < 1e-12
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["ppl"] - math.exp(nll1)) < 1e-12
+
+
+def test_bigram_lm_conditionals_are_normalized(spark):
+    """Add-k smoothing with context counts from the same bigram table must
+    yield sum_w p(w|prev) == 1 for every observed prev (over the full
+    vocab), the property that makes NLL a proper LM score."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import bigram_lm_nll  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b a")], ["doc_id", "text"]
+    )
+    toks = df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    vocab = [r["t"] for r in toks.distinct().collect()]
+    bigrams = (
+        df.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
+                    "i -> concat_ws(' ', element_at(split(trim(text), '\\\\s+'), i), "
+                    "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .count()
+    )
+    c_bg = {r["bg"]: r["count"] for r in bigrams.collect()}
+    k, v = 0.5, float(len(vocab))
+    prevs = {bg.split()[0] for bg in c_bg}
+    for prev in prevs:
+        c_ctx = sum(c for bg, c in c_bg.items() if bg.split()[0] == prev)
+        total = sum(
+            (c_bg.get(f"{prev} {w}", 0) + k) / (c_ctx + k * v) for w in vocab
+        )
+        assert abs(total - 1.0) < 1e-12
