@@ -685,3 +685,119 @@ def pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(round(var_explained, 6)).alias("var_explained_r"),
     )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]]))
+                   AS pair
+        FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+        SELECT pair[1] AS w1, pair[2] AS w2,
+               CAST(COUNT(*) AS DOUBLE) AS c_ab
+        FROM bg GROUP BY pair[1], pair[2]
+    ), uni AS (
+        SELECT tk, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY tk
+    ), tot AS (
+        SELECT (SELECT SUM(c_ab) FROM bgc) AS nb,
+               (SELECT SUM(c) FROM uni) AS nt
+    )
+    SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS pair_count,
+           ROUND(ln((b.c_ab / t.nb) / ((ua.c / t.nt) * (ub.c / t.nt))), 6)
+               AS pmi_r
+    FROM bgc b
+    JOIN uni ua ON b.w1 = ua.tk
+    JOIN uni ub ON b.w2 = ub.tk
+    CROSS JOIN tot t
+    WHERE b.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_r DESC, w1, w2 LIMIT 15
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the statistical
+    test behind multi-word-expression detection and phrase-aware
+    tokenization (PMI = ln(p(ab)/(p(a)p(b))) with a min-support floor so
+    rare accidental pairs don't dominate).
+
+    Scale shape: two hash aggregates (adjacent-pair counts, unigram
+    counts), two equi-joins of the pair table against the (vocab-sized,
+    broadcastable) unigram table, scalar totals as a broadcast cross
+    join, TakeOrderedAndProject top-k. Word-count-shaped cost.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    bg = t.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    )
+    bgc = bg.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    uni = t.select(F.explode("toks").alias("tk")).groupBy("tk").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = bgc.agg(F.sum("c_ab").alias("nb")).crossJoin(
+        uni.agg(F.sum("c").alias("nt"))
+    )
+    ua = uni.select(F.col("tk").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tk").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("nb"))
+        / ((F.col("c_a") / F.col("nt")) * (F.col("c_b") / F.col("nt")))
+    )
+    return (
+        bgc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi_r"),
+        )
+        .orderBy(F.col("pmi_r").desc(), "w1", "w2")
+        .limit(15)
+    )
+
+
+@query("bpe_tokenizer", None)  # iterative train loop → rows-only (pytest
+# holds the hard gate: exact merge-sequence + encoding parity vs a pure-
+# Python reference BPE on the same corpus)
+def bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + corpus encoding
+    (ext/tokenizer.py): learn 10 merge rules from the corpus (one raw-text
+    scan → word-frequency table, then a deterministic argmax-merge loop
+    over that small table), encode every document with the learned rules
+    as pure-JVM folds, and return the merge table with corpus-level
+    encode stats attached (n_docs, total subword tokens, chars-per-token
+    compression) so a regression in either phase shows in the output."""
+    from ..ext.tokenizer import bpe_encode, bpe_train, merges_as_df
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=10)
+    enc = bpe_encode(docs, merges)
+    stats = enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.length(F.regexp_replace(F.col("text"), r"\s+", "")))
+            / F.sum("n_bpe_tokens"),
+            6,
+        ).alias("chars_per_token"),
+    )
+    return merges_as_df(spark, merges).crossJoin(F.broadcast(stats))
