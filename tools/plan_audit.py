@@ -212,6 +212,31 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "BM25 filters the token explode to the query vocabulary before aggregating; df and corpus stats are broadcast scalars; top-k never global-sorts",
     ),
+    "dedup_strip_spans": (
+        ["HashAggregate", "Generate", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "exact-substring removal is explode → span-dictionary hash agg → equi-join → anti-join of covered positions → per-doc reassembly; never doc×doc, never a regex scan",
+    ),
+    "lm_bigram_nll": (
+        ["HashAggregate", "Generate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "the bigram LM is two hash aggs; scoring joins per-doc bigrams to the model with the (vocab-sized) context table and V scalar broadcast",
+    ),
+    "cms_heavy_hitters": (
+        ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "the depth×width sketch table broadcasts to the probe join; build is one in-row fan-out + map-side-combined agg; top-k never global-sorts",
+    ),
+    "embedding_covariance": (
+        ["MapInPandas", "HashAggregate"],
+        ["Generate", "CartesianProduct", "SortMergeJoin"],
+        "covariance partials reduce per partition inside MapInPandas (BLAS X^T X) — the exchange carries |partitions|·d² scalars, never an exploded (row, i, j) stream",
+    ),
+    "pmi_collocations": (
+        ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "PMI joins the pair table to broadcast unigram/total sides after the min-support filter; top-k is a per-partition top-k merge",
+    ),
 }
 
 
