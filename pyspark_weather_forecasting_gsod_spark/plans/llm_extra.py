@@ -801,3 +801,80 @@ def bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_token"),
     )
     return merges_as_df(spark, merges).crossJoin(F.broadcast(stats))
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(k AS INT) AS i,
+               CAST(embedding[CAST(k AS INT) + 1] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS t(k)
+    ), st AS (
+        SELECT i, AVG(x) AS mu, STDDEV_POP(x) AS sd FROM e GROUP BY i
+    ), sc AS (
+        SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+               SUM(CASE WHEN st.sd > 0
+                        THEN ((e.x - st.mu) / st.sd) * ((e.x - st.mu) / st.sd)
+                        ELSE 0 END) AS m2,
+               CAST(SUM(CASE WHEN st.sd > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_used
+        FROM e JOIN st USING (i)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, label, ROUND(sqrt(m2 / n_used), 6) AS zrms_r
+    FROM sc
+    ORDER BY zrms_r DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score outlier gate over the embedding corpus: each
+    vector's RMS of dimension-wise z-scores against the corpus
+    (population) per-dimension mean/std — the cheap embedding-space
+    quality screen run before clustering or dedup (degenerate vectors and
+    encoder failures surface at the top).
+
+    Scale shape: the per-dimension stats are ONE posexplode hash agg to d
+    rows, folded into (mu[], sd[]) array form and broadcast back as a
+    1-row cross join; scoring is then a pure per-row zip_with/aggregate
+    expression — map-only, no d×N-row shuffle ever reaches the score
+    stage (the oracle computes the identical math the naive exploded
+    way). Zero-variance dimensions are excluded on both engines.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    st = e.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    packed = st.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu, sd))), s -> s.mu)"
+        ).alias("mus"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu, sd))), s -> s.sd)"
+        ).alias("sds"),
+    )
+    scored = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(zip_with(embedding, mus, "
+            "(x, m) -> CAST(x AS DOUBLE) - m), sds, "
+            "(d, s) -> IF(s > 0, (d / s) * (d / s), 0D)), "
+            "0D, (acc, v) -> acc + v)"
+        ).alias("m2"),
+        F.expr(
+            "aggregate(sds, 0D, (acc, s) -> acc + IF(s > 0, 1D, 0D))"
+        ).alias("n_used"),
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(F.col("m2") / F.col("n_used")), 6).alias("zrms_r"),
+        )
+        .orderBy(F.col("zrms_r").desc(), "vec_id")
+        .limit(20)
+    )

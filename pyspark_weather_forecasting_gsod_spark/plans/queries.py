@@ -4309,6 +4309,7 @@ _EXPORT_PRIORITY: list[str] = [
     "pca_project_check",  # driver-eigh + JVM projection (rows + gates)
     "pmi_collocations",  # PMI collocation mining, oracle
     "bpe_tokenizer",  # distributed BPE train+encode (rows + pytest parity)
+    "embedding_outliers",  # z-score RMS outlier gate, map-only scoring, oracle
     # -- code changed this round (schema or semantics): need fresh rows
     "ann_lsh_topk",  # r4: + per-qid recall_vs_exact column
     "ivf_ann_topk",  # r4: build-once/probe-only index + recall column
@@ -4326,7 +4327,8 @@ _EXPORT_PRIORITY: list[str] = [
     # green and the judge re-verified it locally in round 3
     "impute_proximity_doubling",
     "impute_seasonal_events",
-    "json_extract_props",
+    # "json_extract_props" displaced to fit embedding_outliers: its r01 row
+    # is green and the judge re-verified it locally in round 3
     # "lag_delta_events" displaced to fit pmi_collocations: its r01 row is
     # green and the judge re-verified it locally in round 3
     # "lang_id" displaced to fit bpe_tokenizer: its r01 row is green and
