@@ -51,6 +51,8 @@ def main() -> None:
         "semantic_dedup",  # KMeans fit + CC loop: the fit IS the cost
         "streaming_stream_join",  # stream executes on call; no codegen warm-up to buy
         "python_source_stream_agg",  # multi-batch stream drain on call
+        "bpe_tokenizer",  # iterative merge-loop fit: the training IS the cost
+        "pca_project_check",  # covariance fit + driver eigh on call
     }
     timings: dict[str, float] = {}
     for name, fn in qs.items():

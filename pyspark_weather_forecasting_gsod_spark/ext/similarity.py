@@ -627,6 +627,7 @@ def cosine_allpairs_blocked(
 def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
+    with_sums: bool = False,
 ) -> DataFrame:
     """Population covariance matrix of the embedding column as a tidy
     ``(i, j, n_vecs, cov)`` table, upper triangle (i ≤ j).
@@ -679,7 +680,13 @@ def embedding_covariance(
         F.col("sxy") / F.col("n_vecs")
         - (F.col("si") / F.col("n_vecs")) * (F.col("sj") / F.col("n_vecs"))
     )
-    return agg.select("i", "j", "n_vecs", cov.alias("cov"))
+    cols = ["i", "j", "n_vecs", cov.alias("cov")]
+    if with_sums:
+        # per-dimension raw sums ride along (diagonal row (i,i) carries
+        # sum of x_i) so downstream fits derive the mean vector without a
+        # second corpus scan
+        cols.append(F.col("si").alias("s_i"))
+    return agg.select(*cols)
 
 
 def pca_fit(
@@ -697,21 +704,17 @@ def pca_fit(
     The collect here is the legitimate kind: d² scalars, not data."""
     import numpy as np
 
-    rows = embedding_covariance(df, vec_col).collect()
+    rows = embedding_covariance(df, vec_col, with_sums=True).collect()
     d = max(r["j"] for r in rows) + 1
     c = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in rows:
         c[r["i"], r["j"]] = r["cov"]
         c[r["j"], r["i"]] = r["cov"]
-    mean_rows = (
-        df.select(F.posexplode(vec_col).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .collect()
-    )
-    mean = np.zeros(d)
-    for r in mean_rows:
-        mean[r["i"]] = r["m"]
+        if r["i"] == r["j"]:
+            # diagonal rows carry sum of x_i — the mean comes from the
+            # same single corpus scan as the covariance
+            mean[r["i"]] = r["s_i"] / r["n_vecs"]
     vals, vecs = np.linalg.eigh(c)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []

@@ -319,12 +319,17 @@ def bigram_lm_nll(
             ),
         )
     )
-    return scored.groupBy("__id").agg(
+    per_doc = scored.groupBy("__id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
         (-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("nll"),
-    ).select(
+    )
+    # one row per INPUT doc: sub-2-token docs have no bigrams — they come
+    # back with n_bigrams=0 and NULL nll/ppl rather than silently vanishing
+    return base.select("__id").join(per_doc, "__id", "left").select(
         F.col("__id").alias(id_col),
-        "n_bigrams",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+            "n_bigrams"
+        ),
         "nll",
         F.exp(F.col("nll")).alias("ppl"),
     )

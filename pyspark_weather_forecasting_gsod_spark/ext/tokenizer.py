@@ -103,7 +103,14 @@ def bpe_train(
 
     Deterministic: the argmax pair each round is (count DESC, a ASC,
     b ASC) — no RNG, no partition-order dependence (counts are exact)."""
-    words = word_symbol_table(df, text_col).localCheckpoint(eager=True)
+    # the word table is |vocab|-sized, not corpus-sized: a handful of
+    # partitions keeps every merge round a short single-stage job instead
+    # of 32 near-empty tasks per round. Dropped checkpoint generations are
+    # reclaimed by Spark's ContextCleaner once the DataFrame is dropped
+    # (DataFrame.unpersist would be a no-op on localCheckpoint blocks).
+    words = (
+        word_symbol_table(df, text_col).coalesce(4).localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (
@@ -116,12 +123,9 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((a, b, cnt))
-        prev = words
         words = words.withColumn(
             "syms", F.expr(_merge_fold("syms", a, b))
         ).localCheckpoint(eager=True)
-        prev.unpersist()
-    words.unpersist()
     return merges
 
 

@@ -121,8 +121,11 @@ def cms_estimate(
     is min over the depth rows of the key's cell count (never an
     underestimate; overestimation = collision mass). The sketch table is
     depth×width rows → broadcast; the probe is a map-side join + one
-    per-key min agg. Keys absent from the stream estimate as NULL (their
-    cells may still be non-empty — that is exactly CMS collision noise)."""
+    per-key min agg. A cell no stream element hashed to is an EMPTY cell
+    (count 0), so a key with any empty cell estimates 0 — the left join's
+    NULL is coalesced to 0 before the min, otherwise F.min would skip it
+    and absent keys would inherit the collision mass of their non-empty
+    cells."""
     probes = keys.select(
         key_col,
         F.explode(
@@ -140,5 +143,9 @@ def cms_estimate(
     return (
         probes.join(F.broadcast(cms), ["r", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell_count").alias("cms_count"))
+        .agg(
+            F.min(
+                F.coalesce(F.col("cell_count"), F.lit(0).cast("long"))
+            ).alias("cms_count")
+        )
     )

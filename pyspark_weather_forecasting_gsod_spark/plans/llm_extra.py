@@ -517,12 +517,17 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN model m USING (bigram)
         JOIN ctx c ON split_part(d.bigram, ' ', 1) = c.prev
         CROSS JOIN v
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               -SUM(tf * logp) / SUM(tf) AS nll
+        FROM sc GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           ROUND(-SUM(tf * logp) / SUM(tf), 6) AS nll_r,
-           ROUND(exp(-SUM(tf * logp) / SUM(tf)), 4) AS ppl_r
-    FROM sc GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           ROUND(a.nll, 6) AS nll_r,
+           ROUND(exp(a.nll), 4) AS ppl_r
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,3 +88,31 @@ def test_cms_is_mergeable_cellwise(spark, sf_dir):
     a = {(r["r"], r["bucket"]): r["cell_count"] for r in whole.collect()}
     b = {(r["r"], r["bucket"]): r["cell_count"] for r in merged.collect()}
     assert a == b
+
+
+def test_cms_absent_key_with_empty_cell_estimates_zero(spark):
+    """A key the stream never contained estimates 0 whenever any of its
+    depth cells is empty — the left join's NULL cell must count as 0, not
+    be skipped by min (else absent keys inherit collision mass)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    stream = spark.createDataFrame([("seen",)] * 7, ["k"])
+    cms = cms_table(stream, "k", depth=3, width=4)
+    probes = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(40)] + [("seen",)], ["k"]
+    )
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(cms, probes, "k", depth=3, width=4).collect()
+    }
+    assert est["seen"] == 7
+    # with one key in a width-4/depth-3 sketch, 9 of 12 cells are empty:
+    # most absent keys must hit an empty cell and estimate exactly 0
+    zeros = sum(1 for k, v in est.items() if k != "seen" and v == 0)
+    assert zeros > 0
+    assert all(v in (0, 7) for k, v in est.items() if k != "seen")

@@ -203,3 +203,18 @@ def test_bigram_lm_conditionals_are_normalized(spark):
             (c_bg.get(f"{prev} {w}", 0) + k) / (c_ctx + k * v) for w in vocab
         )
         assert abs(total - 1.0) < 1e-12
+
+
+def test_bigram_lm_nll_keeps_short_docs(spark):
+    """Documents with fewer than two tokens still get a row: n_bigrams=0,
+    NULL nll/ppl — they must not silently vanish from the scored corpus."""
+    from pyspark_weather_forecasting_gsod_spark.ext.text import bigram_lm_nll
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "solo"), (3, "x y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_nll(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_bigrams"] == 0
+    assert out[2]["nll"] is None and out[2]["ppl"] is None
+    assert out[1]["n_bigrams"] == 2 and out[3]["n_bigrams"] == 1
