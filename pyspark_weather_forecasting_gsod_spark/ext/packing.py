@@ -73,3 +73,55 @@ def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
         F.sum("n_tokens").alias("seq_tokens"),
         F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style context-window chunking: split each document's token
+    stream into overlapping windows of ``chunk_size`` tokens advancing by
+    ``stride`` (overlap = chunk_size - stride), the preparation step for
+    embedding/indexing a corpus whose documents exceed the encoder's
+    context window. The final window is the remainder (shorter than
+    chunk_size) unless the previous window already covered it.
+
+    Deterministic layout: chunk k of a doc covers token positions
+    [1 + k·stride, 1 + k·stride + chunk_size). One row per chunk:
+    ``(id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)``.
+
+    Scale shape: a pure per-row 1→N fan-out (in-row ``transform`` over the
+    start-position sequence, then one explode) — no shuffle, no Python;
+    chunk count per doc is ⌈(n_tokens - chunk_size)/stride⌉ + 1, so output
+    size is a predictable ~n_tokens/stride multiple of the input.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+    # starts 1 + k·stride for k = 0..K with K = ⌈max(0, n - chunk)/stride⌉:
+    # the last window is the first whose end reaches the final token (it
+    # may be shorter than chunk_size — slice clamps at the end)
+    k_max = (
+        f"CAST(ceil(greatest(0, size(toks) - {chunk_size}) / {stride}) AS INT)"
+    )
+    starts = f"transform(sequence(0, {k_max}), k -> 1 + k * {stride})"
+    chunks = base.select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform({starts}, s -> struct(s AS start, "
+                f"slice(toks, s, {chunk_size}) AS ctoks))"
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return chunks.select(
+        F.col("__id").alias(id_col),
+        "chunk_id",
+        F.col("c.start").alias("chunk_start"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )

@@ -883,3 +883,51 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("zrms_r").desc(), "vec_id")
         .limit(20)
     )
+
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "doc_chunk_windows",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(k AS INT) AS chunk_id,
+               CAST(1 + k * {_STRIDE} AS INT) AS chunk_start,
+               toks[CAST(1 + k * {_STRIDE} AS INT)
+                    : CAST(k * {_STRIDE} + {_CHUNK} AS INT)] AS ctoks
+        FROM t, UNNEST(range(0,
+             1 + CAST(ceil(greatest(0, len(toks) - {_CHUNK}) / {_STRIDE})
+                 AS INT))) AS u(k)
+    )
+    SELECT doc_id, chunk_id, chunk_start,
+           CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style context-window chunking (ext/packing.py::chunk_windows):
+    every document split into overlapping 32-token windows advancing by 24
+    (8-token overlap), the indexing-prep companion to ``sequence_packing``
+    — packing concatenates short docs up to a budget, chunking splits long
+    ones down to a context window. The oracle rebuilds every window
+    independently and md5-compares the chunk text byte-for-byte.
+
+    Scale shape: pure per-row 1→N fan-out (in-row transform + one
+    explode), no shuffle, no Python — a map stage with predictable
+    ~n_tokens/stride output amplification."""
+    from ..ext.packing import chunk_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_windows(docs, chunk_size=_CHUNK, stride=_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )

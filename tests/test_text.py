@@ -218,3 +218,51 @@ def test_bigram_lm_nll_keeps_short_docs(spark):
     assert out[2]["n_bigrams"] == 0
     assert out[2]["nll"] is None and out[2]["ppl"] is None
     assert out[1]["n_bigrams"] == 2 and out[3]["n_bigrams"] == 1
+
+
+def test_chunk_windows_layout_and_coverage(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.packing import chunk_windows
+
+    t10 = " ".join(f"t{i}" for i in range(1, 11))
+    rows = [
+        (1, t10),          # 10 tokens, chunk 4 stride 3 -> starts 1,4,7
+        (2, "a b"),        # shorter than chunk -> one short chunk
+        (3, " ".join(f"u{i}" for i in range(1, 8))),  # n-chunk divisible: 7-4=3 -> starts 1,4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_windows(df, chunk_size=4, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r for r in out.collect()
+    }
+    assert [got[(1, k)]["chunk_start"] for k in range(3)] == [1, 4, 7]
+    assert got[(1, 2)]["chunk_text"] == "t7 t8 t9 t10"
+    assert got[(1, 2)]["n_chunk_tokens"] == 4
+    assert (1, 3) not in got  # no window past the one reaching the end
+    assert got[(2, 0)]["chunk_text"] == "a b"
+    assert got[(2, 0)]["n_chunk_tokens"] == 2
+    assert (2, 1) not in got
+    # exact boundary: last window ends exactly at the final token
+    assert got[(3, 1)]["chunk_text"] == "u4 u5 u6 u7"
+    assert (3, 2) not in got
+    # losslessness: union of windows covers every token position
+    for doc_id, text in rows:
+        n = len(text.split())
+        covered = set()
+        for (d, _k), r in got.items():
+            if d == doc_id:
+                covered |= set(
+                    range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"])
+                )
+        assert covered == set(range(1, n + 1))
+
+
+def test_chunk_windows_rejects_bad_stride(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.packing import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_windows(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_windows(df, chunk_size=4, stride=0)
