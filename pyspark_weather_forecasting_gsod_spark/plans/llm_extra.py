@@ -1,24 +1,27 @@
-"""LLM-training-pipeline extras: contamination audit, embedding
-quantization, BM25 retrieval scoring.
+"""LLM-training-pipeline extras declared in round 4.
 
-Three operations a 100-TB curation pipeline runs that rounds 1-3 did not
-yet declare:
+The curation operations a 100-TB pipeline runs that the core suite did
+not yet declare, grouped by phase:
 
-* **benchmark contamination check** — the n-gram-overlap audit every lab
-  runs before training (GPT-3 appendix C / PaLM-style): what fraction of
-  each training document's 5-grams also appears in a held-out benchmark
-  set. Same inverted-shingle-index shape as ``dup_span_stats`` — never a
-  doc×doc comparison.
-* **int8 embedding quantization** — symmetric per-vector max-abs scaling
-  with reconstruction-error accounting, the storage-reduction step before
-  shipping vectors to an ANN index. Pure per-row array expressions: zero
-  shuffles, zero Python.
-* **BM25 scoring** — the classic sparse-retrieval companion to the dense
-  ANN path (``cosine_topk``): Okapi BM25 with k1=1.2, b=0.75 over the
-  whitespace token stream, exact df/dl statistics.
+* **audit** — ``contamination_check`` (GPT-3-appendix-C-style n-gram
+  overlap vs a held-out benchmark slice), ``pmi_collocations``
+  (multi-word-expression mining).
+* **filter / rewrite** — ``dedup_strip_spans`` (Lee-et-al exact-substring
+  REMOVAL with text rebuild), ``lm_bigram_nll`` (CCNet-style perplexity
+  filter, model trained in-engine), ``embedding_outliers`` (z-score RMS
+  gate), ``semantic_dedup`` (SemDeDup with measured miss rate),
+  ``temperature_mix_sample`` (data-derived n^α language mixing).
+* **transform / index** — ``embedding_quantize`` (int8 + error
+  accounting), ``embedding_covariance`` / ``pca_project_check``
+  (d²-partials covariance, driver-eigh PCA), ``bm25_topk`` (sparse
+  retrieval), ``doc_chunk_windows`` (RAG context-window chunking),
+  ``bpe_tokenizer`` (distributed BPE train + encode),
+  ``cms_heavy_hitters`` (mergeable count-min frequency sketch).
 
-All three follow plans.queries hashing conventions (shared aliases,
-rounded derived floats, BIGINT counts, tie-broken LIMITs).
+All follow plans.queries hashing conventions (shared aliases, rounded
+derived floats, BIGINT counts, tie-broken LIMITs); the rows-only ones
+(`semantic_dedup`, `pca_project_check`, `bpe_tokenizer`) carry in-query
+quality columns plus pytest parity/threshold gates.
 """
 
 from __future__ import annotations
