@@ -1,0 +1,83 @@
+"""Distributed graph analytics: fixed-iteration PageRank.
+
+The reference has no graph family (SURVEY.md §2); this is a scale
+extension that pairs with ``ext/dedup.connected_components`` (min-label
+propagation). Both follow the same iterative-DataFrame discipline: a
+bounded number of join+aggregate rounds, each round's result cached and
+the previous round unpersisted, so lineage stays O(1) per round and no
+driver-side graph state ever exists.
+
+Scale shape (per iteration): one shuffle to co-locate ranks with edge
+sources (join on ``src``) and one hash aggregate on ``dst``. The edge
+list with out-degrees is computed once and cached — the iteration loop
+touches only (node, rank) tuples, never re-derives the graph. At 100 TB
+the edge table would be bucketed by ``src`` so the per-iteration join is
+shuffle-free on the edge side; ranks (one row per node) are the only
+moving data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """PageRank after a FIXED number of power iterations (deterministic —
+    no convergence epsilon, so an ANSI-SQL oracle can unroll the same
+    rounds). Nodes are the union of edge endpoints; every node starts at
+    ``1/N`` and receives the teleport mass ``(1-damping)/N`` each round;
+    dangling nodes (no out-edges) leak their mass, the standard simplified
+    formulation.
+
+    Returns one row per node: ``(node_col, rank_col)``. Ranks sum to ≤ 1;
+    callers wanting scale-free scores should multiply by N.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    nodes = (
+        e.select(F.col("__src").alias(node_col))
+        .union(e.select(F.col("__dst").alias(node_col)))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    edge_deg = e.join(outdeg, "__src").cache()
+    edge_deg.count()  # materialize once; iterations reuse the cached edges
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select(node_col, F.lit(1.0 / n).alias(rank_col)).cache()
+    for _ in range(iterations):
+        contribs = (
+            edge_deg.join(
+                ranks.select(
+                    F.col(node_col).alias("__src"), F.col(rank_col).alias("__r")
+                ),
+                "__src",
+            )
+            .groupBy(F.col("__dst").alias(node_col))
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+        )
+        new_ranks = nodes.join(contribs, node_col, "left").select(
+            node_col,
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias(rank_col),
+        ).cache()
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    result = ranks
+    nodes.unpersist()
+    edge_deg.unpersist()
+    return result

@@ -755,3 +755,184 @@ def pca_project(
     return df.withColumn("__c", F.expr(centered)).withColumn(
         out_col, F.expr(f"array({dots})")
     ).drop("__c")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: the memory-bound scale path. IVF prunes
+# which vectors a probe READS; PQ shrinks what each vector COSTS — m
+# sub-space codes (m bytes at k≤256) instead of d floats, scored against a
+# per-query lookup table (asymmetric distance computation, Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search" — public paper).
+# ---------------------------------------------------------------------------
+
+
+def _pq_kmeans(x, k: int, seed: int, iters: int):
+    """Deterministic Lloyd k-means for one PQ sub-space, run on the
+    driver over a BOUNDED training sample (the FAISS practice: codebooks
+    train on a sample, never the corpus). Seeded init, fixed iteration
+    count, empty cells keep their previous centroid — bit-reproducible
+    for a given sample."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=len(x) < k)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int = 2048,
+    iters: int = 10,
+) -> None:
+    """Build a persistent PQ index:
+
+    * ``{index_dir}/codebooks`` — m·k rows (subspace, code, cvec), trained
+      by driver-side Lloyd over a deterministic bounded sample
+      (``ORDER BY id LIMIT train_rows`` — sample size is a config constant,
+      never corpus-sized; same legitimacy class as ``pca_fit``'s d²
+      collect);
+    * ``{index_dir}/codes`` — one (nid, codes array<m tinyint-range ints>)
+      row per corpus vector, encoded DISTRIBUTED via an Arrow
+      ``mapInPandas`` pass (vectorized argmin per sub-space).
+
+    Vectors are L2-normalized before coding so ADC inner products rank by
+    cosine. At 100 TB the corpus pass happens once; the scan a query pays
+    afterward is m small ints per vector — a 16× I/O reduction at d=64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_probe = len(
+        corpus.select(F.col(vec_col).alias("e")).first()["e"]
+    )
+    if d_probe % m:
+        raise ValueError(f"m={m} must divide embedding dim {d_probe}")
+    dsub = d_probe // m
+
+    sample = np.array(
+        corpus.select(F.col(vec_col).alias("e"))
+        .orderBy(F.col(id_col))
+        .limit(train_rows)
+        .toPandas()["e"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    books = np.stack(
+        [
+            _pq_kmeans(sample[:, j * dsub : (j + 1) * dsub], k, seed + j, iters)
+            for j in range(m)
+        ]
+    )  # (m, k, dsub)
+
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(rows, ["subspace", "code", "cvec"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codebooks")
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array(pdf["e"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(n == 0, 1.0, n)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (xj**2).sum(axis=1, keepdims=True)
+                    - 2.0 * xj @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"nid": pdf["nid"], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("e")
+    ).mapInPandas(encode, "nid long, codes array<int>").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codes")
+
+
+def pq_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over a PQ index built by ``build_pq_index``: each query
+    precomputes an m×k table of sub-space inner products against the
+    codebooks (bounded: |query batch| × m × k floats, broadcast in the
+    task closure), then every corpus CODE row scores as m table lookups —
+    no float vectors are ever read at search time.
+
+    Per-partition pre-top-k inside the Arrow pass (the map-side-combine
+    shape) means the exchange carries ≤ partitions × |queries| × topk
+    candidate rows, never corpus-sized traffic; one window rank finishes
+    the global top-k. Returns (qid, nid, score_adc, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    books_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    m = max(r["subspace"] for r in books_rows) + 1
+    k = max(r["code"] for r in books_rows) + 1
+    dsub = len(books_rows[0]["cvec"])
+    books = np.zeros((m, k, dsub))
+    for r in books_rows:
+        books[r["subspace"], r["code"]] = r["cvec"]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).collect()  # bounded query batch, same contract as cosine_topk
+    qids = [r["qid"] for r in q_rows]
+    qv = np.array([r["qe"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qv = qv / np.where(qn == 0, 1.0, qn)
+    # tables[q, j, c] = <q_j, codebook[j][c]>
+    tables = np.einsum("qjd,jkd->qjk", qv.reshape(len(qv), m, dsub), books)
+
+    def score(batches):
+        jj = np.arange(m)
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            nids = pdf["nid"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = tables[qi][jj[None, :], codes].sum(axis=1)  # (B,)
+                keep = np.argsort(-s)[:topk]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(nids[keep])
+                out_s.extend(s[keep])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "score_adc": out_s})
+
+    partials = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .mapInPandas(score, "qid long, nid long, score_adc double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_adc").desc(), F.col("nid"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -129,3 +129,39 @@ def rate_sample_by_stratum(
         expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
     rate = expr.otherwise(F.lit(0.0))
     return df.filter(b < (rate * buckets))
+
+
+def weighted_repeat(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    epoch_col: str = "epoch",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling by row weight — the
+    epoch-mixing primitive of pretraining data recipes ("2.5 epochs of
+    wiki, 0.7 of web"): a row with weight ``w`` is emitted
+    ``floor(w) + Bernoulli(frac(w))`` times, tagged 1..n in ``epoch_col``,
+    where the fractional draw is the row key's md5 bucket (same
+    partition-independent, engine-portable decision as
+    ``rate_sample_by_stratum`` — never Spark RNG). ``w < 1`` degenerates
+    to plain rate sampling; ``w = 0`` drops the row.
+
+    Map-only 1→N fan-out (``explode(sequence(...))``): no shuffle, no
+    Python, stable under data growth — adding rows never changes an
+    existing row's copy count, so incremental corpus builds stay
+    reproducible at 100 TB.
+    """
+    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    n_copies = F.floor(weight).cast("long") + (
+        b < ((weight - F.floor(weight)) * buckets)
+    ).cast("long")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))),
+        )
+        .drop("__n")
+    )

@@ -110,6 +110,74 @@ def cms_table(
     )
 
 
+def bloom_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Build a Bloom filter of ``key_col`` as the DISTINCT set of occupied
+    (r, bucket) cells — depth independent md5-seeded hash rows (the same
+    engine-portable cell scheme as ``cms_table``), width buckets per row.
+
+    Like the CMS/HLL tables this artifact is tiny (≤ depth×width rows
+    REGARDLESS of input size) and mergeable: the union of two bloom tables
+    is the bloom of the concatenated key sets. One scan + one distinct on
+    bounded keys; at 100 TB the exchange carries only occupied cell ids.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+        .distinct()
+    )
+
+
+def bloom_masks(bloom: DataFrame, depth: int, width: int) -> list[str]:
+    """Collect the (bounded: ≤ depth×width rows BY CONSTRUCTION, never
+    data-sized) bloom cell table into one compact hex mask per hash row —
+    the broadcastable artifact a 100 TB probe embeds as a literal. Hex char
+    ``i`` (0-based) of row ``r``'s mask encodes buckets ``4i..4i+3``; bit
+    ``b`` of the nibble is set iff bucket ``4i + b`` is occupied."""
+    nibbles = [[0] * ((width + 3) // 4) for _ in range(depth)]
+    for row in bloom.collect():
+        r, bucket = row["r"], row["bucket"]
+        nibbles[r][bucket // 4] |= 1 << (bucket % 4)
+    return ["".join(format(n, "x") for n in row) for row in nibbles]
+
+
+def bloom_might_contain(
+    key: "F.Column", masks: list[str], width: int
+) -> "F.Column":
+    """Map-only membership test against literal hex masks from
+    ``bloom_masks``: no join, no shuffle, no Python — each hash row is a
+    substring + nibble decode + bit test, ANDed across rows. False
+    negatives are impossible; false-positive rate ~(occupancy)^depth."""
+    depth = len(masks)
+    hit = F.lit(True)
+    for r in range(depth):
+        bucket = _cms_bucket(key, r, width)
+        nibble = F.conv(
+            F.substring(F.lit(masks[r]), (bucket / 4).cast("int") + 1, 1), 16, 10
+        ).cast("int")
+        bit_pow = (
+            F.when(bucket % 4 == 0, F.lit(1))
+            .when(bucket % 4 == 1, F.lit(2))
+            .when(bucket % 4 == 2, F.lit(4))
+            .otherwise(F.lit(8))
+        )
+        hit = hit & (F.floor(nibble / bit_pow).cast("int") % 2 == 1)
+    return hit
+
+
 def cms_estimate(
     cms: DataFrame,
     keys: DataFrame,

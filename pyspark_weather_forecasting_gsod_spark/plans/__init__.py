@@ -4,3 +4,4 @@ from .queries import QUERIES, entry_query, oracle_sql, queries  # noqa: F401
 # @query decorator. Keep AFTER the .queries import (they import from it).
 from . import relational_suite  # noqa: E402,F401
 from . import llm_extra  # noqa: E402,F401
+from . import analytics_extra  # noqa: E402,F401

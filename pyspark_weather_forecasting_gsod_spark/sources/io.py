@@ -229,3 +229,33 @@ def read_json(
     schema to capture them (PERMISSIVE mode, the default).
     """
     return spark.read.options(**options).schema(schema).json(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs (streaming sinks, incremental appends and
+    per-partition writers leave thousands of KB-sized parquet files whose
+    open/footer cost dominates scan time). Rewrites ``src_dir`` into
+    ``dest_dir`` with files sized toward ``target_file_bytes``.
+
+    Sizing is observed, not guessed: the source's total on-disk bytes come
+    from the driver-side file listing (metadata only, no data read), and
+    the rewrite fans IN via ``coalesce`` — a partition-count change with
+    NO shuffle; each output task concatenates whole input splits. Returns
+    the output file count.
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_dir)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).coalesce(n_files).write.mode("overwrite").parquet(
+        dest_dir
+    )
+    return n_files

@@ -237,6 +237,16 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct", "SortMergeJoin"],
         "PMI joins the pair table to broadcast unigram/total sides after the min-support filter; top-k is a per-partition top-k merge",
     ),
+    "epoch_weighted_mix": (
+        ["Generate"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"],
+        "epoch fan-out is a pure map-side explode fused into the scan: zero shuffles, zero Python — adding 2.5 epochs of a source costs exactly the extra output rows",
+    ),
+    "bloom_prune_dedup": (
+        ["md5", "Union"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "the bloom membership test is literal-mask JVM expressions on the map side (no Python, no join for the bloom-negative branch); only bloom-positive rows reach the exact-verify join",
+    ),
 }
 
 
