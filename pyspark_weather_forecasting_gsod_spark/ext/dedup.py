@@ -424,6 +424,32 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH bucket keys from a minhash signature frame: ``bands``
+    rows per doc, each keyed by ``(band_no, bucket)`` where the bucket is
+    the hash of that band's signature slice. Map-only projection + stack;
+    this (id, band_no, bucket) table is also the PERSISTABLE near-dup
+    index artifact ``build_neardup_index`` writes."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, *band_cols).selectExpr(
+        id_col,
+        "stack("
+        + ", ".join([str(bands)] + [f"{b}, band_{b}" for b in range(bands)])
+        + ") as (band_no, bucket)",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -442,23 +468,11 @@ def minhash_lsh_pairs(
     controlled by bands/rows-per-band (8 bands × 4 rows ≈ s-curve threshold
     ~0.5), and verification touches only candidates.
     """
-    rows_per_band = num_hashes // bands
     arrs = shingle_arrays(df, id_col, text_col, n).persist()
     # signature + band keys: ONE map-only projection (fold expression), then
     # explode only `bands` small rows per doc for the bucket join.
     sig = minhash_signatures(arrs, id_col, num_hashes, seed)
-    band_cols = [
-        F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    bucket = sig.select(id_col, *band_cols).selectExpr(
-        id_col,
-        "stack("
-        + ", ".join([str(bands)] + [f"{b}, band_{b}" for b in range(bands)])
-        + ") as (band_no, bucket)",
-    )
+    bucket = minhash_band_buckets(sig, id_col, num_hashes, bands)
     a = bucket.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
     b = bucket.select(F.col(id_col).alias("doc_b"), "band_no", "bucket")
     candidates = (
@@ -851,4 +865,175 @@ def strip_duplicated_spans(
             ).alias("n_removed"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted LSH index, probe-only batches — the
+# near-dup companion to ``dedup_increment`` (exact store) and the same
+# build-once/probe-many shape as similarity.build_ivf_index/ivf_search.
+# ---------------------------------------------------------------------------
+
+
+def build_neardup_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """Build a persistent near-dup index over the corpus:
+
+    * ``{index_dir}/buckets`` — the (id, band_no, bucket) LSH table,
+      bucketed-by-key on disk via a ``bucket``-range sort so probe joins
+      scan clustered keys;
+    * ``{index_dir}/shingles`` — (id, shingles, sz) for the exact-verify
+      stage, so probing never re-reads or re-shingles the corpus text.
+
+    At 100 TB this happens once per corpus snapshot; each arriving batch
+    pays only its own shingling plus joins against the index. New batches
+    that commit can APPEND their buckets/shingles — the index is
+    incrementally maintainable because both artifacts are per-doc rows
+    with no global state."""
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(arrs, id_col, num_hashes, seed)
+    buckets = minhash_band_buckets(sig, id_col, num_hashes, bands)
+    buckets.repartitionByRange(8, "band_no", "bucket").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/buckets")
+    arrs.select(
+        F.col(id_col),
+        "shingles",
+        F.size("shingles").cast("long").alias("sz"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    arrs.unpersist()
+
+
+def neardup_probe(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a batch against a ``build_neardup_index`` store WITHOUT
+    touching the store's raw text: batch docs shingle + sign map-only,
+    candidates come from the (band_no, bucket) equi-join against the
+    index, and the exact-Jaccard verify joins candidate pairs to the
+    index's precomputed shingle rows. Never batch×store — candidate
+    volume is governed by the banding s-curve, verify cost by
+    Σ|candidate| shingles.
+
+    Returns one row per batch doc: (id, n_candidates, best_match,
+    best_jaccard) — best = highest verified Jaccard ≥ ``min_jaccard``
+    (ties broken toward the smaller store id), NULLs when nothing
+    verified."""
+    arrs = shingle_arrays(batch, id_col, text_col, n).persist()
+    sig = minhash_signatures(arrs, id_col, num_hashes, seed)
+    probe_buckets = minhash_band_buckets(sig, id_col, num_hashes, bands)
+    store_buckets = spark.read.parquet(f"{index_dir}/buckets")
+    cand = (
+        probe_buckets.select(F.col(id_col).alias("bid"), "band_no", "bucket")
+        .join(
+            store_buckets.select(
+                F.col(id_col).alias("sid"), "band_no", "bucket"
+            ),
+            on=["band_no", "bucket"],
+        )
+        .select("bid", "sid")
+        .distinct()
+        .persist()
+    )
+    store_sh = spark.read.parquet(f"{index_dir}/shingles").join(
+        cand.select(F.col("sid").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    )
+    bs = arrs.select(F.col(id_col).alias("bid"), F.explode("shingles").alias("s"))
+    ss = store_sh.select(
+        F.col(id_col).alias("sid"), F.explode("shingles").alias("s")
+    )
+    inter = (
+        cand.join(bs, on="bid")
+        .join(ss, on=["sid", "s"])
+        .groupBy("bid", "sid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    bsz = arrs.select(
+        F.col(id_col).alias("bid"), F.size("shingles").cast("long").alias("bsz")
+    )
+    ssz = store_sh.select(F.col(id_col).alias("sid"), "sz")
+    verified = (
+        inter.join(bsz, "bid")
+        .join(ssz, "sid")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("bsz") + F.col("sz") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    w = Window.partitionBy("bid").orderBy(F.col("jaccard").desc(), F.col("sid"))
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("bid", F.col("sid").alias("best_match"), F.col("jaccard").alias("best_jaccard"))
+    )
+    ncand = cand.groupBy("bid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    out = (
+        batch.select(F.col(id_col).alias("bid"))
+        .join(ncand, "bid", "left")
+        .join(best, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match",
+            F.round("best_jaccard", 6).alias("best_jaccard"),
+        )
+    )
+    return out
+
+
+def exact_cross_jaccard(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs BETWEEN two corpora (batch id × store id,
+    never within either side) via the inverted-index join — the ground
+    truth ``neardup_probe``'s recall gate measures against. Same cost
+    regime as ``ngram_jaccard_pairs``: fine at gate scale, post-LSH or
+    sampled (``similarity.sampled_pair_audit``) at 100 TB.
+
+    Returns (bid, sid, jaccard)."""
+    ba = shingle_arrays(batch, id_col, text_col, n).persist()
+    sa = shingle_arrays(store, id_col, text_col, n).persist()
+    bs = ba.select(F.col(id_col).alias("bid"), F.explode("shingles").alias("s"))
+    ss = sa.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("s"))
+    inter = (
+        bs.join(ss, on="s")
+        .groupBy("bid", "sid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    bsz = ba.select(F.col(id_col).alias("bid"), F.size("shingles").cast("long").alias("bsz"))
+    ssz = sa.select(F.col(id_col).alias("sid"), F.size("shingles").cast("long").alias("ssz"))
+    return (
+        inter.join(bsz, "bid")
+        .join(ssz, "sid")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("bsz") + F.col("ssz") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("bid", "sid", "jaccard")
     )

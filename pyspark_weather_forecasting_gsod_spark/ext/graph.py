@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     node_col: str = "node",
     rank_col: str = "rank",
+    with_degree: bool = False,
 ) -> DataFrame:
     """PageRank after a FIXED number of power iterations (deterministic —
     no convergence epsilon, so an ANSI-SQL oracle can unroll the same
@@ -38,8 +39,11 @@ def pagerank(
     dangling nodes (no out-edges) leak their mass, the standard simplified
     formulation.
 
-    Returns one row per node: ``(node_col, rank_col)``. Ranks sum to ≤ 1;
-    callers wanting scale-free scores should multiply by N.
+    Returns one row per node: ``(node_col, rank_col)`` — plus
+    ``out_degree`` when ``with_degree`` (served from the already-cached
+    degree-annotated edge list, so callers never re-derive the graph just
+    to report degrees). Ranks sum to ≤ 1; callers wanting scale-free
+    scores should multiply by N.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -78,6 +82,14 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     result = ranks
+    if with_degree:
+        deg = edge_deg.select(
+            F.col("__src").alias(node_col),
+            F.col("__deg").cast("long").alias("out_degree"),
+        ).distinct()
+        result = ranks.join(deg, node_col)
+        result.cache().count()  # materialize off the cached edges before unpersisting them
+        ranks.unpersist()
     nodes.unpersist()
     edge_deg.unpersist()
     return result

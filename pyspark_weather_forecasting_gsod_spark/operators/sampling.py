@@ -165,3 +165,30 @@ def weighted_repeat(
         )
         .drop("__n")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme (each row scores ``u^(1/w)`` for a
+    uniform u, the k largest scores are an exact ∝-weight sample) with the
+    uniform drawn from the row key's md5 — the same engine-portable,
+    partition-independent substitution for RNG as ``hash_split``. Rows
+    with non-positive weight are excluded.
+
+    One map-only scoring pass + a top-k (Spark plans
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort), so
+    the selection is reproducible at any scale and stable run-to-run."""
+    b = 1 << 32
+    u = (hash_bucket(F.col(key), b, hex_chars=8) + F.lit(0.5)) / F.lit(float(b))
+    return (
+        df.filter(weight > 0)
+        .withColumn(score_col, F.pow(u, F.lit(1.0) / weight))
+        .orderBy(F.col(score_col).desc(), F.col(key))
+        .limit(k)
+    )

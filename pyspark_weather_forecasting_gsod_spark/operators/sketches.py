@@ -217,3 +217,85 @@ def cms_estimate(
             ).alias("cms_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch: mergeable, DETERMINISTIC quantiles.
+# ---------------------------------------------------------------------------
+
+
+def histogram_table(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` over [lo, hi) as a (bin,
+    bin_count) table — the deterministic member of the quantile-sketch
+    family. ``approx_quantile`` (GK) and t-digest give tighter error but
+    are traversal-order/implementation-defined; a fixed-bin histogram is a
+    pure function of the data, so estimates reproduce across engines,
+    runs, AND partitionings — and the table is mergeable (cell-wise sum =
+    histogram of the concatenated streams), the property that lets per-day
+    / per-shard histograms roll up without rescanning, like the HLL/CMS/
+    bloom tables above.
+
+    One scan, one map-side-combined hash agg on ≤ bins keys. Values
+    outside [lo, hi) clamp into the edge bins (min/max guards belong
+    upstream); NULLs are dropped.
+    """
+    w = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a ``histogram_table``: walk the (tiny)
+    cumulative histogram to the bin containing rank q·n and interpolate
+    linearly inside it — worst-case error one bin width, deterministic.
+    Input is ≤ bins rows, so every step here is sketch-table-sized; the
+    base data is never touched again. Returns (q, quantile_est)."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / bins
+    cum = hist.withColumn(
+        "cum",
+        F.sum("bin_count").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("total", F.sum("bin_count").over(Window.partitionBy()))
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.col("total") * F.col("q")
+    # per q: the first bin whose cumulative count reaches rank q·n — one
+    # pass over the (≤ bins × |qs|)-row cross of sketch table and quantile
+    # list, finished by a rank-1 window (WindowGroupLimit)
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(F.col("cum") >= rank)
+    first = Window.partitionBy("q").orderBy("bin")
+    return (
+        hit.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q",
+            (
+                F.lit(lo)
+                + (
+                    F.col("bin")
+                    + (rank - (F.col("cum") - F.col("bin_count")))
+                    / F.col("bin_count")
+                )
+                * F.lit(w)
+            ).alias("quantile_est"),
+        )
+    )

@@ -102,14 +102,12 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=3, damping=0.85)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    pr = pagerank(edges, iterations=3, damping=0.85, with_degree=True)
     return (
-        pr.join(deg, pr["node"] == deg["src"])
-        .select(
+        pr.select(
             "node",
             F.round("rank", 11).alias("pagerank"),
-            F.col("out_degree").cast("long").alias("out_degree"),
+            "out_degree",
         )
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
@@ -308,3 +306,290 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _pq_index_for(spark, sf_dir)
     approx = pq_search(spark, idx, q, topk=5).localCheckpoint(eager=True)
     return approx.join(topk_recall(approx, cosine_topk(emb, q, k=5)), "qid")
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles: deterministic sketch vs exact, side by side.
+# --------------------------------------------------------------------------
+
+_H_BINS = 125
+_H_LO, _H_HI = 0.0, 250.0  # non-sentinel events.value domain
+_H_W = (_H_HI - _H_LO) / _H_BINS  # 2.0 — exactly representable
+
+
+@query(
+    "histogram_quantiles_value",
+    f"""
+    WITH v AS (
+        SELECT value FROM events
+        WHERE value IS NOT NULL AND value <= 250.0
+    ), h AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT), 0),
+                     {_H_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS bin_count
+        FROM v GROUP BY 1
+    ), c AS (
+        SELECT bin, bin_count,
+               SUM(bin_count) OVER (ORDER BY bin) AS cum,
+               SUM(bin_count) OVER () AS total
+        FROM h
+    ), qs AS (
+        SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q
+    ), est AS (
+        SELECT q,
+               (SELECT 0.0 + (c.bin + (qs.q * c.total - (c.cum - c.bin_count))
+                              / c.bin_count) * 2.0
+                FROM c WHERE c.cum >= qs.q * c.total
+                ORDER BY c.bin LIMIT 1) AS quantile_est
+        FROM qs
+    ), ex AS (
+        SELECT 0.5::DOUBLE AS q, quantile_cont(value, 0.5) AS exact FROM v
+        UNION ALL
+        SELECT 0.9::DOUBLE, quantile_cont(value, 0.9) FROM v
+        UNION ALL
+        SELECT 0.99::DOUBLE, quantile_cont(value, 0.99) FROM v
+    )
+    SELECT e.q, ROUND(e.quantile_est, 6) AS quantile_est,
+           ROUND(x.exact, 6) AS exact_quantile,
+           ROUND(ABS(e.quantile_est - x.exact), 6) AS abs_err
+    FROM est e JOIN ex x ON x.q = e.q
+    """,
+)
+def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of events.value from a mergeable equi-width histogram
+    sketch (operators/sketches.py::histogram_table) next to the exact
+    answers, with the realized error in the output. GK ``approx_quantile``
+    stays rows-only forever (traversal-order-defined); the fixed-bin
+    histogram is a pure function of the data, so the whole
+    estimate-vs-exact comparison is oracle-hashable — and the sketch table
+    is the artifact per-day shards would SUM to answer any rollup without
+    rescanning. Max error is one bin width (2.0 here) by construction."""
+    from ..operators.sketches import histogram_quantiles, histogram_table
+    from .queries import _events_normalized
+
+    ev = _events_normalized(spark, sf_dir).filter(F.col("value").isNotNull())
+    hist = histogram_table(ev, "value", _H_LO, _H_HI, _H_BINS)
+    est = histogram_quantiles(hist, [0.5, 0.9, 0.99], _H_LO, _H_HI, _H_BINS)
+    ex = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    ).selectExpr(
+        "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (q, exact)"
+    )
+    return est.join(F.broadcast(ex), "q").select(
+        "q",
+        F.round("quantile_est", 6).alias("quantile_est"),
+        F.round("exact", 6).alias("exact_quantile"),
+        F.round(F.abs(F.col("quantile_est") - F.col("exact")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-mix diagnostics: per-source Jensen-Shannon divergence from the
+# rest of the corpus over the token distribution.
+# --------------------------------------------------------------------------
+
+_TOK_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "source_js_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOK_SQL}) AS token FROM documents
+    ), cst AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), ct AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS ctot FROM tok GROUP BY 1
+    ), ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS ntot FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS grand FROM tok
+    ), grid AS (
+        SELECT s.source, s.ntot, t.ctot,
+               (SELECT grand FROM tot) AS grand,
+               COALESCE(c.c, 0) AS c
+        FROM ns s
+        CROSS JOIN ct t
+        LEFT JOIN cst c ON c.source = s.source AND c.token = t.token
+    ), terms AS (
+        SELECT source, ntot,
+               c / CAST(ntot AS DOUBLE) AS p,
+               (ctot - c) / CAST(grand - ntot AS DOUBLE) AS q
+        FROM grid
+    )
+    SELECT source, MAX(ntot) AS n_tokens,
+           ROUND(SUM(
+               CASE WHEN p > 0
+                    THEN 0.5 * p * log2(2.0 * p / (p + q)) ELSE 0.0 END
+             + CASE WHEN q > 0
+                    THEN 0.5 * q * log2(2.0 * q / (p + q)) ELSE 0.0 END
+           ), 6) AS js_vs_rest
+    FROM terms GROUP BY source
+    """,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's token
+    distribution and the REST of the corpus — the data-mixing diagnostic
+    that flags a domain drifting away from the blend (the quantitative
+    companion to ``temperature_mix_sample``'s rate derivation).
+
+    Scale shape: two hash aggs build the (source, token) and token margins;
+    the dense grid is |sources| × |vocab| — both bounded (vocab by a
+    heavy-hitter cap at 100 TB, as in ``bm25_topk``'s vocabulary filter) —
+    and the divergence is one aggregate over it. All JVM expressions, one
+    deterministic float fold, so the whole diagnostic is oracle-hashable.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(toks).alias("token"))
+    )
+    cst = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ct = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ctot"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ntot"))
+    tot = tok.agg(F.count(F.lit(1)).alias("grand"))
+    grid = (
+        ns.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cst, ["source", "token"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("long")))
+    )
+    p = F.col("c") / F.col("ntot").cast("double")
+    q = (F.col("ctot") - F.col("c")) / (F.col("grand") - F.col("ntot")).cast(
+        "double"
+    )
+    terms = grid.select(
+        "source", "ntot", p.alias("p"), q.alias("q")
+    )
+    contrib = F.when(
+        F.col("p") > 0,
+        F.lit(0.5) * F.col("p") * F.log2(
+            F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q"))
+        ),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("q") > 0,
+        F.lit(0.5) * F.col("q") * F.log2(
+            F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return terms.groupBy("source").agg(
+        F.max("ntot").alias("n_tokens"),
+        F.round(F.sum(contrib), 6).alias("js_vs_rest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (A-Res).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               POW(({_FOLD8.format(x="CAST(doc_id AS VARCHAR)")} % 4294967296
+                    + 0.5) / 4294967296.0,
+                   1.0 / n_chars) AS sample_score
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(sample_score, 8) AS sample_score
+    FROM scored
+    ORDER BY sample_score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 documents sampled without replacement with probability ∝ length
+    (operators/sampling.py::weighted_sample_k — Efraimidis-Spirakis A-Res
+    keyed by md5 uniforms instead of RNG, so the sample is a pure function
+    of the data: engine-portable, partition-independent, stable across
+    runs). The plan is one map-only scoring pass + TakeOrderedAndProject
+    (per-partition heaps); DuckDB reproduces the identical selection, so
+    — unlike seeded ``sample()``/``rand()`` — a weighted sample is
+    oracle-hashable."""
+    from ..operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_k(docs, "doc_id", F.col("n_chars"), k=50)
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_score", 8).alias("sample_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup: probe a batch against the persisted LSH index.
+# --------------------------------------------------------------------------
+
+_NEARDUP_INDEX_CACHE: dict[str, str] = {}
+_BATCH_SOURCES = ("src5", "src6", "src7")
+
+
+def _neardup_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from ..ext.dedup import build_neardup_index
+
+    if sf_dir not in _NEARDUP_INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="neardup_index_")
+        store = _t(spark, sf_dir, "documents").filter(
+            ~F.col("source").isin(*_BATCH_SOURCES)
+        )
+        build_neardup_index(store, d, "doc_id")
+        _NEARDUP_INDEX_CACHE[sf_dir] = d
+    return _NEARDUP_INDEX_CACHE[sf_dir]
+
+
+@query("neardup_index_probe", None)  # xxhash64 band buckets → rows-only
+def neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (sources src5-7) probes the
+    persisted LSH index of the store (ext/dedup.py::build_neardup_index /
+    neardup_probe) — band-bucket equi-join for candidates, exact-Jaccard
+    verify against the index's precomputed shingles, never re-reading the
+    store text and never batch×store. The near-dup sibling of
+    ``dedup_increment``'s exact fingerprint store.
+
+    Rows-only (band buckets are xxhash64), but the output carries doc-level
+    ``recall_vs_exact`` / ``n_false_positive`` measured in-query against
+    the EXACT batch↔store Jaccard join (``exact_cross_jaccard``) —
+    verification is exact, so false positives are structurally 0 and the
+    pytest gate asserts it."""
+    from ..ext.dedup import exact_cross_jaccard, neardup_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source").isin(*_BATCH_SOURCES))
+    store = docs.filter(~F.col("source").isin(*_BATCH_SOURCES))
+    idx = _neardup_index_for(spark, sf_dir)
+    probed = neardup_probe(
+        spark, idx, batch, "doc_id", min_jaccard=0.5
+    ).localCheckpoint(eager=True)
+    exact_docs = (
+        exact_cross_jaccard(batch, store, "doc_id", min_jaccard=0.5)
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+    )
+    flagged = probed.filter(F.col("best_match").isNotNull()).select("doc_id")
+    hit = flagged.withColumn("__f", F.lit(1))
+    summary = (
+        exact_docs.join(hit, "doc_id", "left")
+        .agg(
+            F.round(
+                F.count("__f") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+            ).alias("recall_vs_exact"),
+            F.count(F.lit(1)).alias("n_exact_flagged"),
+        )
+        .crossJoin(
+            flagged.join(exact_docs.withColumn("__e", F.lit(1)), "doc_id", "left")
+            .agg(
+                F.sum(F.when(F.col("__e").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_false_positive")
+            )
+        )
+    )
+    return probed.crossJoin(F.broadcast(summary))
