@@ -64,3 +64,40 @@ def scalable_exact_median(
     ranked = work.withColumn("rk", F.row_number().over(w) - 1 + offset)
     picks = ranked.filter(F.col("rk").isin(k1, k2)).agg(F.avg("v").alias("m")).first()
     return float(picks["m"])
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency discretization (quantile binning) — the ML
+    feature-prep transform behind `QuantileDiscretizer`, done the
+    scale-correct two-phase way: ONE aggregate computes the n_bins-1
+    interior boundaries (exact percentiles with linear interpolation),
+    then a broadcast of that single row turns assignment into a map-only
+    array fold (``bin = #{boundaries below x}``) fused into the scan — no
+    sort, no shuffle of the data itself, unlike NTILE which plans a
+    global sort.
+
+    Deterministic: boundaries are exact percentiles, the fold is pure
+    arithmetic, so (unlike MLlib's approx-quantile-backed discretizer)
+    the binning is reproducible and engine-portable. Ties at a boundary
+    go to the lower bin (strict ``>``)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(f'{p!r}D' for p in probs)}))"
+        ).alias("__bounds")
+    )
+    assign = F.expr(
+        f"aggregate(__bounds, 0, (acc, b) -> acc + IF({value_col} > b, 1, 0))"
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bin_col, assign)
+        .drop("__bounds")
+    )

@@ -1,23 +1,32 @@
-"""Round-4b analytics extras: graph centrality, bloom-gated dedup,
-epoch-weighted data mixing, and PQ ANN.
+"""Round-4c analytics extras, grouped by family:
 
-* ``pagerank_orders`` — fixed-iteration PageRank over the customer↔supplier
-  order graph (ext/graph.py): the iterative-DataFrame family alongside
-  connected components, oracle-checked by UNROLLING the same three power
-  iterations as DuckDB CTEs.
-* ``bloom_prune_dedup`` — incremental dedup gated by a mergeable,
-  engine-portable Bloom filter (operators/sketches.py): the crawl-pipeline
-  pattern where the fingerprint store's compact bitmask prunes the batch
-  MAP-ONLY and only bloom-positive rows pay the exact anti-join shuffle.
-  The oracle rebuilds the identical filter in SQL, so the no-false-negative
-  property is VERIFIED, not assumed, and false positives are visible rows.
-* ``epoch_weighted_mix`` — deterministic fractional up/down-sampling by
-  source weight (operators/sampling.py::weighted_repeat), the "N epochs of
-  wiki, 0.7 of web" pretraining recipe, md5-bucket decisions → oracle-exact.
-* ``pq_ann_topk`` — product-quantization ADC search on a build-once index
-  (ext/similarity.py::build_pq_index/pq_search), rows-only (KMeans
-  codebooks are float/seed-specific) with in-query recall_vs_exact against
-  the exact cosine companion, pytest-gated like the IVF/LSH paths.
+* **graph** — ``pagerank_orders``: fixed-iteration PageRank over the
+  customer↔supplier order graph (ext/graph.py), the iterative-DataFrame
+  family alongside connected components, oracle-checked by UNROLLING the
+  same three power iterations as DuckDB CTEs.
+* **sketches** — ``bloom_prune_dedup`` (bloom-gated incremental dedup;
+  the oracle rebuilds the identical md5-cell filter so the
+  no-false-negative property is VERIFIED, not assumed),
+  ``histogram_quantiles_value`` (mergeable equi-width histogram:
+  estimate, exact, and realized error all hash-checked),
+  ``streaming_sketch_merge`` (foreachBatch cell-wise merge across a
+  multi-batch replay == one-pass batch histogram, proving micro-batch
+  boundaries cannot change a mergeable sketch).
+* **sampling / mixing** — ``epoch_weighted_mix`` (deterministic
+  fractional up/down-sampling, the "2.5 epochs of wiki" recipe),
+  ``weighted_sample_docs`` (Efraimidis-Spirakis A-Res without
+  replacement, md5 uniforms instead of RNG — a weighted sample that is
+  oracle-hashable), ``quantile_bins_price`` (equal-frequency binning via
+  one percentile aggregate + map-only fold, no NTILE sort).
+* **similarity** — ``pq_ann_topk`` (product-quantization ADC on a
+  build-once index, rows-only with in-query recall_vs_exact),
+  ``neardup_index_probe`` (persisted-LSH incremental near-dup, probe-only
+  batches, recall 1.0 / FP 0 measured in-query),
+  ``source_js_divergence`` (per-source Jensen-Shannon drift diagnostic).
+* **event analytics / streaming** — ``attribution_last_touch`` (windowed
+  carry-forward attribution, one shuffle, no self-join),
+  ``streaming_static_join`` (per-micro-batch broadcast dimension
+  enrichment, zero join state).
 
 All hashing conventions follow plans.queries (shared aliases, rounded
 derived floats, BIGINT counts, tie-broken LIMITs).
@@ -593,3 +602,189 @@ def neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probed.crossJoin(F.broadcast(summary))
+
+
+# --------------------------------------------------------------------------
+# Streaming: stream-static enrichment join + incremental sketch merge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_static_join",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.value <= 250.0
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run as a REAL Structured Streaming
+    query (streaming/stream.py::run_streaming_static_join): the event
+    stream joins the broadcast customer dimension per micro-batch — the
+    dimension is re-resolvable between triggers, the stream side is never
+    shuffled for the join, and zero join state accumulates. The
+    complete-mode aggregate over the AvailableNow replay must equal the
+    batch join+agg, which is the oracle."""
+    from ..session import tune
+    from ..streaming.stream import run_streaming_static_join
+
+    tune(spark)
+    return run_streaming_static_join(spark, sf_dir)
+
+
+@query(
+    "streaming_sketch_merge",
+    """
+    WITH m AS (
+        SELECT (i * 2654435761) % 2147483648 AS mixed
+        FROM range(0, 2000) t(i)
+    ), v AS (
+        SELECT ROUND(mixed / 2147483648.0 * 100.0, 6) AS value FROM m
+    )
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 2.0) AS BIGINT), 0), 49) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS bin_count
+    FROM v GROUP BY 1
+    """,
+)
+def streaming_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental histogram-sketch maintenance over the replayable
+    Python-source stream (streaming/stream.py::run_streaming_sketch_merge):
+    every micro-batch reduces to a ≤50-row histogram partial and
+    ``foreachBatch`` merges partials cell-wise; the runner raises unless
+    the replay actually delivered multiple batches. The oracle computes
+    the whole-stream histogram in one pass over the same deterministic
+    generator — hash equality PROVES micro-batch boundaries cannot change
+    a mergeable sketch, the property the HLL/CMS/bloom family asserts in
+    prose."""
+    from ..session import tune
+    from ..streaming.stream import run_streaming_sketch_merge
+
+    tune(spark)
+    return run_streaming_sketch_merge(spark)
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency quantile binning (ML feature prep).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quantile_bins_price",
+    """
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bounds
+        FROM lineitem
+    ), assigned AS (
+        SELECT l.l_extendedprice AS price,
+               CAST(len(list_filter(b.bounds, x -> l.l_extendedprice > x))
+                    AS INTEGER) AS bin
+        FROM lineitem l CROSS JOIN b
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(price), 4) AS min_price,
+           ROUND(MAX(price), 4) AS max_price,
+           ROUND(AVG(price), 4) AS avg_price
+    FROM assigned GROUP BY bin
+    """,
+)
+def quantile_bins_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of lineitem prices
+    (operators/quantiles.py::quantile_bins): one aggregate derives the
+    exact interior percentile boundaries, a broadcast of that single row
+    makes assignment a map-only array fold — no NTILE global sort. The
+    per-bin profile (count ≈ n/10, min/max/avg) is fully oracle-hashable
+    because boundaries and fold are deterministic, unlike MLlib's
+    QuantileDiscretizer (approxQuantile-backed)."""
+    from ..operators.quantiles import quantile_bins
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    binned = quantile_bins(li, "l_extendedprice", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (event analytics, windowed carry-forward).
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7200 * 1_000_000  # 2 hours in microseconds
+
+
+@query(
+    "attribution_last_touch",
+    f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_id,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS click_us
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, click_id,
+           CAST(epoch_us(ts) - click_us AS BIGINT) AS micros_since_click
+    FROM ev
+    WHERE event_type = 'purchase'
+      AND click_id IS NOT NULL
+      AND epoch_us(ts) - click_us <= {_ATTR_WINDOW_US}
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to the same user's
+    most recent click within 2 hours — one window pass (carry-forward
+    ``last`` with ignorenulls over a rows-preceding frame), one shuffle on
+    user_id, no self-join. The timestamp pair rides the SAME frame so the
+    (click_id, click_ts) attribution is consistent; microsecond integer
+    arithmetic keeps the cutoff engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click_id").isNotNull()
+            & ((F.unix_micros("ts") - F.col("click_us")) <= _ATTR_WINDOW_US)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.unix_micros("ts") - F.col("click_us"))
+            .cast("long")
+            .alias("micros_since_click"),
+        )
+    )

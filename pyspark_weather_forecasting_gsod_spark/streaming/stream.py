@@ -226,3 +226,117 @@ def run_streaming_upsert(
     )
     _await_or_raise(q, timeout_sec, "streaming upsert")
     return spark.read.parquet(target_path)
+
+
+def run_streaming_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Stream-static join — the enrichment shape every event pipeline
+    runs: the event stream joins a slowly-changing dimension (here the
+    customer table) that Spark re-resolves per micro-batch, so a dimension
+    update is picked up at the next trigger without restarting the query.
+    The dimension side is broadcast (stream-static joins never shuffle the
+    stream for a broadcastable dim), making the join map-only on the
+    stream; state is zero because the static side is not buffered.
+
+    Complete-mode aggregate by (segment, event_type) over an AvailableNow
+    replay — equals the batch join+agg, which is the SQL oracle."""
+    from ..sources.io import load_table
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("value") <= 250.0)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"static_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_sec, name)
+    return spark.table(name)
+
+
+def run_streaming_sketch_merge(
+    spark: SparkSession,
+    n_rows: int = 2000,
+    rows_per_batch: int = 250,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Incremental sketch maintenance over a stream — the payoff of the
+    mergeable-sketch family (HLL/CMS/bloom/histogram all advertise
+    "per-shard sketches merge without rescanning"; this exercises it):
+    each micro-batch of the replayable Python-source stream reduces to an
+    equi-width histogram partial (≤ bins rows — the bounded-artifact
+    class, like ``bloom_masks``/``pca_fit``), and ``foreachBatch`` merges
+    partials cell-wise. The final merged table must equal the histogram of
+    the whole stream computed in one batch pass — which is the SQL oracle,
+    so micro-batch boundaries provably cannot change the sketch.
+
+    At 100 TB the merge target would be a keyed sink table (see
+    ``run_streaming_upsert``); the accumulation is associative and
+    idempotent per epoch either way."""
+    from ..operators.sketches import histogram_table
+    from ..sources.pyds import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", str(n_rows))
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+    )
+    merged: dict[int, int] = {}
+    n_batches = [0]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = histogram_table(batch_df, "value", 0.0, 100.0, 50).collect()
+        if partial:
+            n_batches[0] += 1
+        for row in partial:
+            merged[row["bin"]] = merged.get(row["bin"], 0) + row["bin_count"]
+
+    # AvailableNow is unsupported for Python stream sources (single-batch
+    # fallback would defeat the multi-batch merge this exercises): use the
+    # same continuous trigger + offset poll as run_python_source_stream.
+    name = f"sketch_merge_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import ast
+    import time
+
+    try:
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    end = ast.literal_eval(end)
+                if end and int(end.get("pos", 0)) >= n_rows:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"sketch-merge stream did not reach offset {n_rows}")
+    finally:
+        q.stop()
+    if n_batches[0] < 2:
+        raise AssertionError(
+            f"expected a multi-batch replay, saw {n_batches[0]} non-empty batches"
+        )
+    return spark.createDataFrame(
+        sorted(merged.items()), "bin long, bin_count long"
+    )

@@ -391,3 +391,84 @@ def test_neardup_index_probe_recall_gate(spark):
     for row in rows:
         if row["best_match"] is not None:
             assert row["best_jaccard"] >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# quantile binning
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bins_balanced_and_ordered(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import (
+        quantile_bins,
+    )
+
+    df = spark.range(1000).withColumn("v", (F.col("id") * 37 % 1000).cast("double"))
+    out = quantile_bins(df, "v", n_bins=10)
+    per = {r["bin"]: r["cnt"] for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(per) == set(range(10))
+    # equal-frequency: v is a permutation of 0..999 → 100 ± 1 per decile
+    assert all(99 <= c <= 101 for c in per.values())
+    # bins are ordered by value
+    ranges = {
+        r["bin"]: (r["lo"], r["hi"])
+        for r in out.groupBy("bin").agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    }
+    for b in range(9):
+        assert ranges[b][1] <= ranges[b + 1][0]
+
+
+def test_quantile_bins_rejects_single_bin(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import (
+        quantile_bins,
+    )
+
+    with pytest.raises(ValueError):
+        quantile_bins(spark.range(5).withColumn("v", F.col("id") * 1.0), "v", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_matches_bruteforce(spark):
+    rows = _declared("attribution_last_touch")(spark, SF_GATE).collect()
+    got = {(r["purchase_id"]): (r["click_id"], r["micros_since_click"]) for r in rows}
+
+    import duckdb
+
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS us"
+        " FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+        " ORDER BY user_id, us, event_id"
+    ).fetchall()
+    want = {}
+    last_click = {}
+    for eid, uid, typ, us in ev:
+        if typ == "purchase" and uid in last_click:
+            cid, cus = last_click[uid]
+            if us - cus <= 7200 * 1_000_000:
+                want[eid] = (cid, us - cus)
+        if typ == "click":
+            last_click[uid] = (eid, us)
+    assert got == want
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming additions (oracle covers equality; these check the machinery)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sketch_merge_is_multibatch_and_complete(spark):
+    from pyspark_weather_forecasting_gsod_spark.streaming.stream import (
+        run_streaming_sketch_merge,
+    )
+
+    out = run_streaming_sketch_merge(spark, n_rows=1000, rows_per_batch=200)
+    rows = out.collect()
+    # the runner raises unless ≥2 non-empty batches merged; counts must
+    # cover the whole stream
+    assert sum(r["bin_count"] for r in rows) == 1000
