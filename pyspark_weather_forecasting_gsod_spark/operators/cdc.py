@@ -169,3 +169,76 @@ def incremental_agg_update(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    keys: list[str],
+    effective_from,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Bootstrap a type-2 slowly-changing dimension from the first
+    snapshot: every row open (``valid_to`` NULL, current) as of
+    ``effective_from`` (a timestamp literal)."""
+    return snapshot.select(
+        *snapshot.columns,
+        F.lit(effective_from).cast("timestamp").alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_col),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    effective_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Advance a type-2 slowly-changing dimension to a new snapshot
+    effective at ``effective_ts`` — the warehouse-history companion to
+    ``apply_changeset`` (which keeps only latest values):
+
+    * keys whose attributes changed or disappeared CLOSE their open row
+      (``valid_to`` = ts, no longer current);
+    * changed and brand-new keys OPEN a fresh row (``valid_from`` = ts);
+    * unchanged keys and already-closed history rows pass through
+      untouched.
+
+    Everything is keyed joins against ``snapshot_diff``'s changeset (one
+    full-outer hash join + two broadcast-or-shuffle semi joins) — no
+    window over history, no driver state, so a 100 TB dimension advances
+    in one pass per snapshot. Deterministic: same inputs + ts → identical
+    table, which is what makes the declared query oracle-hashable."""
+    meta = [valid_from, valid_to, current_col]
+    cur = dim.filter(F.col(current_col))
+    closed_history = dim.filter(~F.col(current_col))
+    changes = snapshot_diff(cur.drop(*meta), snapshot, keys)
+    ts = F.lit(effective_ts).cast("timestamp")
+
+    affected = changes.filter(F.col("change_op").isin("U", "D")).select(*keys)
+    closes = (
+        cur.join(affected, on=keys, how="left_semi")
+        .withColumn(valid_to, ts)
+        .withColumn(current_col, F.lit(False))
+    )
+    unchanged = cur.join(affected, on=keys, how="left_anti")
+    opens = (
+        changes.filter(F.col("change_op").isin("I", "U"))
+        .drop("change_op")
+        .select(
+            *snapshot.columns,
+            ts.alias(valid_from),
+            F.lit(None).cast("timestamp").alias(valid_to),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        closed_history.unionByName(closes)
+        .unionByName(unchanged)
+        .unionByName(opens)
+    )

@@ -105,3 +105,53 @@ def mad_outlier_flags(
             (F.abs(F.col(column) - F.col("__med")) > k * F.col("__mad")).cast("int"),
         ),
     ).drop("__med", "__mad")
+
+
+def expectation_report(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
+    """Declarative row-level data expectations in ONE scan: each entry is
+    (constraint name → boolean Column that must hold); a NULL predicate
+    counts as a violation (unknown is not a pass). Output is one row per
+    constraint: (constraint, n_violations, n_rows) — the contract gate a
+    pipeline asserts before publishing a 100 TB table, priced at a single
+    conditional-aggregate pass like ``missing_census``, not a scan per
+    rule."""
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        ).cast("long").alias(name)
+        for name, cond in expectations.items()
+    ]
+    wide = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    stack = ", ".join(f"'{n}', `{n}`" for n in expectations)
+    return wide.selectExpr(
+        f"stack({len(expectations)}, {stack}) as (constraint, n_violations)",
+        "__n as n_rows",
+    )
+
+
+def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """(n_violations, n_rows) where a violation is any ROW beyond the
+    first for its key — one hash aggregate on the key."""
+    n = df.count()
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("long").alias("n_violations"))
+    )
+    return dup.select("n_violations", F.lit(n).cast("long").alias("n_rows"))
+
+
+def foreign_key_violations(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """(n_violations, n_rows): child rows whose non-NULL foreign key has
+    no parent — a left-anti join on the key (broadcast when the parent is
+    dimension-sized; NULL FKs are not violations, use a separate not-null
+    expectation for that policy)."""
+    n = child.count()
+    orphans = (
+        child.filter(F.col(fk).isNotNull())
+        .join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    return orphans.select("n_violations", F.lit(n).cast("long").alias("n_rows"))

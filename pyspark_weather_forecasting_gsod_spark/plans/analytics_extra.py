@@ -788,3 +788,182 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("micros_since_click"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality expectations (contract gate before publishing).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "data_quality_report",
+    """
+    WITH rowchecks AS (
+        SELECT 'o_totalprice_nonneg' AS constraint,
+               CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate_not_null',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority_in_domain',
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                            '4-NOT SPECIFIED','5-LOW'),
+                        FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+               CAST(SUM(c) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'o_custkey_fk_customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+    )
+    SELECT * FROM rowchecks
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over the orders table — the publish gate a
+    production pipeline runs before committing a snapshot: three row-level
+    predicates priced as ONE conditional-aggregate scan
+    (operators/quality.py::expectation_report), plus a uniqueness check
+    (one hash agg) and a referential-integrity check (left-anti join
+    against the customer dimension). Output: (constraint, n_violations,
+    n_rows) — all zeros on healthy data, and the zeros are oracle-checked
+    so a silently-broken check (a predicate that can never fail) is
+    caught by construction."""
+    from ..operators.quality import (
+        expectation_report,
+        foreign_key_violations,
+        unique_key_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rowlevel = expectation_report(
+        orders,
+        {
+            "o_totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "o_orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "o_orderpriority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    uniq = unique_key_violations(orders, ["o_orderkey"]).select(
+        F.lit("o_orderkey_unique").alias("constraint"), "n_violations", "n_rows"
+    )
+    fk = foreign_key_violations(orders, "o_custkey", customer, "c_custkey").select(
+        F.lit("o_custkey_fk_customer").alias("constraint"),
+        "n_violations",
+        "n_rows",
+    )
+    return rowlevel.unionByName(uniq).unionByName(fk)
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension maintenance: two deterministic snapshots of an
+# order-priority dimension, advanced through init + one apply.
+# --------------------------------------------------------------------------
+
+_SCD2_T1 = "2024-01-01 00:00:00"
+_SCD2_T2 = "2024-02-01 00:00:00"
+_SCD2_K = 1000  # snapshot-1 keys: o_orderkey < 1000
+
+
+@query(
+    "scd2_orders_dim",
+    f"""
+    WITH s1 AS (
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < {_SCD2_K}
+    ), s2 AS (
+        -- snapshot 2: %7 keys change priority, %11 keys deleted,
+        -- keys in [1000, 1200) inserted
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'RE-PRIORITIZED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        WHERE (o_orderkey < {_SCD2_K} AND o_orderkey % 11 <> 0)
+           OR (o_orderkey >= {_SCD2_K} AND o_orderkey < {_SCD2_K + 200})
+    ), changed AS (
+        SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
+        WHERE s1.o_orderpriority <> s2.o_orderpriority
+    ), deleted AS (
+        SELECT o_orderkey FROM s1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+    ), inserted AS (
+        SELECT o_orderkey FROM s2
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+    )
+    SELECT s1.o_orderkey, s1.o_orderpriority,
+           TIMESTAMP '{_SCD2_T1}' AS valid_from,
+           TIMESTAMP '{_SCD2_T2}' AS valid_to,
+           FALSE AS is_current
+    FROM s1
+    WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+       OR o_orderkey IN (SELECT o_orderkey FROM deleted)
+    UNION ALL
+    SELECT s1.o_orderkey, s1.o_orderpriority,
+           TIMESTAMP '{_SCD2_T1}', NULL, TRUE
+    FROM s1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM deleted)
+    UNION ALL
+    SELECT s2.o_orderkey, s2.o_orderpriority,
+           TIMESTAMP '{_SCD2_T2}', NULL, TRUE
+    FROM s2
+    WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+       OR o_orderkey IN (SELECT o_orderkey FROM inserted)
+    """,
+)
+def scd2_orders_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built by
+    operators/cdc.py::scd2_init + scd2_apply over two deterministic
+    snapshots of an order-priority dimension (derived from orders: %7
+    keys change, %11 keys delete, 200 keys insert): changed/deleted keys
+    close their first-epoch row (valid_to = T2), unchanged keys keep
+    their open row, changed/new keys open a second-epoch row. The oracle
+    derives the identical history table declaratively, so the operator's
+    close/keep/open routing is value-checked row for row — including
+    that history rows are never rewritten (there is exactly one closed
+    row per changed/deleted key, none for unchanged)."""
+    from ..operators.cdc import scd2_apply, scd2_init
+
+    orders = _t(spark, sf_dir, "orders")
+    s1 = orders.filter(F.col("o_orderkey") < _SCD2_K).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    s2 = (
+        orders.filter(
+            (
+                (F.col("o_orderkey") < _SCD2_K)
+                & (F.col("o_orderkey") % 11 != 0)
+            )
+            | (
+                (F.col("o_orderkey") >= _SCD2_K)
+                & (F.col("o_orderkey") < _SCD2_K + 200)
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("RE-PRIORITIZED")
+            )
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+    dim = scd2_init(s1, ["o_orderkey"], _SCD2_T1)
+    return scd2_apply(dim, s2, ["o_orderkey"], _SCD2_T2)

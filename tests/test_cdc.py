@@ -159,3 +159,101 @@ def test_incremental_agg_update_matches_full_recompute(spark):
     want = sorted(tuple(r) for r in recompute(new).collect())
     got = sorted(tuple(r) for r in maintained.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_close_keep_open_routing(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    s1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "attr"]
+    )
+    # key 1 unchanged, key 2 changed, key 3 deleted, key 4 inserted
+    s2 = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["k", "attr"])
+    dim = scd2_init(s1, ["k"], "2024-01-01 00:00:00")
+    out = scd2_apply(dim, s2, ["k"], "2024-02-01 00:00:00")
+    rows = {(r["k"], r["attr"], r["is_current"], r["valid_to"] is None) for r in out.collect()}
+    assert rows == {
+        (1, "a", True, True),     # unchanged: still the T1 open row
+        (2, "b", False, False),   # changed: T1 row closed
+        (2, "B", True, True),     # changed: T2 row open
+        (3, "c", False, False),   # deleted: T1 row closed, no new row
+        (4, "d", True, True),     # inserted: T2 row open
+    }
+    # exactly one current row per live key
+    cur = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_second_apply_preserves_closed_history(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    s1 = spark.createDataFrame([(1, "a")], ["k", "attr"])
+    s2 = spark.createDataFrame([(1, "b")], ["k", "attr"])
+    s3 = spark.createDataFrame([(1, "c")], ["k", "attr"])
+    dim = scd2_init(s1, ["k"], "2024-01-01 00:00:00")
+    dim = scd2_apply(dim, s2, ["k"], "2024-02-01 00:00:00")
+    dim = scd2_apply(dim, s3, ["k"], "2024-03-01 00:00:00")
+    rows = sorted(
+        (r["attr"], r["is_current"], r["valid_to"] is None)
+        for r in dim.collect()
+    )
+    assert rows == [("a", False, False), ("b", False, False), ("c", True, True)]
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations
+# ---------------------------------------------------------------------------
+
+
+def test_expectation_report_counts_nulls_as_violations(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], ["id", "v"]
+    )
+    out = {
+        r["constraint"]: r["n_violations"]
+        for r in expectation_report(
+            df, {"v_nonneg": F.col("v") >= 0, "v_not_null": F.col("v").isNotNull()}
+        ).collect()
+    }
+    # NULL >= 0 is unknown → counted as a violation, not silently passed
+    assert out == {"v_nonneg": 2, "v_not_null": 1}
+
+
+def test_unique_and_fk_violation_counters(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        foreign_key_violations,
+        unique_key_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    u = unique_key_violations(
+        spark.createDataFrame([(1,), (1,), (1,), (2,)], ["k"]), ["k"]
+    ).first()
+    assert u["n_violations"] == 2 and u["n_rows"] == 4
+    f = foreign_key_violations(child, "fk", parent, "pk").first()
+    # NULL fk is not an orphan; id=3 is
+    assert f["n_violations"] == 1 and f["n_rows"] == 4
