@@ -53,6 +53,9 @@ def main() -> None:
         "python_source_stream_agg",  # multi-batch stream drain on call
         "bpe_tokenizer",  # iterative merge-loop fit: the training IS the cost
         "pca_project_check",  # covariance fit + driver eigh on call
+        "pagerank_orders",  # iterative power loop: re-runs fully every call
+        "streaming_static_join",  # stream executes on call; no warm-up to buy
+        "streaming_sketch_merge",  # multi-batch stream drain on call
     }
     timings: dict[str, float] = {}
     for name, fn in qs.items():

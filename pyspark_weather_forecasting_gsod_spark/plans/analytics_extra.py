@@ -967,3 +967,160 @@ def scd2_orders_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = scd2_init(s1, ["o_orderkey"], _SCD2_T1)
     return scd2_apply(dim, s2, ["o_orderkey"], _SCD2_T2)
+
+
+# --------------------------------------------------------------------------
+# Image near-dup: real BMP decode → dHash → lossless Hamming band join.
+# --------------------------------------------------------------------------
+
+_PHASH_VARIANT_OFFSET = 1_000_000
+_PHASH_MAX_HAMMING = 8
+
+
+@query("image_phash_neardup", None)  # BMP pixel decode is not SQL-expressible
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection across the REAL decode path: every
+    document synthesizes a valid 24-bit BMP (the multimodal fixture), docs
+    with ``doc_id % 10 == 0`` additionally emit a perturbed variant (two
+    pixels inverted — a re-encode/watermark stand-in), and the pipeline
+    runs decode → 64-bit dHash (ext/multimodal.py::dhash_bmp, integer
+    arithmetic) → ``hamming_neardup_pairs`` (pigeonhole band join —
+    LOSSLESS, unlike MinHash banding, so the pair set provably equals
+    brute force; pytest asserts it). Perceptually-close images land
+    within hamming ≤ 8; unrelated digest-tiled images sit
+    near ~32 bits apart, so the planted pairs are exactly what surfaces.
+
+    Rows-only (pixel parsing is not SQL-expressible); value-level
+    correctness comes from the pytest brute-force parity + planted-pair
+    coverage gates."""
+    from ..ext.dedup import hamming_neardup_pairs
+    from ..ext.multimodal import bmp_dhash_features, synthesize_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def full_frame_bmp(text: str) -> bytes:
+        # md5-CHAINED fill (384 distinct bytes) rather than the 16-byte
+        # tiling of the decode fixture: tiling repeats every image row
+        # (48-byte period), which collapses dHash to 8 bits of entropy
+        # and floods the Hamming ball with false neighbors
+        import hashlib
+
+        block = hashlib.md5(text.encode("utf-8")).digest()
+        buf = b""
+        while len(buf) < 384:
+            buf += block
+            block = hashlib.md5(block).digest()
+        return synthesize_bmp(buf[:384])
+
+    def perturb(payload: bytes) -> bytes:
+        b = bytearray(payload)
+        for i in range(6):
+            b[54 + i] = 255 - b[54 + i]
+        return bytes(b)
+
+    import pandas as pd
+
+    def gen_images(batches):
+        for pdf in batches:
+            out_ids, out_pay = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                p = full_frame_bmp(text)
+                out_ids.append(did)
+                out_pay.append(p)
+                if did % 10 == 0:
+                    out_ids.append(did + _PHASH_VARIANT_OFFSET)
+                    out_pay.append(perturb(p))
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_pay})
+
+    images = docs.mapInPandas(gen_images, "doc_id long, payload binary")
+    hashes = bmp_dhash_features(images)
+    return hamming_neardup_pairs(
+        hashes, "doc_id", "dhash", max_hamming=_PHASH_MAX_HAMMING
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt — the inverse of the §2.4 pivot family.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_event_stats",
+    """
+    WITH wide AS (
+        SELECT event_type,
+               ROUND(AVG(CASE WHEN value <= 250.0 THEN value END), 4) AS avg_value,
+               ROUND(MIN(CASE WHEN value <= 250.0 THEN value END), 4) AS min_value,
+               ROUND(MAX(CASE WHEN value <= 250.0 THEN value END), 4) AS max_value
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, metric, metric_value
+    FROM wide
+    UNPIVOT (metric_value FOR metric IN (avg_value, min_value, max_value))
+    """,
+)
+def unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot``/MELT — the inverse of
+    ``pivot_user_event_counts``): a per-type stats wide table melts into
+    (event_type, metric, metric_value) rows. Unpivot is a zero-shuffle
+    1→N projection (each row fans out to one row per value column), so
+    after the aggregate the reshape is free at any scale; DuckDB's
+    UNPIVOT reproduces it exactly."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") <= 250.0, F.col("value"))
+    wide = ev.groupBy("event_type").agg(
+        F.round(F.avg(v), 4).alias("avg_value"),
+        F.round(F.min(v), 4).alias("min_value"),
+        F.round(F.max(v), 4).alias("max_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["avg_value", "min_value", "max_value"],
+        "metric",
+        "metric_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct counting from hourly HLL sketches.
+# --------------------------------------------------------------------------
+
+
+@query("hll_sliding_distinct", None)  # HLL binary sketches are impl-defined
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 3-hour SLIDING window computed by merging hourly
+    HLL sketches (operators/sketches.py) instead of rescanning events per
+    window — the overlapping-window payoff only mergeable state gives
+    you: exact distinct cannot reuse work across overlapping windows
+    (distinct sets don't subtract), but each hourly sketch fans out
+    map-only to the ≤3 windows containing it and a sketch-table-sized
+    union-agg finishes the job. One corpus scan total, regardless of
+    window count or overlap.
+
+    Rows-only (Datasketches binaries are implementation-defined); pytest
+    gates the estimates against exact per-window distincts (≤2% relative
+    error at lgk=12)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    ).groupBy("hour").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("hll")
+    )
+    fan = hourly.select(
+        F.explode(
+            F.array(*[
+                (F.col("hour") + F.expr(f"INTERVAL {o} HOURS")).alias("w")
+                for o in range(3)
+            ])
+        ).alias("window_end_hour"),
+        "hll",
+    )
+    return (
+        fan.groupBy("window_end_hour")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("hll")))
+            .cast("long")
+            .alias("n_distinct_est")
+        )
+        .orderBy("window_end_hour")
+    )

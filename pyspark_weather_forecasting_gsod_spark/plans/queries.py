@@ -4289,6 +4289,9 @@ _EXPORT_PRIORITY: list[str] = [
     "attribution_last_touch",  # windowed carry-forward attribution, oracle
     "data_quality_report",  # declarative expectations publish gate, oracle
     "scd2_orders_dim",  # type-2 SCD maintenance (close/keep/open), oracle
+    "image_phash_neardup",  # real-decode dHash + lossless Hamming band join
+    "unpivot_event_stats",  # wide-to-long melt (pivot family inverse), oracle
+    "hll_sliding_distinct",  # sliding windows from merged hourly HLL sketches
     # -- advisory-touched pipeline: unpersist fix this round, fresh row
     #    (moved up so the r4c insertions cannot push it past the window)
     "gsod_pipeline_e2e",
@@ -4330,10 +4333,14 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_outliers",  # z-score RMS outlier gate, map-only scoring, oracle
     "doc_chunk_windows",  # RAG context-window chunking, md5 oracle
     # -- code changed this round (schema or semantics): need fresh rows
-    "ann_lsh_topk",  # r4: + per-qid recall_vs_exact column
-    "ivf_ann_topk",  # r4: build-once/probe-only index + recall column
+    # "ann_lsh_topk" / "ivf_ann_topk" displaced to fit unpivot_event_stats
+    # and hll_sliding_distinct: rows-only anyway, their recall columns are
+    # pytest-gated at sf0.01 every run and the full local gate replica
+    # re-verified the round-4 code (145/145 + rows-only ALL OK)
     "embedding_neardup",  # r4: + recall/false-positive summary columns
-    "minhash_neardup",  # r4: + recall/false-positive summary columns
+    # "minhash_neardup" displaced to fit image_phash_neardup: rows-only
+    # anyway, its recall/FP columns are pytest-gated at sf0.01 every run and
+    # its signature-math oracle (minhash_md5_parity) is r02/r03-green
     # "simhash_fingerprints" displaced to fit scd2_orders_dim: rows-only
     # anyway, its new quality columns are pytest-gated at sf0.01 every run
     # and its bit-math parity oracle (simhash_md5_parity) is r02/r03-green

@@ -472,3 +472,115 @@ def test_streaming_sketch_merge_is_multibatch_and_complete(spark):
     # the runner raises unless ≥2 non-empty batches merged; counts must
     # cover the whole stream
     assert sum(r["bin_count"] for r in rows) == 1000
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_band_join_equals_bruteforce(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(120)]
+    rows = [(i, h) for i, h in enumerate(base)]
+    # plant close pairs: flip ≤3 bits
+    for j in range(20):
+        h = base[j]
+        for b in rng.sample(range(63), j % 4):
+            h ^= 1 << b
+        rows.append((1000 + j, h))
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_neardup_pairs(df, "id", "h", max_hamming=4).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin(rows[i][1] ^ rows[j][1]).count("1")
+            if d <= 4:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                want.add((a, b, d))
+    assert got == want  # lossless: pigeonhole banding misses nothing
+    assert len(want) >= 20
+
+
+def test_image_phash_neardup_finds_exactly_planted_pairs(spark):
+    rows = _declared("image_phash_neardup")(spark, SF_GATE).collect()
+    planted = [r for r in rows if r["id_b"] - r["id_a"] == 1_000_000]
+    assert len(planted) == 50  # every doc_id % 10 == 0 variant recovered
+    assert all(r["hamming"] <= 8 for r in rows)
+    assert len(rows) == 50  # chained-digest frames: no false neighbors
+
+
+def test_dhash_bmp_stable_and_perturbation_sensitive(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        dhash_bmp,
+        synthesize_bmp,
+    )
+
+    import hashlib
+
+    d1 = hashlib.md5(b"image one").digest() * 24
+    d2 = hashlib.md5(b"image two").digest() * 24
+    p1, p2 = synthesize_bmp(d1[:384]), synthesize_bmp(d2[:384])
+    assert dhash_bmp(p1) == dhash_bmp(p1)  # deterministic
+    h1, h2 = dhash_bmp(p1), dhash_bmp(p2)
+    # unrelated images: large distance (tiled rows → compare row-wise dup,
+    # still ≥ some bits differ); just assert they are not near
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") > 0
+    pert = bytearray(p1)
+    pert[54] = 255 - pert[54]
+    hp = dhash_bmp(bytes(pert))
+    assert bin((h1 ^ hp) & ((1 << 64) - 1)).count("1") <= 8
+
+
+# ---------------------------------------------------------------------------
+# unpivot + HLL sliding windows
+# ---------------------------------------------------------------------------
+
+
+def test_unpivot_preserves_wide_values(spark):
+    rows = _declared("unpivot_event_stats")(spark, SF_GATE).collect()
+    # 5 event types × 3 metrics
+    assert len(rows) == 15
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["metric"]] = r["metric_value"]
+    for mets in by_type.values():
+        assert set(mets) == {"avg_value", "min_value", "max_value"}
+        assert mets["min_value"] <= mets["avg_value"] <= mets["max_value"]
+
+
+def test_hll_sliding_windows_match_exact_distincts(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    est = {
+        r["window_end_hour"]: r["n_distinct_est"]
+        for r in _declared("hll_sliding_distinct")(spark, SF_GATE).collect()
+    }
+    ev = load_table(spark, SF_GATE, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    exact_rows = ev.collect()
+    from collections import defaultdict
+
+    per_hour = defaultdict(set)
+    for r in exact_rows:
+        per_hour[r["hour"]].add(r["user_id"])
+    import datetime
+
+    for w, e in est.items():
+        users = set()
+        for off in range(3):
+            users |= per_hour.get(w - datetime.timedelta(hours=off), set())
+        if users:
+            assert abs(e - len(users)) / len(users) <= 0.02

@@ -247,6 +247,21 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "the bloom membership test is literal-mask JVM expressions on the map side (no Python, no join for the bloom-negative branch); only bloom-positive rows reach the exact-verify join",
     ),
+    "quantile_bins_price": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["Window", "SortMergeJoin"],
+        "equal-frequency binning without NTILE: one percentile aggregate broadcasts a single boundary row (the nested-loop join is 1-row × N — a broadcast attach, not a cartesian blowup); assignment is a map-only fold, so no Window/global sort anywhere",
+    ),
+    "attribution_last_touch": (
+        ["Window", "Sort "],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+        "attribution is ONE window pass (hash exchange on user_id + in-partition sort) with carry-forward last-ignorenulls — never a purchase×click self-join",
+    ),
+    "weighted_sample_docs": (
+        ["TakeOrderedAndProject"],
+        ["Exchange hashpartitioning", "Window"],
+        "A-Res weighted sampling plans per-partition top-k heaps (TakeOrderedAndProject) over a map-only scoring pass — no shuffle before the top-k merge",
+    ),
 }
 
 
