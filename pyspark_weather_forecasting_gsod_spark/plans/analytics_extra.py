@@ -1124,3 +1124,39 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-fold cross-validation (ML eval rigor).
+# --------------------------------------------------------------------------
+
+
+@query("ml_kfold_cv", None)  # training loops → rows-only (pytest-gated)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated linear regression on the events feature
+    frame (ml/models.py::kfold_cv_regression): folds are md5 buckets of
+    event_id — deterministic, partition-independent, growth-stable —
+    instead of the reference's single unseeded randomSplit, so the
+    variance ACROSS folds is measurable and every number reproduces
+    exactly. Output: per-fold (rmse, r2, n_test) plus the cross-fold
+    mean/stddev rows a model gate would threshold."""
+    from ..ml.features import assemble_features
+    from ..ml.models import kfold_cv_regression
+    from .queries import _events_feature_frame
+
+    df = _events_feature_frame(spark, sf_dir, keep_key=True)
+    feat = assemble_features(
+        df, categorical=["event_type"], numerical=["value", "hour", "dow"]
+    )
+    folds = kfold_cv_regression(feat, "next_value", key_col="event_id", k=5)
+    rows = [
+        (int(m["fold"]), round(float(m["rmse"]), 4), round(float(m["r2"]), 4), int(m["n_test"]))
+        for m in folds
+    ]
+    import statistics
+
+    rmses = [m["rmse"] for m in folds]
+    rows.append((-1, round(statistics.mean(rmses), 4), round(statistics.pstdev(rmses), 4), sum(int(m["n_test"]) for m in folds)))
+    return spark.createDataFrame(
+        rows, "fold int, rmse double, r2_or_stddev double, n_test long"
+    )

@@ -3295,14 +3295,18 @@ def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_feature_frame(
+    spark: SparkSession, sf_dir: str, keep_key: bool = False
+) -> DataFrame:
     """events → next-value labels + featurizable columns (the GSOD label
-    recipe mapped onto the driver tables, FIXTURES.md §B)."""
+    recipe mapped onto the driver tables, FIXTURES.md §B). ``keep_key``
+    carries event_id through — the deterministic fold key for CV."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
     labeled = lead_labels(
         ev, group_by="user_id", order_by=["ts", "event_id"], labels={"value": "next_value"}
     )
     return labeled.select(
+        *(["event_id"] if keep_key else []),
         "event_type",
         "value",
         F.hour("ts").cast("double").alias("hour"),
@@ -4292,6 +4296,7 @@ _EXPORT_PRIORITY: list[str] = [
     "image_phash_neardup",  # real-decode dHash + lossless Hamming band join
     "unpivot_event_stats",  # wide-to-long melt (pivot family inverse), oracle
     "hll_sliding_distinct",  # sliding windows from merged hourly HLL sketches
+    "ml_kfold_cv",  # deterministic md5-fold cross-validation (rows + pytest)
     # -- advisory-touched pipeline: unpersist fix this round, fresh row
     #    (moved up so the r4c insertions cannot push it past the window)
     "gsod_pipeline_e2e",
@@ -4337,7 +4342,9 @@ _EXPORT_PRIORITY: list[str] = [
     # and hll_sliding_distinct: rows-only anyway, their recall columns are
     # pytest-gated at sf0.01 every run and the full local gate replica
     # re-verified the round-4 code (145/145 + rows-only ALL OK)
-    "embedding_neardup",  # r4: + recall/false-positive summary columns
+    # "embedding_neardup" displaced to fit ml_kfold_cv: rows-only anyway,
+    # its recall/FP columns are pytest-gated at sf0.01 every run and the
+    # full local gate replica re-verified the round-4 code (ALL OK)
     # "minhash_neardup" displaced to fit image_phash_neardup: rows-only
     # anyway, its recall/FP columns are pytest-gated at sf0.01 every run and
     # its signature-math oracle (minhash_md5_parity) is r02/r03-green

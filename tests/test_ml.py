@@ -131,3 +131,28 @@ def test_weather_fixture_pathologies(spark):
     assert wx.agg(F.sum("temp")).first()[0] == weather_fixture(
         spark, n_stations=10, n_days=60
     ).agg(F.sum("temp")).first()[0]
+
+
+def test_kfold_cv_deterministic_balanced_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ml.models import (
+        kfold_cv_regression,
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    ).withColumn("y", F.col("x") * 3.0 + 1.0)
+    feat = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    folds = kfold_cv_regression(feat, "y", key_col="id", k=4)
+    # perfect linear data → every fold fits exactly
+    assert all(m["r2"] > 0.999 for m in folds)
+    # md5 folds: balanced within a loose band, cover everything
+    sizes = [m["n_test"] for m in folds]
+    assert sum(sizes) == 2000
+    assert all(2000 / 4 * 0.8 <= s <= 2000 / 4 * 1.2 for s in sizes)
+    # determinism: same folds regardless of partitioning
+    folds2 = kfold_cv_regression(feat.repartition(13), "y", key_col="id", k=4)
+    assert [m["n_test"] for m in folds2] == sizes
