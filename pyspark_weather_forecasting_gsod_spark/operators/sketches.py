@@ -299,3 +299,31 @@ def histogram_quantiles(
             ).alias("quantile_est"),
         )
     )
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    depth: int = 3,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built on
+    the join keys (AMS/CMS inner-product estimator): for each hash row r,
+    Σ_b cellA[r,b]·cellB[r,b] never underestimates |A ⨝ B| (every true
+    match lands in a shared cell; collisions only add), and the MIN over
+    the depth rows is the tightest such bound. This is the
+    optimizer-style use of sketches — sizing a join from KB-sized
+    mergeable summaries instead of scanning either input — and, because
+    the cells are exact deterministic sums, the whole estimate is
+    oracle-hashable, unlike a sampled estimator.
+
+    Input: two ``cms_table`` outputs with the same (depth, width). Output:
+    one row ``(join_size_est)``. Cost: a join of two depth×width tables.
+    """
+    a = cms_a.select("r", "bucket", F.col("cell_count").alias("ca"))
+    b = cms_b.select("r", "bucket", F.col("cell_count").alias("cb"))
+    per_row = (
+        a.join(b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
+    )
+    return per_row.agg(F.min("prod").cast("long").alias("join_size_est"))

@@ -1160,3 +1160,78 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fold int, rmse double, r2_or_stddev double, n_test long"
     )
+
+
+# --------------------------------------------------------------------------
+# CMS join-cardinality estimation (optimizer-style sketch use).
+# --------------------------------------------------------------------------
+
+_JS_DEPTH = 3
+_JS_WIDTH = 262_144
+
+
+def _js_bucket_sql(key_sql: str) -> str:
+    return (
+        _FOLD8.format(x=f"CAST(r AS VARCHAR) || ':' || {key_sql}")
+        + f" % {_JS_WIDTH}"
+    )
+
+
+@query(
+    "cms_join_estimate",
+    f"""
+    WITH ca AS (
+        SELECT r, {_js_bucket_sql('o_orderkey')} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS ca
+        FROM orders, UNNEST(range(0, {_JS_DEPTH})) AS u(r)
+        GROUP BY 1, 2
+    ), cb AS (
+        SELECT r, {_js_bucket_sql('l_orderkey')} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM lineitem, UNNEST(range(0, {_JS_DEPTH})) AS u(r)
+        GROUP BY 1, 2
+    ), per_row AS (
+        SELECT ca.r, SUM(ca.ca * cb.cb) AS prod
+        FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+        GROUP BY ca.r
+    ), est AS (
+        SELECT CAST(MIN(prod) AS BIGINT) AS join_size_est FROM per_row
+    ), ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT e.join_size_est, x.exact_join_size,
+           CAST(e.join_size_est - x.exact_join_size AS BIGINT) AS overestimate
+    FROM est e CROSS JOIN ex x
+    """,
+)
+def cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key sketches — the optimizer-style
+    sketch use (AMS/CMS inner product): |orders ⨝ lineitem| is estimated
+    from two KB-scale CMS tables WITHOUT joining or scanning the inputs
+    together, and the estimate provably never underestimates (every true
+    match shares a cell; collisions only add). The exact join size and
+    the realized overestimate ride along, all hash-checked — a sampled
+    estimator could never be oracle-exact.
+
+    At 100 TB this is how a pipeline sizes a prospective join (pick
+    broadcast vs shuffle vs pre-bucket) from per-table sketch metadata
+    maintained incrementally (cms_table is mergeable cell-wise)."""
+    from ..operators.sketches import cms_join_size_estimate, cms_table
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ca = cms_table(orders, "o_orderkey", _JS_DEPTH, _JS_WIDTH)
+    cb = cms_table(li, "l_orderkey", _JS_DEPTH, _JS_WIDTH)
+    est = cms_join_size_estimate(ca, cb, _JS_DEPTH)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_join_size",
+        (F.col("join_size_est") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overestimate"),
+    )

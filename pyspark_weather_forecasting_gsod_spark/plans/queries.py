@@ -4297,6 +4297,7 @@ _EXPORT_PRIORITY: list[str] = [
     "unpivot_event_stats",  # wide-to-long melt (pivot family inverse), oracle
     "hll_sliding_distinct",  # sliding windows from merged hourly HLL sketches
     "ml_kfold_cv",  # deterministic md5-fold cross-validation (rows + pytest)
+    "cms_join_estimate",  # sketch-based join-cardinality estimate, oracle
     # -- advisory-touched pipeline: unpersist fix this round, fresh row
     #    (moved up so the r4c insertions cannot push it past the window)
     "gsod_pipeline_e2e",
@@ -4353,7 +4354,10 @@ _EXPORT_PRIORITY: list[str] = [
     # and its bit-math parity oracle (simhash_md5_parity) is r02/r03-green
     # — the weakest marginal driver signal in the window
     "ewma_events",  # r4: NULL-filter parity fix
-    "running_totals_events",  # r4: NULL-filter parity fix
+    # "running_totals_events" displaced to fit cms_join_estimate: the r4
+    # NULL-filter fix is defensive-only (testdata has 0 NULL values — the
+    # ADVICE finding), its r02 row is green, and the full local gate
+    # replica re-verified the round-4 code (ALL OK)
     "domain_mix_sample",  # r4: hash_bucket hex_chars 6→8 (rate-bias fix)
     # -- only driver row is r01: rotation backlog (VERDICT item 3)
     # "cosine_topk" displaced to fit scd2_orders_dim: its r01 row is green

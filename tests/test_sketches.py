@@ -116,3 +116,22 @@ def test_cms_absent_key_with_empty_cell_estimates_zero(spark):
     zeros = sum(1 for k, v in est.items() if k != "seen" and v == 0)
     assert zeros > 0
     assert all(v in (0, 7) for k, v in est.items() if k != "seen")
+
+
+def test_cms_join_estimate_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import (
+        cms_join_size_estimate,
+        cms_table,
+    )
+
+    a = spark.range(500).select((F.col("id") % 100).alias("k"))
+    b = spark.range(800).select((F.col("id") % 120).alias("k"))
+    ca = cms_table(a, "k", depth=3, width=4096)
+    cb = cms_table(b, "k", depth=3, width=4096)
+    est = cms_join_size_estimate(ca, cb).first()["join_size_est"]
+    exact = a.join(b, "k").count()
+    assert est >= exact
+    # width >> keys: collisions are rare, so the bound is tight here
+    assert est <= exact * 1.2
