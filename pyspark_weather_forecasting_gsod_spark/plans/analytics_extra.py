@@ -42,8 +42,9 @@ from .queries import _t, query
 
 # --------------------------------------------------------------------------
 # PageRank: 3 unrolled power iterations, damping 0.85. Node ids are
-# namespaced ('c<custkey>' / 's<suppkey>') so the bipartite sides never
-# collide; edges run both directions (random walk on an undirected graph).
+# namespaced ARITHMETICALLY (customer 2k / supplier 2k+1 — long keys
+# shuffle far cheaper than string-prefixed ids) so the bipartite sides
+# never collide; edges run both directions (undirected random walk).
 # --------------------------------------------------------------------------
 
 _PR_ITER_SQL = """
@@ -61,7 +62,7 @@ _PR_ITER_SQL = """
 _PAGERANK_SQL = (
     """
     WITH e0 AS (
-        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ), edges AS (
         SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
@@ -103,15 +104,17 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=3, damping=0.85, with_degree=True)
+    pr = pagerank(
+        edges, iterations=3, damping=0.85, with_degree=True, assume_distinct=True
+    )
     return (
         pr.select(
             "node",
