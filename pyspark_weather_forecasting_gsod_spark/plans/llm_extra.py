@@ -794,11 +794,13 @@ def bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pure-JVM folds, and return the merge table with corpus-level
     encode stats attached (n_docs, total subword tokens, chars-per-token
     compression) so a regression in either phase shows in the output."""
-    from ..ext.tokenizer import bpe_encode, bpe_train, merges_as_df
+    from ..ext.tokenizer import bpe_encode_by_dict, bpe_train, merges_as_df
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=10)
-    enc = bpe_encode(docs, merges)
+    # dictionary encode: folds run once per DISTINCT word, not per
+    # occurrence (interpreted HOF folds; measured 14.2s -> 2s at sf0.1)
+    enc = bpe_encode_by_dict(docs, merges, id_col="doc_id")
     stats = enc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),

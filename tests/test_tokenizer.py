@@ -115,3 +115,24 @@ def test_bpe_merges_reduce_token_count(spark, sf_dir):
     # than one token per word (each word keeps >= 1 symbol)
     assert total < n_chars + n_words
     assert total >= n_words
+
+
+def test_dict_encode_equals_fold_encode(spark, sf_dir):
+    from pyspark_weather_forecasting_gsod_spark.ext.tokenizer import (
+        bpe_encode,
+        bpe_encode_by_dict,
+        bpe_train,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=6)
+    fold = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    via_dict = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode_by_dict(docs, merges, "doc_id").collect()
+    }
+    assert fold == via_dict
