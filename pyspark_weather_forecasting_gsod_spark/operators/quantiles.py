@@ -84,7 +84,13 @@ def quantile_bins(
     Deterministic: boundaries are exact percentiles, the fold is pure
     arithmetic, so (unlike MLlib's approx-quantile-backed discretizer)
     the binning is reproducible and engine-portable. Ties at a boundary
-    go to the lower bin (strict ``>``)."""
+    go to the lower bin (strict ``>``).
+
+    Scale note: exact ``percentile`` buffers the column in one aggregate
+    task — fine to ~10M rows; beyond that derive the boundaries from
+    ``histogram_table``/``histogram_quantiles`` (deterministic, mergeable,
+    error ≤ bin width) or ``percentile_approx`` and keep the identical
+    map-only assignment stage."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     probs = [i / n_bins for i in range(1, n_bins)]
