@@ -56,6 +56,7 @@ def main() -> None:
         "pagerank_orders",  # iterative power loop: re-runs fully every call
         "streaming_static_join",  # stream executes on call; no warm-up to buy
         "streaming_sketch_merge",  # multi-batch stream drain on call
+        "ml_kfold_cv",  # k sequential fits: the training IS the cost
     }
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -327,3 +327,71 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
     )
     return per_row.agg(F.min("prod").cast("long").alias("join_size_est"))
+
+
+def grouped_histogram_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group equi-width histogram: ``histogram_table`` keyed by
+    ``group_cols`` — ≤ |groups|·bins rows, one map-side-combined hash agg.
+    The grouped member of the mergeable family: per-shard tables sum
+    cell-wise per group, and any group's quantiles come from its slice of
+    the sketch without touching the base data."""
+    w = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def grouped_histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a ``grouped_histogram_table``:
+    the same cumulative-walk + in-bin interpolation as
+    ``histogram_quantiles``, windowed per group — sketch-table-sized
+    work, deterministic, error ≤ one bin width per estimate."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / bins
+    gw = Window.partitionBy(*group_cols)
+    cum = hist.withColumn(
+        "cum",
+        F.sum("bin_count").over(
+            gw.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("total", F.sum("bin_count").over(gw))
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.col("total") * F.col("q")
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(F.col("cum") >= rank)
+    first = Window.partitionBy(*group_cols, "q").orderBy("bin")
+    return (
+        hit.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            "q",
+            (
+                F.lit(lo)
+                + (
+                    F.col("bin")
+                    + (rank - (F.col("cum") - F.col("bin_count")))
+                    / F.col("bin_count")
+                )
+                * F.lit(w)
+            ).alias("quantile_est"),
+        )
+    )

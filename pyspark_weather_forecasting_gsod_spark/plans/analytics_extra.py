@@ -1238,3 +1238,126 @@ def cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group histogram quantiles + period-over-period reporting.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "histogram_quantiles_by_type",
+    f"""
+    WITH v AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND value <= 250.0
+    ), h AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT), 0),
+                     124) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS bin_count
+        FROM v GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, bin, bin_count,
+               SUM(bin_count) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(bin_count) OVER (PARTITION BY event_type) AS total
+        FROM h
+    ), qs AS (
+        SELECT unnest(CAST([0.5, 0.95] AS DOUBLE[])) AS q
+    ), est AS (
+        SELECT c.event_type, qs.q,
+               0.0 + (c.bin + (qs.q * c.total - (c.cum - c.bin_count))
+                      / c.bin_count) * 2.0 AS quantile_est,
+               ROW_NUMBER() OVER (PARTITION BY c.event_type, qs.q
+                                  ORDER BY c.bin) AS rn
+        FROM c CROSS JOIN qs
+        WHERE c.cum >= qs.q * c.total
+    ), ex AS (
+        SELECT event_type, 0.5::DOUBLE AS q,
+               quantile_cont(value, 0.5) AS exact FROM v GROUP BY 1
+        UNION ALL
+        SELECT event_type, 0.95::DOUBLE,
+               quantile_cont(value, 0.95) FROM v GROUP BY 1
+    )
+    SELECT e.event_type, e.q, ROUND(e.quantile_est, 6) AS quantile_est,
+           ROUND(x.exact, 6) AS exact_quantile,
+           ROUND(ABS(e.quantile_est - x.exact), 6) AS abs_err
+    FROM est e JOIN ex x ON x.event_type = e.event_type AND x.q = e.q
+    WHERE e.rn = 1
+    """,
+)
+def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95 from the GROUPED histogram sketch
+    (operators/sketches.py::grouped_histogram_table/_quantiles) next to
+    the exact per-group percentiles and the realized error — the grouped
+    member of the deterministic quantile-sketch family (the |groups|·bins
+    sketch answers every group's quantiles without rescanning; per-shard
+    tables merge cell-wise per group). All hash-checked, like the global
+    variant."""
+    from ..operators.sketches import (
+        grouped_histogram_quantiles,
+        grouped_histogram_table,
+    )
+    from .queries import _events_normalized
+
+    ev = _events_normalized(spark, sf_dir).filter(F.col("value").isNotNull())
+    hist = grouped_histogram_table(
+        ev, ["event_type"], "value", _H_LO, _H_HI, _H_BINS
+    )
+    est = grouped_histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.95], _H_LO, _H_HI, _H_BINS
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+    ).selectExpr(
+        "event_type", "stack(2, 0.5D, e50, 0.95D, e95) as (q, exact)"
+    )
+    return est.join(ex, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.round("quantile_est", 6).alias("quantile_est"),
+        F.round("exact", 6).alias("exact_quantile"),
+        F.round(F.abs(F.col("quantile_est") - F.col("exact")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+@query(
+    "period_over_period_revenue",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY month), 4) AS mom_delta,
+           ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+    FROM m
+    """,
+)
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue reporting: one aggregate to the monthly
+    grain, then lag-window deltas OVER THE TINY AGGREGATED SERIES (a few
+    dozen rows — the single-partition window is sketch-table-sized, never
+    the fact table). The standard BI period-over-period shape, oracle-
+    exact including the NULL first month."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )

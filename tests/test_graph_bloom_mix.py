@@ -584,3 +584,46 @@ def test_hll_sliding_windows_match_exact_distincts(spark):
             users |= per_hour.get(w - datetime.timedelta(hours=off), set())
         if users:
             assert abs(e - len(users)) / len(users) <= 0.02
+
+
+def test_grouped_histogram_quantiles_error_bounded(spark):
+    rows = _declared("histogram_quantiles_by_type")(spark, SF_GATE).collect()
+    assert len(rows) == 10  # 5 event types × 2 quantiles
+    for r in rows:
+        assert r["abs_err"] <= 2.0  # one bin width
+
+
+def test_grouped_histogram_table_merges_per_group(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import (
+        grouped_histogram_table,
+    )
+
+    a = spark.range(600).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 50 * 1.0).alias("v")
+    )
+    b = spark.range(600, 1000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 40 * 1.0).alias("v")
+    )
+    merged = (
+        grouped_histogram_table(a, ["g"], "v", 0.0, 50.0, 10)
+        .unionByName(grouped_histogram_table(b, ["g"], "v", 0.0, 50.0, 10))
+        .groupBy("g", "bin")
+        .agg(F.sum("bin_count").alias("bin_count"))
+    )
+    direct = grouped_histogram_table(a.unionByName(b), ["g"], "v", 0.0, 50.0, 10)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_period_over_period_first_month_null_and_deltas(spark):
+    rows = sorted(
+        _declared("period_over_period_revenue")(spark, SF_GATE).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["prev_revenue"] is None and rows[0]["mom_delta"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_revenue"] == prev["revenue"]
+        assert cur["mom_delta"] == pytest.approx(
+            round(cur["revenue"] - prev["revenue"], 4), abs=1e-9
+        )
