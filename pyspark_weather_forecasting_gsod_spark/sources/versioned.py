@@ -1,0 +1,91 @@
+"""Versioned parquet tables: snapshot isolation + time travel, lakehouse-lite.
+
+The maintenance layer a long-lived 100 TB dataset needs between plain
+parquet and a full table format: every write is a NEW immutable version
+directory (``v=N``), readers pin a version (or take the latest), history
+is enumerable, and any two versions diff into an I/U/D changeset via the
+CDC operator. Because versions are immutable, readers never see partial
+writes (writers stage into the next ``v=N`` and the version only becomes
+latest when its ``_SUCCESS`` marker lands — the same commit protocol file
+formats rely on), and reproducing yesterday's pipeline run is just
+pinning yesterday's version. Delta/Iceberg replace this layer wholesale
+where available; the API here is deliberately shaped so they can.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v=(\d+)$")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Committed versions (ascending) — directories with a ``_SUCCESS``
+    marker; a crashed write's partial directory is invisible."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = _V_RE.match(name)
+        if m and os.path.exists(os.path.join(table_dir, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next version; returns the version number.
+    Existing versions are never touched (immutable history)."""
+    versions = list_versions(table_dir)
+    v = (versions[-1] + 1) if versions else 1
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={v}"))
+    return v
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the latest when ``version``
+    is None. Raises on an uncommitted/unknown version."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not committed under {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(version, n_files, n_bytes) per committed version — driver-side
+    file-listing metadata only, no data read."""
+    rows = []
+    for v in list_versions(table_dir):
+        d = os.path.join(table_dir, f"v={v}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        rows.append((v, len(files), nbytes))
+    return spark.createDataFrame(
+        rows, "version int, n_files int, n_bytes long"
+    )
+
+
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """I/U/D changeset between two committed versions — time travel
+    composed with the CDC operator (one full-outer hash join carrying
+    (key, row-hash), see operators/cdc.py)."""
+    from ..operators.cdc import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, table_dir, v_old),
+        read_version(spark, table_dir, v_new),
+        keys,
+    )

@@ -235,3 +235,55 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
         ]
     )
     assert got == want
+
+
+def test_versioned_table_time_travel_and_diff(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        diff_versions,
+        list_versions,
+        read_version,
+        table_history,
+        write_version,
+    )
+
+    d = str(tmp_path / "vtable")
+    v1_df = spark.range(10).select("id", (F.col("id") * 2).alias("val"))
+    assert write_version(v1_df, d) == 1
+    # v2: update id=3, delete id=9, insert id=100
+    v2_df = (
+        spark.range(9)
+        .select("id", (F.col("id") * 2).alias("val"))
+        .withColumn(
+            "val", F.when(F.col("id") == 3, F.lit(999)).otherwise(F.col("val"))
+        )
+        .unionByName(
+            spark.createDataFrame([(100, 7)], ["id", "val"])
+        )
+    )
+    assert write_version(v2_df, d) == 2
+    assert list_versions(d) == [1, 2]
+
+    # time travel: pinned v1 is untouched by the v2 commit
+    assert read_version(spark, d, 1).count() == 10
+    got_v1 = {r["id"]: r["val"] for r in read_version(spark, d, 1).collect()}
+    assert got_v1[3] == 6 and 9 in got_v1
+    # latest == v2
+    got_latest = {r["id"]: r["val"] for r in read_version(spark, d).collect()}
+    assert got_latest[3] == 999 and 9 not in got_latest and got_latest[100] == 7
+
+    ops = {
+        (r["id"], r["change_op"])
+        for r in diff_versions(spark, d, 1, 2, ["id"]).collect()
+    }
+    assert ops == {(3, "U"), (9, "D"), (100, "I")}
+
+    hist = {r["version"]: r["n_files"] for r in table_history(spark, d).collect()}
+    assert set(hist) == {1, 2} and all(n >= 1 for n in hist.values())
+
+    # unknown version raises instead of silently reading latest
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, d, 7)
