@@ -89,3 +89,42 @@ def diff_versions(
         read_version(spark, table_dir, v_new),
         keys,
     )
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed versions (history
+    retention). Returns the versions removed. Readers pinned to a dropped
+    version fail loudly on their next read — the retention contract every
+    table format documents."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(table_dir)
+    drop = versions[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return drop
+
+
+def compact_version(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE for versioned tables: rewrite the LATEST version's data
+    into a new version with files sized toward ``target_file_bytes``
+    (sources/io.py::compact_small_files sizing — metadata probe +
+    shuffle-free coalesce). Readers keep snapshot isolation throughout:
+    the fragmented version stays readable until vacuumed, and the
+    compacted data only becomes latest when its ``_SUCCESS`` lands."""
+    import math
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    src = os.path.join(table_dir, f"v={versions[-1]}")
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(src, f)) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    return write_version(spark.read.parquet(src).coalesce(n_files), table_dir)

@@ -287,3 +287,38 @@ def test_versioned_table_time_travel_and_diff(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, d, 7)
+
+
+def test_versioned_vacuum_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        compact_version,
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    d = str(tmp_path / "vt")
+    df = spark.range(5000).withColumn("v", F.col("id") * 3)
+    write_version(df.repartition(16), d)  # fragmented v1
+    v2 = compact_version(spark, d, target_file_bytes=1 << 30)
+    assert v2 == 2
+    import os as _os
+
+    files_v2 = [
+        f
+        for f in _os.listdir(f"{d}/v=2")
+        if f.endswith(".parquet")
+    ]
+    assert len(files_v2) < 16  # compacted
+    # identical content, still time-travelable to the fragmented version
+    assert (
+        read_version(spark, d, 2).agg(F.sum("v")).first()[0]
+        == read_version(spark, d, 1).agg(F.sum("v")).first()[0]
+    )
+    write_version(df.limit(10), d)
+    dropped = vacuum(d, keep_last=2)
+    assert dropped == [1]
+    assert list_versions(d) == [2, 3]
