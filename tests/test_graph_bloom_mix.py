@@ -627,3 +627,88 @@ def test_period_over_period_first_month_null_and_deltas(spark):
         assert cur["mom_delta"] == pytest.approx(
             round(cur["revenue"] - prev["revenue"], 4), abs=1e-9
         )
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) for the round-4c operators
+# ---------------------------------------------------------------------------
+
+
+def test_property_bloom_has_no_false_negative_ever(spark):
+    from hypothesis import given, settings, strategies as st
+
+    key = st.text(
+        alphabet="abcdefghij0123456789", min_size=1, max_size=12
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(key, min_size=1, max_size=40, unique=True))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        masks = bloom_masks(bloom_table(df, "k", 2, 64), 2, 64)
+        got = {
+            r["k"]: r["hit"]
+            for r in df.withColumn(
+                "hit", bloom_might_contain(F.col("k"), masks, 64)
+            ).collect()
+        }
+        assert all(got.values())  # stored keys always test positive
+
+    check()
+
+
+def test_property_weighted_repeat_matches_formula(spark):
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+        st.sampled_from([0.0, 0.4, 1.0, 1.7, 2.5]),
+    )
+    def check(ids, w):
+        df = spark.createDataFrame([(i,) for i in ids], ["id"])
+        got = {}
+        for r in weighted_repeat(df, "id", F.lit(w)).collect():
+            got[r["id"]] = got.get(r["id"], 0) + 1
+        buckets = 1_000_000
+        for i in ids:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % buckets
+            want = int(w) + (1 if b < (w - int(w)) * buckets else 0)
+            assert got.get(i, 0) == want
+
+    check()
+
+
+def test_property_scd2_current_slice_equals_snapshot(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    kv = st.dictionaries(
+        st.integers(0, 8), st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(kv, kv, kv)
+    def check(s1, s2, s3):
+        def df(d):
+            return spark.createDataFrame(list(d.items()), ["k", "attr"])
+
+        dim = scd2_init(df(s1), ["k"], "2024-01-01 00:00:00")
+        dim = scd2_apply(dim, df(s2), ["k"], "2024-02-01 00:00:00")
+        dim = scd2_apply(dim, df(s3), ["k"], "2024-03-01 00:00:00")
+        current = {
+            r["k"]: r["attr"]
+            for r in dim.filter(F.col("is_current")).collect()
+        }
+        assert current == s3  # the current slice IS the latest snapshot
+        # closed rows all carry a valid_to; open rows never do
+        for r in dim.collect():
+            assert (r["valid_to"] is None) == bool(r["is_current"])
+
+    check()
