@@ -242,3 +242,30 @@ def scd2_apply(
         .unionByName(unchanged)
         .unionByName(opens)
     )
+
+
+def scd2_snapshot_feed(
+    spark,
+    snapshots: list[tuple[str, "DataFrame"]],
+    keys: list[str],
+    table_dir: str,
+) -> "DataFrame":
+    """Incremental SCD2 maintenance over an ordered snapshot feed (the
+    batch-CDC ingestion pattern — a stand-in for draining a CDC topic):
+    each arriving snapshot advances the type-2 dimension (``scd2_apply``)
+    and commits the new history as a versioned-table write
+    (sources/versioned.py), so the dimension is time-travelable per
+    ingest batch AND per entity epoch. Returns the final history.
+
+    Each advance costs one diff join + two semi/anti joins regardless of
+    accumulated history size, and the versioned commit keeps readers
+    snapshot-isolated during maintenance — a crashed advance leaves the
+    previous version latest (the ``_SUCCESS`` gate)."""
+    from ..sources.versioned import read_version, write_version
+
+    ts0, first = snapshots[0]
+    write_version(scd2_init(first, keys, ts0), table_dir)
+    for ts, snap in snapshots[1:]:
+        dim = scd2_apply(read_version(spark, table_dir), snap, keys, ts)
+        write_version(dim, table_dir)
+    return read_version(spark, table_dir)

@@ -257,3 +257,36 @@ def test_unique_and_fk_violation_counters(spark):
     f = foreign_key_violations(child, "fk", parent, "pk").first()
     # NULL fk is not an orphan; id=3 is
     assert f["n_violations"] == 1 and f["n_rows"] == 4
+
+
+def test_scd2_snapshot_feed_versions_every_epoch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        scd2_snapshot_feed,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+
+    d = str(tmp_path / "scd2feed")
+    feed = [
+        ("2024-01-01 00:00:00", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "attr"])),
+        ("2024-02-01 00:00:00", spark.createDataFrame([(1, "a"), (2, "B")], ["k", "attr"])),
+        ("2024-03-01 00:00:00", spark.createDataFrame([(2, "B"), (3, "c")], ["k", "attr"])),
+    ]
+    final = scd2_snapshot_feed(spark, feed, ["k"], d)
+    # one committed version per ingested snapshot
+    assert list_versions(d) == [1, 2, 3]
+    current = {r["k"]: r["attr"] for r in final.filter(F.col("is_current")).collect()}
+    assert current == {2: "B", 3: "c"}
+    # time travel: the epoch-2 history still shows key 1 open
+    v2 = read_version(spark, d, 2)
+    k1 = [r for r in v2.collect() if r["k"] == 1 and r["is_current"]]
+    assert len(k1) == 1 and k1[0]["attr"] == "a"
+    # full history in the final version: key 2 has a closed 'b' epoch
+    closed2 = [
+        r for r in final.collect() if r["k"] == 2 and not r["is_current"]
+    ]
+    assert len(closed2) == 1 and closed2[0]["attr"] == "b"
