@@ -192,3 +192,37 @@ def weighted_sample_k(
         .orderBy(F.col(score_col).desc(), F.col(key))
         .limit(k)
     )
+
+
+def sampled_sum_estimate(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    rate: float = 0.01,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Approximate-query-processing SUM/COUNT estimator (the BlinkDB
+    shape): aggregate a deterministic md5-bucket sample and scale by
+    1/rate, with a CLT 95% confidence interval derived from the sample
+    variance — one row: (n_sampled, sum_est, ci_low, ci_high, count_est).
+
+    Because the sample is a pure function of the row key (same doctrine
+    as ``hash_split``), the estimate is reproducible across runs, engines
+    and partitionings — which makes even the APPROXIMATE answer
+    oracle-hashable, something no RNG-sampled estimator can offer. At
+    100 TB this reads ``rate`` of the data (with a sample table
+    materialized once, it is also the always-on dashboard path)."""
+    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    s = df.filter(b < rate * buckets).select(F.col(value_col).alias("v"))
+    n = F.count(F.lit(1)).cast("long")
+    # Bernoulli-sampling variance of the scaled sum: Var = (1-p)/p² · Σv²
+    # (NOT n·var(v)/p² — central variance drops the count-variation term
+    # through mean², understating the CI by >2× on positive-valued sums)
+    se = F.sqrt(F.lit(1.0 - rate) * F.sum(F.col("v") * F.col("v"))) / rate
+    return s.agg(
+        n.alias("n_sampled"),
+        (F.sum("v") / rate).alias("sum_est"),
+        (F.sum("v") / rate - 1.96 * se).alias("ci_low"),
+        (F.sum("v") / rate + 1.96 * se).alias("ci_high"),
+        (n / rate).cast("long").alias("count_est"),
+    )

@@ -1361,3 +1361,77 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing: deterministic-sample SUM with CLT CI.
+# --------------------------------------------------------------------------
+
+_AQP_RATE = 0.02
+_AQP_BUCKETS = 1_000_000
+
+
+@query(
+    "aqp_sampled_revenue",
+    f"""
+    WITH s AS (
+        SELECT l_extendedprice AS v FROM lineitem
+        WHERE {_FOLD8.format(x="CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")}
+              % {_AQP_BUCKETS} < {_AQP_RATE} * {_AQP_BUCKETS}
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               SUM(v) / {_AQP_RATE} AS sum_est,
+               SUM(v) / {_AQP_RATE}
+               - 1.96 * SQRT((1.0 - {_AQP_RATE}) * SUM(v * v))
+                 / {_AQP_RATE} AS ci_low,
+               SUM(v) / {_AQP_RATE}
+               + 1.96 * SQRT((1.0 - {_AQP_RATE}) * SUM(v * v))
+                 / {_AQP_RATE} AS ci_high,
+               CAST(COUNT(*) / {_AQP_RATE} AS BIGINT) AS count_est
+        FROM s
+    ), ex AS (
+        SELECT SUM(l_extendedprice) AS exact_sum,
+               CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM lineitem
+    )
+    SELECT a.n_sampled, ROUND(a.sum_est, 4) AS sum_est,
+           ROUND(a.ci_low, 4) AS ci_low, ROUND(a.ci_high, 4) AS ci_high,
+           a.count_est, ROUND(x.exact_sum, 4) AS exact_sum, x.exact_count,
+           x.exact_sum BETWEEN a.ci_low AND a.ci_high AS ci_covers_exact
+    FROM agg a CROSS JOIN ex x
+    """,
+)
+def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing revenue estimate
+    (operators/sampling.py::sampled_sum_estimate): total lineitem revenue
+    from a deterministic 2% md5 sample with a CLT 95% confidence
+    interval, next to the exact answer and whether the CI covers it. The
+    sample is a pure function of the row key, so the approximate estimate
+    itself is oracle-hashable — cross-engine-identical rows, something an
+    RNG-sampled estimator can never provide. At 100 TB this is the
+    dashboard path: 2% of the scan for an answer whose error is priced in
+    the output."""
+    from ..operators.sampling import sampled_sum_estimate
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__rk", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    est = sampled_sum_estimate(
+        li, "__rk", "l_extendedprice", rate=_AQP_RATE, buckets=_AQP_BUCKETS
+    )
+    exact = li.agg(
+        F.sum("l_extendedprice").alias("exact_sum"),
+        F.count(F.lit(1)).alias("exact_count"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sampled",
+        F.round("sum_est", 4).alias("sum_est"),
+        F.round("ci_low", 4).alias("ci_low"),
+        F.round("ci_high", 4).alias("ci_high"),
+        "count_est",
+        F.round("exact_sum", 4).alias("exact_sum"),
+        "exact_count",
+        F.col("exact_sum").between(F.col("ci_low"), F.col("ci_high")).alias(
+            "ci_covers_exact"
+        ),
+    )

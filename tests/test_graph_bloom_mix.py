@@ -712,3 +712,17 @@ def test_property_scd2_current_slice_equals_snapshot(spark):
             assert (r["valid_to"] is None) == bool(r["is_current"])
 
     check()
+
+
+def test_aqp_estimate_ci_covers_and_is_deterministic(spark):
+    r1 = _declared("aqp_sampled_revenue")(spark, SF_GATE).first()
+    assert r1["ci_covers_exact"]
+    assert r1["ci_low"] <= r1["sum_est"] <= r1["ci_high"]
+    # deterministic sample → bit-identical estimate on a second run
+    r2 = _declared("aqp_sampled_revenue")(spark, SF_GATE).first()
+    assert r1.asDict() == r2.asDict()
+    # sampled count within 4 sigma of rate * N
+    import math
+
+    expected = 0.02 * r1["exact_count"]
+    assert abs(r1["n_sampled"] - expected) <= 4 * math.sqrt(expected)
