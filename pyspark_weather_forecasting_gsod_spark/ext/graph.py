@@ -103,3 +103,81 @@ def pagerank(
     nodes.unpersist()
     edge_deg.unpersist()
     return result
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "rank",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: identical power iteration, but the teleport
+    mass returns to the SEED set (uniformly) instead of all nodes — the
+    similarity/recommendation variant ("rank suppliers by relevance to
+    THESE customers"). Seeds is a one-column DataFrame of node ids; seed
+    count is aggregated once (a scalar), never collected as data. Same
+    single-job lazy-loop shape as ``pagerank``."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("__src").alias(node_col))
+        .union(e.select(F.col("__dst").alias(node_col)))
+        .distinct()
+        .cache()
+    )
+    nodes.count()
+    seed_flag = seeds.select(
+        F.col(seeds.columns[0]).alias(node_col)
+    ).distinct().withColumn("__seed", F.lit(True))
+    tagged = nodes.join(seed_flag, node_col, "left").select(
+        node_col, F.coalesce("__seed", F.lit(False)).alias("__seed")
+    ).cache()
+    n_seeds = tagged.filter(F.col("__seed")).count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    edge_deg = e.join(outdeg, "__src").cache()
+    edge_deg.count()
+
+    teleport = F.when(
+        F.col("__seed"), F.lit((1.0 - damping) / n_seeds)
+    ).otherwise(F.lit(0.0))
+    ranks = tagged.select(
+        node_col,
+        "__seed",
+        F.when(F.col("__seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias(rank_col),
+    )
+    for _ in range(iterations):
+        contribs = (
+            edge_deg.join(
+                ranks.select(
+                    F.col(node_col).alias("__src"), F.col(rank_col).alias("__r")
+                ),
+                "__src",
+            )
+            .groupBy(F.col("__dst").alias(node_col))
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+        )
+        ranks = tagged.join(contribs, node_col, "left").select(
+            node_col,
+            "__seed",
+            (
+                teleport
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias(rank_col),
+        )
+    result = ranks.select(node_col, rank_col).localCheckpoint(eager=True)
+    nodes.unpersist()
+    tagged.unpersist()
+    edge_deg.unpersist()
+    return result

@@ -141,3 +141,33 @@ def gap_fill_spine(
         group_by, tick_col, *[F.col(c) for c in value_cols]
     )
     return spine.join(obs, on=[group_by, tick_col], how="left")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    interval: str = "1 hour",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close downsampling to fixed intervals (the financial
+    "bars" shape, equally the telemetry-downsampling shape): per group ×
+    time bucket, the first value, max, min, last value, and count — ONE
+    aggregate pass using ``min_by``/``max_by`` on the (timestamp,
+    tie-break) key, no window, no sort. ``tie_col`` (default: the value
+    itself) disambiguates equal timestamps deterministically.
+
+    At 100 TB this is a single map-side-combined hash agg on
+    (group, bucket) — the scale-correct alternative to first()/last()
+    over ordered windows, which would pay a full per-group sort."""
+    tie = F.col(tie_col) if tie_col else F.col(value_col)
+    key = F.struct(F.col(ts_col).alias("t"), tie.alias("tb"))
+    bucket = F.window(F.col(ts_col), interval).getField("start").alias("bucket")
+    return df.groupBy(*group_cols, bucket).agg(
+        F.min_by(F.col(value_col), key).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), key).alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

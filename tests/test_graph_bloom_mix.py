@@ -726,3 +726,93 @@ def test_aqp_estimate_ci_covers_and_is_deterministic(spark):
 
     expected = 0.02 * r1["exact_count"]
     assert abs(r1["n_sampled"] - expected) <= 4 * math.sqrt(expected)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank + OHLC bars
+# ---------------------------------------------------------------------------
+
+
+def _numpy_ppr(edges, seeds, iterations=3, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    s = [n for n in nodes if n in seeds]
+    r = [1.0 / len(s) if n in seeds else 0.0 for n in nodes]
+    for _ in range(iterations):
+        nxt = [
+            (1.0 - damping) / len(s) if n in seeds else 0.0 for n in nodes
+        ]
+        for a, b in edges:
+            nxt[idx[b]] += damping * r[idx[a]] / out[a]
+        r = nxt
+    return {nodes[i]: r[i] for i in range(len(nodes))}
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    e = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")]
+    df = spark.createDataFrame(e, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, iterations=4).collect()
+    }
+    want = _numpy_ppr(e, {"a"}, iterations=4)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # mass concentrates near the seed: a outranks the far node d
+    assert got["a"] > got["d"]
+
+
+def test_personalized_pagerank_requires_seed_in_graph(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("zzz",)], ["node"])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds)
+
+
+def test_ohlc_bars_match_bruteforce(spark):
+    import datetime
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for g in ("x", "y"):
+        for i in range(50):
+            rows.append(
+                (
+                    g,
+                    base + datetime.timedelta(minutes=7 * i),
+                    float((i * 37 + (ord(g) % 5)) % 23),
+                    i,
+                )
+            )
+    df = spark.createDataFrame(rows, ["g", "ts", "v", "seq"])
+    got = {
+        (r["g"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_points"])
+        for r in ohlc_bars(df, "ts", "v", ["g"], "1 hour", tie_col="seq").collect()
+    }
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for g, ts, v, seq in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        buckets[(g, b)].append((ts, seq, v))
+    for k, pts in buckets.items():
+        pts.sort()
+        vals = [p[2] for p in pts]
+        assert got[k] == (pts[0][2], max(vals), min(vals), pts[-1][2], len(pts))
+    assert set(got) == set(buckets)
