@@ -173,3 +173,37 @@ def kfold_cv_regression(
     finally:
         tagged.unpersist()
     return out
+
+
+def kfold_cv_classification(
+    feat: DataFrame,
+    label_col: str,
+    key_col: str,
+    k: int = 5,
+    features_col: str = "features",
+    max_iter: int = 5,
+) -> list[dict]:
+    """Classification twin of ``kfold_cv_regression``: same deterministic
+    md5-bucket folds, GBT classifier per fold (the M8 capability), one
+    metrics dict per fold. Fold membership is a pure function of the row
+    key — reproducible across runs and partitionings."""
+    from ..operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    fold = hash_bucket(F.col(key_col), k, hex_chars=4)
+    tagged = feat.withColumn("__fold", fold).persist()
+    out = []
+    try:
+        for i in range(k):
+            train = tagged.filter(F.col("__fold") != i)
+            test = tagged.filter(F.col("__fold") == i)
+            model = train_gbt_classifier(
+                train, label_col, features_col=features_col, max_iter=max_iter
+            )
+            m = evaluate_classification(model.transform(test), label_col)
+            m["fold"] = i
+            m["n_test"] = test.count()
+            out.append(m)
+    finally:
+        tagged.unpersist()
+    return out

@@ -156,3 +156,26 @@ def test_kfold_cv_deterministic_balanced_and_disjoint(spark):
     # determinism: same folds regardless of partitioning
     folds2 = kfold_cv_regression(feat.repartition(13), "y", key_col="id", k=4)
     assert [m["n_test"] for m in folds2] == sizes
+
+
+def test_kfold_cv_classification_deterministic_and_learns(spark):
+    from pyspark.sql import functions as F
+    from pyspark.ml.feature import VectorAssembler
+
+    from pyspark_weather_forecasting_gsod_spark.ml.models import (
+        kfold_cv_classification,
+    )
+
+    # separable data: label = x > 50
+    df = spark.range(1200).select(
+        "id", (F.col("id") % 101).cast("double").alias("x")
+    ).withColumn("y", (F.col("x") > 50).cast("double"))
+    feat = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    folds = kfold_cv_classification(feat, "y", key_col="id", k=3, max_iter=5)
+    assert len(folds) == 3
+    assert sum(m["n_test"] for m in folds) == 1200
+    assert all(m["accuracy"] > 0.95 for m in folds)
+    folds2 = kfold_cv_classification(
+        feat.repartition(7), "y", key_col="id", k=3, max_iter=5
+    )
+    assert [m["n_test"] for m in folds2] == [m["n_test"] for m in folds]
