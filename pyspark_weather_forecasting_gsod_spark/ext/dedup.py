@@ -1090,3 +1090,53 @@ def hamming_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: ``|A∩B| / |A|`` — the
+    subset-duplication detector symmetric Jaccard structurally misses
+    (a document wholly quoted inside a much larger one has Jaccard
+    ≈ |A|/|B| → 0 but containment 1.0; Broder's original resemblance/
+    containment pair, and the reason extraction pipelines dedup chunks
+    against full documents with containment, not Jaccard).
+
+    Same inverted-shingle-index shape and cost regime as
+    ``ngram_jaccard_pairs`` (post-LSH or capped slices at 100 TB).
+    Returns (doc_small, doc_big, common, containment): the SMALLER set is
+    the contained side; ties by id. Both directions are checked; only the
+    small-in-big containment is reported (big-in-small is bounded above
+    by it)."""
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    smaller_first = F.col("sz_a") <= F.col("sz_b")
+    return (
+        common.join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb), on="doc_b")
+        .select(
+            F.when(smaller_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+            F.when(smaller_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+            "common",
+            (
+                F.col("common")
+                / F.when(smaller_first, F.col("sz_a")).otherwise(F.col("sz_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

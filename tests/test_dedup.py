@@ -302,3 +302,32 @@ def test_strip_duplicated_spans_fully_duplicated_doc_empties(spark):
         assert out[i]["n_tokens"] == 8
         assert out[i]["n_removed"] == 8
         assert out[i]["clean_text"] == ""
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    chunk = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i+1} w{i+2}" for i in range(0, 60, 3))
+    big = chunk + " " + filler
+    docs = spark.createDataFrame(
+        [(1, chunk), (2, big), (3, "totally different words here entirely now")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["doc_small"], r["doc_big"]): r["containment"]
+        for r in ngram_containment_pairs(docs, "doc_id", min_containment=0.8).collect()
+    }
+    # the chunk is fully contained in the big doc
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    # symmetric Jaccard at the same strictness misses it
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", min_jaccard=0.8).collect()
+    }
+    assert (1, 2) not in jac
+    # unrelated doc matches nothing
+    assert all(3 not in pair for pair in cont)
