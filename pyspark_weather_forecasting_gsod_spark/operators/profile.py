@@ -75,3 +75,47 @@ def profile_categorical(df: DataFrame, columns: list[str]) -> DataFrame:
     """Distinct-category counts per column, single pass (reference C8)."""
     aggs = [F.count_distinct(F.col(c)).alias(f"distinct_{c}") for c in columns]
     return df.agg(*aggs)
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line in ONE aggregate pass —
+    the "millions of tiny regressions" shape (per-station temperature
+    trends, per-user drift): closed-form OLS from the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²), so a hash aggregate replaces fitting
+    millions of MLlib models. Returns (group, n, slope, intercept, r2);
+    groups with < 2 points or zero x-variance yield NULL slope.
+
+    Sufficient statistics are re-aggregable — per-shard partials sum into
+    the global fit, the same mergeability story as the sketch family."""
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(x_col), F.sum(y_col)
+    sxy = F.sum(F.col(x_col) * F.col(y_col))
+    sxx = F.sum(F.col(x_col) * F.col(x_col))
+    agg = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*group_cols).agg(
+        n.alias("__n"),
+        sx.alias("__sx"),
+        sy.alias("__sy"),
+        sxy.alias("__sxy"),
+        sxx.alias("__sxx"),
+        F.corr(x_col, y_col).alias("__r"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("__n") >= 2) & (denom != 0),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (F.col("__r") * F.col("__r")).alias("r2"),
+    )

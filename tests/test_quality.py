@@ -68,3 +68,31 @@ def test_mad_outlier_flags_robust_to_corruption(spark):
     assert ("a", 10.0, 0) in got            # inliers pass
     assert ("a", None, None) in got         # three-valued logic preserved
     assert ("b", 5.0, 0) in got             # constant group: no deviation, no flag
+
+
+def test_grouped_linear_trend_matches_numpy(spark):
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.profile import (
+        grouped_linear_trend,
+    )
+
+    rows = []
+    rng = np.random.RandomState(7)
+    truth = {"a": (2.5, 1.0), "b": (-0.7, 3.0)}
+    for g, (m, c) in truth.items():
+        for x in range(40):
+            rows.append((g, float(x), m * x + c + float(rng.randn()) * 0.01))
+    rows.append(("single", 5.0, 9.9))  # 1 point → NULL slope
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in grouped_linear_trend(df, ["g"], "x", "y").collect()}
+    for g, (m, c) in truth.items():
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        want_m, want_c = np.polyfit(xs, ys, 1)
+        assert got[g]["slope"] == pytest.approx(want_m, abs=1e-9)
+        assert got[g]["intercept"] == pytest.approx(want_c, abs=1e-9)
+        assert got[g]["r2"] > 0.999
+    assert got["single"]["slope"] is None
