@@ -171,3 +171,43 @@ def ohlc_bars(
         F.max_by(F.col(value_col), key).alias("close"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    season: str = "month",
+    out_col: str = "anomaly",
+) -> DataFrame:
+    """Climatology + anomaly decomposition — the weather-domain transform
+    (value minus its (group × season) mean, e.g. a station's temperature
+    relative to ITS January normal): one (group, season) mean aggregate
+    broadcast-joined back onto the facts (the J2 imputer shape), adding
+    ``<out_col>`` and ``__season_mean``-free output. NULL values pass
+    through with NULL anomaly; seasons are calendar fields (``month``,
+    ``quarter``, ``dayofweek``, ``hour``).
+
+    At 100 TB the climatology side is |groups|·|seasons| rows — always
+    broadcastable — and the fact table never shuffles."""
+    extractors = {
+        "month": F.month,
+        "quarter": F.quarter,
+        "dayofweek": F.dayofweek,
+        "hour": F.hour,
+    }
+    if season not in extractors:
+        raise ValueError(f"season must be one of {sorted(extractors)}")
+    skey = extractors[season](F.col(ts_col)).alias("__season")
+    clim = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, skey)
+        .agg(F.avg(value_col).alias("__clim"))
+    )
+    return (
+        df.withColumn("__season", extractors[season](F.col(ts_col)))
+        .join(F.broadcast(clim), [*group_cols, "__season"], "left")
+        .withColumn(out_col, F.col(value_col) - F.col("__clim"))
+        .drop("__season", "__clim")
+    )

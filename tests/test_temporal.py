@@ -63,3 +63,36 @@ def test_range_join_bucket_edges(spark):
     out = range_join_within(left, right, key="k", left_ts="ts", right_ts="rts",
                             tolerance_sec=120, right_cols=["rid"])
     assert [(r.lid, r.rid_r) for r in out.collect()] == [(1, 9)]
+
+
+def test_seasonal_anomaly_zero_mean_per_cell_and_null_passthrough(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        seasonal_anomaly,
+    )
+
+    rows = []
+    for g in ("s1", "s2"):
+        for m in (1, 2):
+            for d in range(1, 11):
+                v = float(10 * m + (ord(g[-1]) % 3) + d % 3)
+                rows.append((g, datetime.datetime(2024, m, d), v))
+    rows.append(("s1", datetime.datetime(2024, 1, 20), None))
+    df = spark.createDataFrame(rows, ["station", "ts", "temp"])
+    out = seasonal_anomaly(df, "ts", "temp", ["station"], season="month")
+    # anomalies average to ~0 within every (station, month) cell
+    cell = out.filter(F.col("temp").isNotNull()).groupBy(
+        "station", F.month("ts").alias("m")
+    ).agg(F.avg("anomaly").alias("a"))
+    assert all(abs(r["a"]) < 1e-9 for r in cell.collect())
+    # NULL value → NULL anomaly, row retained
+    nulls = out.filter(F.col("temp").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["anomaly"] is None
+    # unknown season errors
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        seasonal_anomaly(df, "ts", "temp", ["station"], season="fortnight")
