@@ -155,3 +155,56 @@ def foreign_key_violations(
         .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
     )
     return orphans.select("n_violations", F.lit(n).cast("long").alias("n_rows"))
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_by: str,
+    order_by: str,
+    value_col: str,
+    target: float,
+    k: float = 0.0,
+    h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per group — the sequential
+    monitoring statistic (Page 1954) behind data-drift alarms:
+    ``s_t = max(0, s_{t-1} + (x_t - target - k))`` flags when cumulative
+    upward deviation from the reference level exceeds ``h``. The
+    recursion cannot be a window frame (state is order-dependent), so
+    each group's ordered sequence folds ONCE in a JVM ``aggregate``
+    expression over its sorted array — the ewma/rolling-hash discipline:
+    no Python, one shuffle (the group agg), per-group memory bounded by
+    the sequence length (pre-aggregate to a coarser grain first for
+    unbounded streams, as any CUSUM deployment does).
+
+    Returns per group: (group, n, cusum_max, first_alarm_at — 1-based
+    index into the ordered sequence, NULL if never — drift_detected)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_by).alias("o"), F.col(value_col).alias("v"))
+        )
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_by)
+        .agg(arr.alias("__a"), F.count(F.lit(1)).alias("n"))
+    )
+    vals = "transform(__a, p -> CAST(p.v AS DOUBLE))"
+    step = f"greatest(0D, acc.s + (x - {target!r}D - {k!r}D))"
+    fold = (
+        f"aggregate({vals}, "
+        "struct(CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS smax, "
+        "CAST(-1 AS INT) AS alarm, CAST(0 AS INT) AS i), "
+        f"(acc, x) -> struct({step}, greatest(acc.smax, {step}), "
+        f"IF(acc.alarm >= 0, acc.alarm, IF({step} > {h!r}D, acc.i + 1, -1)), "
+        "acc.i + 1))"
+    )
+    return base.withColumn("__f", F.expr(fold)).select(
+        group_by,
+        "n",
+        F.round(F.col("__f.smax"), 6).alias("cusum_max"),
+        F.when(F.col("__f.alarm") >= 0, F.col("__f.alarm")).alias(
+            "first_alarm_at"
+        ),
+        (F.col("__f.alarm") >= 0).alias("drift_detected"),
+    )

@@ -96,3 +96,46 @@ def test_grouped_linear_trend_matches_numpy(spark):
         assert got[g]["intercept"] == pytest.approx(want_c, abs=1e-9)
         assert got[g]["r2"] > 0.999
     assert got["single"]["slope"] is None
+
+
+def test_cusum_drift_flags_shifted_group_only(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        cusum_drift,
+    )
+
+    rows = []
+    # stable group: oscillates around the target 10
+    for i in range(40):
+        rows.append(("stable", i, 10.0 + (1 if i % 2 else -1) * 0.5))
+    # drifting group: shifts to 12 at index 20
+    for i in range(40):
+        rows.append(("drift", i, 10.0 if i < 20 else 12.0))
+    df = spark.createDataFrame(rows, ["g", "seq", "v"])
+    got = {
+        r["g"]: r
+        for r in cusum_drift(df, "g", "seq", "v", target=10.0, k=0.5, h=5.0).collect()
+    }
+    assert not got["stable"]["drift_detected"]
+    assert got["stable"]["first_alarm_at"] is None
+    assert got["drift"]["drift_detected"]
+    # pure-Python reference CUSUM for the drifting sequence
+    s, alarm = 0.0, None
+    for i in range(40):
+        x = 10.0 if i < 20 else 12.0
+        s = max(0.0, s + (x - 10.0 - 0.5))
+        if alarm is None and s > 5.0:
+            alarm = i + 1
+    assert got["drift"]["first_alarm_at"] == alarm
+    assert got["drift"]["cusum_max"] == pytest.approx(
+        max(
+            __import__("functools").reduce(
+                lambda acc, x: (max(0.0, acc[0] + (x - 10.5)), max(acc[1], max(0.0, acc[0] + (x - 10.5)))),
+                [10.0 if i < 20 else 12.0 for i in range(40)],
+                (0.0, 0.0),
+            )[1],
+            0.0,
+        ),
+        abs=1e-9,
+    )
