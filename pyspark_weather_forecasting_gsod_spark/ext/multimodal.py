@@ -524,3 +524,65 @@ def bmp_dhash_features(
     return mm.select(id_col, payload_col).mapInPandas(
         process, f"{id_col} long, {out_col} long"
     )
+
+
+def ahash_wav(payload: bytes, hash_bits: int = 64) -> int:
+    """64-bit audio energy fingerprint from the REAL WAV/PCM16 decode —
+    the audio sibling of ``dhash_bmp``: split the sample stream into
+    ``hash_bits + 1`` segments, take each segment's mean absolute
+    amplitude (integer arithmetic — sum//len, bit-reproducible anywhere),
+    and set bit ``i`` iff segment ``i`` is louder than segment ``i+1``.
+    Re-encoded or lightly edited audio flips a few bits; unrelated audio
+    differs in ~32 — the gap ``hamming_neardup_pairs`` exploits, so the
+    SAME lossless Hamming band join dedups images and audio alike."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    segs = hash_bits + 1
+    if n < segs:
+        raise ValueError(f"need >= {segs} samples for a {hash_bits}-bit hash")
+    energy = []
+    for s in range(segs):
+        lo, hi = s * n // segs, max((s + 1) * n // segs, s * n // segs + 1)
+        chunk = samples[lo:hi]
+        energy.append(sum(abs(x) for x in chunk) // len(chunk))
+    h = 0
+    for i in range(hash_bits):
+        if energy[i] > energy[i + 1]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def wav_ahash_features(
+    mm: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_col: str = "ahash",
+) -> DataFrame:
+    """Per-clip audio fingerprint over Arrow batches — map-only, payloads
+    never leave the executor (mirrors ``bmp_dhash_features``)."""
+    import pandas as pd
+
+    def process(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [ahash_wav(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return mm.select(id_col, payload_col).mapInPandas(
+        process, f"{id_col} long, {out_col} long"
+    )

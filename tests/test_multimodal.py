@@ -145,3 +145,48 @@ def test_sample_frames_known_payload(spark):
         (1, hashlib.md5(b[512:768]).hexdigest()),
     ]
     assert rows == want
+
+
+def test_wav_ahash_neardup_finds_perturbed_clips(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        hamming_neardup_pairs,
+    )
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        ahash_wav,
+        synthesize_wav,
+        wav_ahash_features,
+    )
+
+    def chained_wav(seed: bytes, n_samples=512):
+        buf, block = b"", seed
+        while len(buf) < n_samples * 2:
+            buf += block
+            block = hashlib.md5(block).digest()
+        return synthesize_wav(buf[: n_samples * 2], n_samples=n_samples)
+
+    rows = []
+    for i in range(30):
+        p = chained_wav(hashlib.md5(f"clip{i}".encode()).digest())
+        rows.append((i, bytearray(p)))
+        if i % 5 == 0:
+            # perturb a few samples ("re-encode"): variant id = i + 1000
+            v = bytearray(p)
+            for off in range(44, 52):
+                v[off] ^= 0x01
+            rows.append((i + 1000, v))
+    df = spark.createDataFrame(
+        [(i, bytes(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    hashes = wav_ahash_features(df)
+    pairs = hamming_neardup_pairs(hashes, "doc_id", "ahash", max_hamming=8).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] - r["id_a"] == 1000}
+    assert len(planted) == 6  # every i % 5 == 0 variant recovered
+    others = [r for r in pairs if r["id_b"] - r["id_a"] != 1000]
+    assert len(others) <= 2  # unrelated chained-digest clips stay far apart
+    # deterministic across calls
+    h1 = ahash_wav(bytes(rows[0][1]))
+    assert h1 == ahash_wav(bytes(rows[0][1]))
