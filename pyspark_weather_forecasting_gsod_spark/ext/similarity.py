@@ -936,3 +936,190 @@ def pq_search(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN composition (FAISS IndexIVFPQ) — IVF prunes
+# WHICH cells a probe reads, PQ shrinks what each vector in them COSTS,
+# and the inner product decomposes exactly: <q, x> = <q, centroid> +
+# <q, residual>, so ADC scores the residual codes and adds the cell bias.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int = 2048,
+) -> None:
+    """Build a persistent IVF-PQ index: seeded coarse KMeans over the
+    L2-NORMALIZED corpus (one distributed fit), PQ codebooks trained on a
+    bounded sample of RESIDUALS (vector − its centroid; driver Lloyd, the
+    FAISS practice), then one distributed Arrow pass encodes every
+    residual to m small ints and writes
+
+      * ``{index_dir}/centroids`` — n_centroids (centroid, cvec) rows,
+      * ``{index_dir}/codes`` — (nid, codes) parquet PARTITIONED BY
+        centroid, so a probe scan is partition-pruned AND reads m bytes
+        per vector instead of d floats — both scale levers at once.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d_probe = len(corpus.select(F.col(vec_col).alias("e")).first()["e"])
+    if d_probe % m:
+        raise ValueError(f"m={m} must divide embedding dim {d_probe}")
+    dsub = d_probe // m
+
+    norm_expr = (
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
+        f"greatest({NORM.format(a=vec_col)}, 1e-30D))"
+    )
+    feat = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.expr(norm_expr).alias("ne"),
+    ).withColumn("features", array_to_vector("ne"))
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=5,
+        featuresCol="features", predictionCol="centroid",
+    )
+    model = km.fit(feat)
+    centers = np.array([list(c) for c in model.clusterCenters()])
+    assigned = model.transform(feat).select("nid", "ne", "centroid")
+
+    sample = assigned.orderBy("nid").limit(train_rows).collect()
+    res = np.array(
+        [np.array(r["ne"]) - centers[r["centroid"]] for r in sample]
+    )
+    books = np.stack(
+        [
+            _pq_kmeans(res[:, j * dsub : (j + 1) * dsub], k, seed + j, 10)
+            for j in range(m)
+        ]
+    )
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["centroid", "cvec"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(k)
+        ],
+        ["subspace", "code", "cvec"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array(pdf["ne"].tolist(), dtype=np.float64)
+            cent = pdf["centroid"].to_numpy()
+            r = x - centers[cent]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                rj = r[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (rj**2).sum(axis=1, keepdims=True)
+                    - 2.0 * rj @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"],
+                    "codes": [list(map(int, c)) for c in codes],
+                    "centroid": cent,
+                }
+            )
+
+    assigned.mapInPandas(
+        encode, "nid long, codes array<int>, centroid int"
+    ).write.mode("overwrite").partitionBy("centroid").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def ivfpq_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-only IVF-PQ ANN: each query ranks the broadcast centroid
+    table, keeps its ``nprobe`` cells; the union of probed cell ids
+    (bounded by n_centroids BY CONSTRUCTION) becomes a static partition
+    filter on the codes scan — which then costs m bytes per vector. ADC
+    scores ``<q, x> ≈ <q, centroid> + Σ_j table[j, code_j]`` (the inner
+    product decomposes exactly over the residual; only the residual is
+    quantized) with per-partition pre-top-k. Returns
+    (qid, nid, score_adc, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    centers_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    n_cent = max(r["centroid"] for r in centers_rows) + 1
+    centers = np.zeros((n_cent, len(centers_rows[0]["cvec"])))
+    for r in centers_rows:
+        centers[r["centroid"]] = r["cvec"]
+    books_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    m = max(r["subspace"] for r in books_rows) + 1
+    kk = max(r["code"] for r in books_rows) + 1
+    dsub = len(books_rows[0]["cvec"])
+    books = np.zeros((m, kk, dsub))
+    for r in books_rows:
+        books[r["subspace"], r["code"]] = r["cvec"]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).collect()  # bounded query batch, same contract as cosine_topk
+    qids = [r["qid"] for r in q_rows]
+    qv = np.array([r["qe"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qv = qv / np.where(qn == 0, 1.0, qn)
+    cell_scores = qv @ centers.T  # (Q, n_cent): the <q, centroid> bias
+    probe_cells = np.argsort(-cell_scores, axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in probe_cells for c in row})
+    tables = np.einsum("qjd,jkd->qjk", qv.reshape(len(qv), m, dsub), books)
+
+    def score(batches):
+        jj = np.arange(m)
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cents = pdf["centroid"].to_numpy()
+            nids = pdf["nid"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cents, probe_cells[qi])
+                if not mask.any():
+                    continue
+                s = tables[qi][jj[None, :], codes[mask]].sum(axis=1)
+                s = s + cell_scores[qi][cents[mask]]
+                keep = np.argsort(-s)[:topk]
+                sel_ids = nids[mask][keep]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(sel_ids)
+                out_s.extend(s[keep])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "score_adc": out_s})
+
+    partials = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .filter(F.col("centroid").isin(probed))
+        .mapInPandas(score, "qid long, nid long, score_adc double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_adc").desc(), F.col("nid"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -356,3 +356,41 @@ def test_pca_components_orthonormal_and_variance_consistent(spark, sf_dir):
         # F.variance is the sample variance; eigenvalues are population
         pop_var = stats[f"v{i}"] * (n - 1) / n
         assert abs(pop_var - evs[i]) / evs[i] < 1e-6
+
+
+def test_ivfpq_index_recall_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_search,
+        topk_recall,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_centroids=8, m=16, k=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = ivfpq_search(spark, d, q, topk=5, nprobe=8).localCheckpoint(
+        eager=True
+    )
+    # nprobe == n_centroids → no cell pruning, so quality reflects the
+    # residual-PQ quantization alone: the self-match must surface and
+    # mean recall must beat the ~k/N random floor comfortably
+    recs = {
+        r["qid"]: r["recall_vs_exact"]
+        for r in topk_recall(approx, cosine_topk(emb, q, k=5)).collect()
+    }
+    assert recs and sum(recs.values()) / len(recs) >= 0.4
+    top1 = {r["qid"]: r["nid"] for r in approx.collect() if r["rank"] == 1}
+    assert all(top1[qid] == qid for qid in top1)
+    # pruned probe: nprobe=2 of 8 cells → the codes scan carries a
+    # partition filter and still finds the self-match cell
+    pruned = ivfpq_search(spark, d, q, topk=5, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [" in ln and "PartitionFilters: []" not in ln
+        for ln in plan.splitlines()
+    )
