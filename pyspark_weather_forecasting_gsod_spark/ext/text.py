@@ -333,3 +333,34 @@ def bigram_lm_nll(
         "nll",
         F.exp(F.col("nll")).alias("ppl"),
     )
+
+
+def language_id_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Confusion matrix + per-language precision/recall for the marker-word
+    language-ID heuristic against a labeled column — the evaluation every
+    heuristic classifier in a curation pipeline should ship with, priced
+    as one classify pass + one (label, prediction) hash aggregate.
+    Returns (lang, pred_lang, n, recall_of_lang, precision_of_pred)."""
+    pred = language_id(df, text_col).select(
+        F.col(label_col).alias("lang"), "pred_lang"
+    )
+    cell = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    by_label = Window.partitionBy("lang")
+    by_pred = Window.partitionBy("pred_lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(by_label), 6).alias(
+            "recall_of_lang"
+        ),
+        F.round(F.col("n") / F.sum("n").over(by_pred), 6).alias(
+            "precision_of_pred"
+        ),
+    )
