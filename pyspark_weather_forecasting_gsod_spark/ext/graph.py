@@ -36,6 +36,7 @@ def pagerank(
     with_degree: bool = False,
     checkpoint_every: int = 8,
     assume_distinct: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank after a FIXED number of power iterations (deterministic —
     no convergence epsilon, so an ANSI-SQL oracle can unroll the same
@@ -54,11 +55,21 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w_expr.alias("__w")
+    )
     if not assume_distinct:
         # multi-edges would double-count contributions; callers that built
-        # the edge list with their own DISTINCT skip this pass
-        e = e.distinct()
+        # the edge list with their own DISTINCT skip this pass (weighted
+        # multi-edges legitimately sum their weights instead)
+        e = (
+            e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
+            if weight_col
+            else e.distinct()
+        )
     nodes = (
         e.select(F.col("__src").alias(node_col))
         .union(e.select(F.col("__dst").alias(node_col)))
@@ -66,7 +77,10 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
-    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # weighted: contributions split ∝ edge weight (out-"degree" = Σ weights)
+    outdeg = e.groupBy("__src").agg(
+        (F.sum("__w") if weight_col else F.count(F.lit(1)).cast("double")).alias("__deg")
+    )
     edge_deg = e.join(outdeg, "__src").cache()
     edge_deg.count()  # materialize once; every round reuses the cached edges
 
@@ -81,7 +95,7 @@ def pagerank(
                 "__src",
             )
             .groupBy(F.col("__dst").alias(node_col))
-            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+            .agg(F.sum(F.col("__r") * F.col("__w") / F.col("__deg")).alias("__in"))
         )
         ranks = nodes.join(contribs, node_col, "left").select(
             node_col,

@@ -816,3 +816,41 @@ def test_ohlc_bars_match_bruteforce(spark):
         vals = [p[2] for p in pts]
         assert got[k] == (pts[0][2], max(vals), min(vals), pts[-1][2], len(pts))
     assert set(got) == set(buckets)
+
+
+def test_weighted_pagerank_matches_reference(spark):
+    # weighted edges: contribution splits proportional to weight
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, weight_col="w").collect()
+    }
+    nodes = ["a", "b", "c"]
+    out_w = {"a": 4.0, "b": 1.0, "c": 1.0}
+    r = {n: 1 / 3 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 0.15 / 3 for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += 0.85 * r[s] * w / out_w[s]
+        r = nxt
+    for n in nodes:
+        assert got[n] == pytest.approx(r[n], abs=1e-12)
+    # b receives 3x c's share from a → outranks it
+    assert got["b"] > got["c"]
+
+
+def test_weighted_pagerank_sums_parallel_edges(spark):
+    # two parallel (a,b) edges of weight 1 == one edge of weight 2
+    two = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", 1.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    one = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    g2 = {r["node"]: r["rank"] for r in pagerank(two, iterations=3, weight_col="w").collect()}
+    g1 = {r["node"]: r["rank"] for r in pagerank(one, iterations=3, weight_col="w").collect()}
+    for n in g1:
+        assert g2[n] == pytest.approx(g1[n], abs=1e-12)
