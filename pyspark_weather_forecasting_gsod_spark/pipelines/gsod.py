@@ -162,7 +162,20 @@ def run_gsod_pipeline(
     df: DataFrame, fast: bool = False, with_classifier: bool = True
 ) -> dict[str, object]:
     """Full reference pipeline. Returns the imputed frame, the null census
-    row, and train/eval metrics."""
+    row, train/eval metrics, and a per-phase wall-clock breakdown
+    (``timings``) so bench regressions decompose to a named stage instead
+    of one opaque number (VERDICT r04 What's-wrong #1)."""
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        timings[phase] = round(now - _t0, 3)
+        _t0 = now
+
     norm = normalize_sentinels(df, GSOD_SENTINELS)
     slim = norm.drop(*GSOD_DROPS)
     if fast:
@@ -195,9 +208,11 @@ def run_gsod_pipeline(
             slim, gsod_impute_strategy(fast), checkpoint_every=3
         )
     imputed = imputed.localCheckpoint(eager=True)  # truncate the impute lineage
+    _mark("impute_sec")
 
     measure_cols = ["temp", "stp", "max", "min", "visib", "wdsp", "mxpsd", "prcp"]
     census = missing_census(imputed, measure_cols).collect()[0]
+    _mark("census_sec")
 
     labeled = lead_labels(
         imputed, group_by="stn", order_by="date",
@@ -209,16 +224,22 @@ def run_gsod_pipeline(
         numerical=measure_cols + ["year", "mo", "da"],
     )
     feat_model = pipeline.fit(labeled)
+    _mark("feature_fit_sec")
     featurized = feat_model.transform(labeled)
     train, test = seeded_split(featurized)
-    # Four downstream consumers (LR fit/eval, GBT fit/eval) would each
-    # re-run the window + feature-pipeline lineage; persist the split once
-    # and release the cached partitions once the consumers are done (a
-    # long-lived session re-running the pipeline would otherwise leak them).
-    train, test = train.persist(), test.persist()
+    # With the classifier, four downstream consumers (LR fit/eval, GBT
+    # fit/eval) would each re-run the window + feature-pipeline lineage;
+    # persist the split once and release the cached partitions when done.
+    # Without it, train and test each have exactly ONE consumer, so the
+    # persist materialization is pure overhead (measured ~1-2 s at the
+    # bench fixture size — part of the r04 gsod_pipeline_e2e drift).
+    if with_classifier:
+        train, test = train.persist(), test.persist()
     try:
         lr = train_linear_regression(train, "next_day_max")
+        _mark("lr_fit_sec")
         reg_metrics = evaluate_regression(lr.transform(test), "next_day_max")
+        _mark("lr_eval_sec")
 
         out: dict[str, object] = {
             "imputed": imputed,
@@ -230,7 +251,10 @@ def run_gsod_pipeline(
             out["classification"] = evaluate_classification(
                 clf.transform(test), "next_day_rain"
             )
+            _mark("clf_fit_eval_sec")
+        out["timings"] = timings
         return out
     finally:
-        train.unpersist()
-        test.unpersist()
+        if with_classifier:
+            train.unpersist()
+            test.unpersist()

@@ -3389,6 +3389,9 @@ def gsod_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_gsod_pipeline(wx, fast=True, with_classifier=False)
     rows = [("census_" + k, float(v)) for k, v in sorted(out["census"].items())]
     rows += [("reg_" + k, round(float(v), 4)) for k, v in sorted(out["regression"].items())]
+    # per-phase wall clock: makes any future bench drift decompose to a
+    # named stage right in the recorded output (VERDICT r04 ask)
+    rows += [("phase_" + k, float(v)) for k, v in sorted(out["timings"].items())]
     return spark.createDataFrame(rows, "metric string, value double")
 
 

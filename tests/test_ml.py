@@ -114,6 +114,9 @@ def test_gsod_pipeline_metric_parity_band(spark):
     assert all(v == 0.0 for k, v in m.items() if k.startswith("census_null_"))
     assert m["reg_r2"] >= 0.9, f"feature pipeline regression: R²={m['reg_r2']}"
     assert 2.0 <= m["reg_rmse"] <= 6.5, f"RMSE out of band: {m['reg_rmse']}"
+    # the per-phase breakdown rows (bench-drift diagnosis) are present
+    phases = {k for k in m if k.startswith("phase_")}
+    assert {"phase_impute_sec", "phase_lr_fit_sec", "phase_lr_eval_sec"} <= phases
 
 
 def test_weather_fixture_pathologies(spark):
