@@ -386,50 +386,138 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 5,
+    max_cell_rows: int = 200_000,
+    max_split_depth: int = 3,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): embedding
     near-duplicates are detected WITHIN KMeans cells only, so the pairwise
     work is one bounded BLAS task per cell instead of corpus².
 
-    1. seeded KMeans partitions the corpus into ``n_cells`` semantic cells
-       (at 100 TB this reuses ``build_ivf_index``'s persisted
-       centroid-partitioned layout — fit once, re-read clustered);
+    1. seeded KMeans partitions the corpus into ``n_cells`` semantic cells.
+       Pass ``index_dir`` (a layout written by ``build_ivf_index`` over the
+       SAME corpus) to skip the fit entirely and reuse the persisted
+       centroid-partitioned assignment — the 100 TB path: cluster once at
+       index-build time, dedup from the clustered layout;
     2. ONE Arrow task per cell does everything local to the cell: pairwise
        cosine ≥ ``min_cosine`` via an in-task matmul, then union-find over
-       the resulting edges (|cell| ≈ N/n_cells; pick n_cells so a cell
-       fits an executor — exactly the SemDeDup recipe, and the skew
-       caveat: a giant cell needs a finer clustering, visible in the
-       output's ``cell`` column). Because edges never cross cells,
-       components are cell-local BY CONSTRUCTION — no distributed
-       label-propagation rounds at all (the iterative
-       ``connected_components`` loop measured 27 s on this graph's long
-       random-embedding chains vs ~0 in-task);
+       the resulting edges. Because edges never cross cells, components are
+       cell-local BY CONSTRUCTION — no distributed label-propagation rounds
+       at all (the iterative ``connected_components`` loop measured 27 s on
+       this graph's long random-embedding chains vs ~0 in-task);
     3. the min-id member is the kept representative; survivors are
        representatives plus edge-free rows.
+
+    Skew guard: one |cells|-row count aggregate checks every cell against
+    ``max_cell_rows`` BEFORE any Arrow task materializes it (the per-task
+    cost is |cell|² — a hot cell on a skewed real corpus would otherwise
+    OOM an executor silently). Oversized cells are recursively re-clustered
+    into ⌈|cell|/max_cell_rows⌉+1 sub-cells, up to ``max_split_depth``
+    rounds; a cell that cannot be split (KMeans makes no progress —
+    e.g. all-identical vectors — or depth is exhausted) raises, naming the
+    cell and pointing at ``n_cells``/``max_cell_rows``. Splitting trades
+    recall exactly like the cell partition itself does, and the declared
+    query's ``pair_recall_vs_exact`` column measures that loss.
 
     Returns (id, cell, component, keep). Cross-cell near-dup pairs are
     invisible by construction — the SemDeDup approximation; the declared
     query quantifies that miss rate against the exact blocked all-pairs
     companion instead of leaving it as prose.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
-    feat = corpus.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(
-            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-        ).alias("features"),
-    )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="cell",
-    )
-    assigned = km.fit(feat).transform(feat).select("id", "vec", "cell")
+    def _featurize(df: DataFrame, idc, vecc) -> DataFrame:
+        return df.select(
+            F.col(idc).cast("long").alias("id"),
+            F.col(vecc).alias("vec"),
+            array_to_vector(
+                F.expr(f"transform({vecc}, x -> CAST(x AS DOUBLE))")
+            ).alias("features"),
+        )
+
+    if index_dir is not None:
+        # reuse the persisted IVF layout: assignment already computed (and
+        # physically clustered by cell) at build time — no fit, no full
+        # KMeans pass; the scan is the partitioned index corpus itself
+        assigned = corpus.sparkSession.read.parquet(f"{index_dir}/corpus").select(
+            F.col("nid").cast("long").alias("id"),
+            F.col("ne").alias("vec"),
+            F.col("centroid").cast("int").alias("cell"),
+        )
+    else:
+        feat = _featurize(corpus, id_col, vec_col)
+        km = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="features", predictionCol="cell",
+        )
+        assigned = km.fit(feat).transform(feat).select("id", "vec", "cell")
+
+    # ---- giant-cell guard: sizes are one |cells|-row agg (bounded collect)
+    if index_dir is None:
+        next_label = n_cells
+    else:
+        next_label = assigned.agg(F.max("cell")).first()[0] + 1
+    for depth in range(max_split_depth + 1):
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        oversized = [(r["cell"], r["n"]) for r in sizes if r["n"] > max_cell_rows]
+        if not oversized:
+            break
+        if depth == max_split_depth:
+            worst = max(oversized, key=lambda cn: cn[1])
+            raise ValueError(
+                f"semantic_dedup: cell {worst[0]} still holds {worst[1]} rows "
+                f"(> max_cell_rows={max_cell_rows}) after {max_split_depth} "
+                f"split rounds; the per-cell matmul is |cell|^2 and would OOM "
+                f"the executor. Raise n_cells, raise max_cell_rows, or "
+                f"exact-dedup identical vectors first."
+            )
+        keep_part = assigned.filter(
+            ~F.col("cell").isin([c for c, _ in oversized])
+        )
+        split_parts = [keep_part]
+        for cell_id, n in oversized:
+            sub = _featurize(
+                assigned.filter(F.col("cell") == cell_id), "id", "vec"
+            )
+            k = min(math.ceil(n / max_cell_rows) + 1, n)
+            sub_km = KMeans(
+                k=k, seed=seed + 1 + depth, maxIter=max_iter,
+                featuresCol="features", predictionCol="__sub",
+            )
+            relabeled = (
+                sub_km.fit(sub).transform(sub)
+                .select(
+                    "id", "vec",
+                    (F.col("__sub") + F.lit(next_label)).cast("int").alias("cell"),
+                )
+            )
+            # no-progress probe (k tiny rows): all mass in one sub-cell means
+            # the cell is unsplittable (identical/near-identical vectors)
+            sub_sizes = [
+                r["n"]
+                for r in relabeled.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            if max(sub_sizes) >= n:
+                raise ValueError(
+                    f"semantic_dedup: cell {cell_id} ({n} rows > "
+                    f"max_cell_rows={max_cell_rows}) cannot be split — KMeans "
+                    f"left all rows in one sub-cell (identical or "
+                    f"near-identical vectors). Exact-dedup identical vectors "
+                    f"first, or raise max_cell_rows."
+                )
+            next_label += k
+            split_parts.append(relabeled)
+        assigned = split_parts[0]
+        for p in split_parts[1:]:
+            assigned = assigned.unionByName(p)
 
     out_schema = T.StructType(
         [

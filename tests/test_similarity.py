@@ -251,6 +251,79 @@ def test_semantic_dedup_survivor_properties(spark, sf_dir):
                 assert round(cos, 9) < 0.35, (cell, a, b, cos)
 
 
+def test_semantic_dedup_unsplittable_giant_cell_raises(spark):
+    """A degenerate corpus (all vectors identical) lands every row in one
+    KMeans cell that re-clustering cannot split; before the r05 guard this
+    silently queued an |cell|² matmul for one executor. Now it raises,
+    naming the remedy."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
+
+    emb = spark.range(200).select(
+        "id",
+        F.expr("array(1.0, 2.0, 3.0, 4.0)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cannot be split"):
+        semantic_dedup(
+            emb, min_cosine=0.35, n_cells=4, id_col="id",
+            max_cell_rows=50,
+        ).collect()
+
+
+def test_semantic_dedup_splits_oversized_cell(spark):
+    """A splittable hot cell (two separable blobs forced into one cell via
+    n_cells=1) is recursively re-clustered instead of raising; the output
+    still covers every id with valid survivor semantics."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
+
+    # a 100-row blob with internal spread (splittable) + a 20-row far blob;
+    # k=2 separates the blobs, leaving the big one over the 80-row cap
+    emb = spark.range(120).select(
+        "id",
+        F.expr(
+            "CASE WHEN id < 100 THEN"
+            " array(10.0 + id % 7 * 0.5, CAST(id % 3 AS DOUBLE), 0.1, 0.0)"
+            " ELSE array(0.1, 0.0, 50.0 + id % 5 * 0.01, 0.2) END"
+        ).alias("embedding"),
+    )
+    rows = semantic_dedup(
+        emb, min_cosine=0.999999, n_cells=2, id_col="id",
+        max_cell_rows=80,
+    ).collect()
+    assert sorted(r.id for r in rows) == list(range(120))
+    assert len({r.cell for r in rows}) > 2  # the hot cell actually split
+    for r in rows:
+        assert r.keep == (r.id == r.component)
+
+
+def test_semantic_dedup_reuses_persisted_ivf_index(spark, sf_dir, tmp_path):
+    """``index_dir=`` skips the per-call KMeans fit and reads the persisted
+    centroid-partitioned layout (VERDICT r04 ask #6); with identical
+    clustering params the result matches the convenience path exactly."""
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        build_ivf_index,
+        semantic_dedup,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "ivf")
+    build_ivf_index(emb, d, n_centroids=16, seed=42, max_iter=5)
+    direct = {
+        (r.id, r.component, r.keep)
+        for r in semantic_dedup(emb, min_cosine=0.35, n_cells=16).collect()
+    }
+    via_index = {
+        (r.id, r.component, r.keep)
+        for r in semantic_dedup(emb, min_cosine=0.35, index_dir=d).collect()
+    }
+    assert direct == via_index
+
+
 def test_semantic_dedup_query_recall_gate(spark, sf_dir):
     """The declared query's measured pair recall must stay above the
     cell-locality floor: a cell-assignment regression collapses recall
