@@ -998,6 +998,13 @@ def neardup_probe(
             F.round("best_jaccard", 6).alias("best_jaccard"),
         )
     )
+    # materialize the (one-row-per-batch-doc) result, then release the
+    # cached intermediates — a long-lived session probing many batches
+    # otherwise accumulates executor cache (r04 ADVICE), unlike the
+    # persist/unpersist pairing everywhere else in this module
+    out = out.localCheckpoint(eager=True)
+    arrs.unpersist()
+    cand.unpersist()
     return out
 
 
@@ -1027,7 +1034,7 @@ def exact_cross_jaccard(
     )
     bsz = ba.select(F.col(id_col).alias("bid"), F.size("shingles").cast("long").alias("bsz"))
     ssz = sa.select(F.col(id_col).alias("sid"), F.size("shingles").cast("long").alias("ssz"))
-    return (
+    out = (
         inter.join(bsz, "bid")
         .join(ssz, "sid")
         .withColumn(
@@ -1037,6 +1044,12 @@ def exact_cross_jaccard(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("bid", "sid", "jaccard")
     )
+    # materialize the (candidate-bounded) pair set, then release the two
+    # cached shingle frames — same leak fix as neardup_probe (r04 ADVICE)
+    out = out.localCheckpoint(eager=True)
+    ba.unpersist()
+    sa.unpersist()
+    return out
 
 
 def hamming_neardup_pairs(

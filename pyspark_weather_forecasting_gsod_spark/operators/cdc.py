@@ -15,6 +15,8 @@ makes the diff a safe transport format for downstream replication.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -220,13 +222,23 @@ def scd2_apply(
     changes = snapshot_diff(cur.drop(*meta), snapshot, keys)
     ts = F.lit(effective_ts).cast("timestamp")
 
-    affected = changes.filter(F.col("change_op").isin("U", "D")).select(*keys)
+    # null-safe key matching, mirroring snapshot_diff: a plain equi-join
+    # never matches NULL keys, so a changed NULL-key row would open a new
+    # current row WITHOUT closing the old one — two is_current rows for
+    # the same key (r04 ADVICE)
+    affected = changes.filter(F.col("change_op").isin("U", "D")).select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys]
+    )
+    match = reduce(
+        lambda a, b: a & b,
+        [cur[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+    )
     closes = (
-        cur.join(affected, on=keys, how="left_semi")
+        cur.join(affected, match, "left_semi")
         .withColumn(valid_to, ts)
         .withColumn(current_col, F.lit(False))
     )
-    unchanged = cur.join(affected, on=keys, how="left_anti")
+    unchanged = cur.join(affected, match, "left_anti")
     opens = (
         changes.filter(F.col("change_op").isin("I", "U"))
         .drop("change_op")

@@ -326,7 +326,15 @@ def cms_join_size_estimate(
         .groupBy("r")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
     )
-    return per_row.agg(F.min("prod").cast("long").alias("join_size_est"))
+    # materialize ALL depth row ids before taking the min: a hash row whose
+    # sketches share no cell has true inner product 0 — dropping it (the
+    # old inner-join shape) overestimated, and with zero overlap everywhere
+    # the estimate was NULL instead of the correct 0
+    rows = cms_a.sparkSession.range(depth).select(F.col("id").cast("int").alias("r"))
+    full = rows.join(per_row, "r", "left").select(
+        F.coalesce(F.col("prod"), F.lit(0)).alias("prod")
+    )
+    return full.agg(F.min("prod").cast("long").alias("join_size_est"))
 
 
 def grouped_histogram_table(

@@ -1197,8 +1197,11 @@ def _js_bucket_sql(key_sql: str) -> str:
         SELECT ca.r, SUM(ca.ca * cb.cb) AS prod
         FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
         GROUP BY ca.r
+    ), all_rows AS (
+        SELECT r FROM UNNEST(range(0, {_JS_DEPTH})) AS u(r)
     ), est AS (
-        SELECT CAST(MIN(prod) AS BIGINT) AS join_size_est FROM per_row
+        SELECT CAST(MIN(COALESCE(p.prod, 0)) AS BIGINT) AS join_size_est
+        FROM all_rows a LEFT JOIN per_row p ON a.r = p.r
     ), ex AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey

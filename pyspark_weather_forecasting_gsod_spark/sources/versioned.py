@@ -37,10 +37,24 @@ def list_versions(table_dir: str) -> list[int]:
 
 def write_version(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next version; returns the version number.
-    Existing versions are never touched (immutable history)."""
+    Existing COMMITTED versions are never touched (immutable history).
+
+    Staging cleanup (r04 ADVICE): a crashed writer leaves a partial
+    ``v=N`` directory with no ``_SUCCESS``; since ``list_versions``
+    ignores it, the next writer would compute the same N and fail forever
+    on ``errorifexists``. An uncommitted target directory is provably
+    garbage (no reader can ever see it), so it is deleted and the slot
+    reused."""
+    import shutil
+
     versions = list_versions(table_dir)
     v = (versions[-1] + 1) if versions else 1
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={v}"))
+    target = os.path.join(table_dir, f"v={v}")
+    if os.path.isdir(target) and not os.path.exists(
+        os.path.join(target, "_SUCCESS")
+    ):
+        shutil.rmtree(target)
+    df.write.mode("errorifexists").parquet(target)
     return v
 
 

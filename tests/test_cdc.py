@@ -194,6 +194,41 @@ def test_scd2_close_keep_open_routing(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_scd2_null_key_rows_close_properly(spark):
+    """A changed row with a NULL key must CLOSE its old version: plain
+    semi/anti joins reject NULL keys (r04 ADVICE), which left two
+    is_current rows for the NULL key while snapshot_diff matched it
+    null-safely."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    s1 = spark.createDataFrame([(None, "x"), (1, "a")], "k int, attr string")
+    s2 = spark.createDataFrame([(None, "X"), (1, "a")], "k int, attr string")
+    dim = scd2_init(s1, ["k"], "2024-01-01 00:00:00")
+    out = scd2_apply(dim, s2, ["k"], "2024-02-01 00:00:00")
+    rows = {
+        (r["k"], r["attr"], r["is_current"], r["valid_to"] is None)
+        for r in out.collect()
+    }
+    assert rows == {
+        (None, "x", False, False),  # old NULL-key version CLOSED
+        (None, "X", True, True),    # new NULL-key version open
+        (1, "a", True, True),       # unchanged key passes through
+    }
+    # exactly one current row per key, including the NULL key
+    cur = (
+        out.filter(F.col("is_current"))
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in cur)
+
+
 def test_scd2_second_apply_preserves_closed_history(spark):
     from pyspark.sql import functions as F
 

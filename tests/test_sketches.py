@@ -135,3 +135,23 @@ def test_cms_join_estimate_never_underestimates(spark):
     assert est >= exact
     # width >> keys: collisions are rare, so the bound is tight here
     assert est <= exact * 1.2
+
+
+def test_cms_join_estimate_disjoint_keys_is_zero_not_null(spark):
+    """A hash row with no overlapping cells has true inner product 0; the
+    r04 ADVICE finding: the inner-join formulation dropped such rows,
+    returning NULL (no overlap anywhere) or an overestimate. Disjoint key
+    sets at width >> keys must estimate exactly 0."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import (
+        cms_join_size_estimate,
+        cms_table,
+    )
+
+    a = spark.range(20).select(F.col("id").alias("k"))
+    b = spark.range(20).select((F.col("id") + 100_000).alias("k"))
+    ca = cms_table(a, "k", depth=3, width=65536)
+    cb = cms_table(b, "k", depth=3, width=65536)
+    est = cms_join_size_estimate(ca, cb).first()["join_size_est"]
+    assert est == 0  # not NULL, not an overestimate from surviving rows

@@ -237,6 +237,35 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert got == want
 
 
+def test_versioned_table_recovers_from_crashed_write(spark, tmp_path):
+    """A partial v=N directory without _SUCCESS (crashed writer) must not
+    wedge the table: the next write detects the provably-uncommitted
+    staging dir, removes it, and commits into the slot (r04 ADVICE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    d = str(tmp_path / "vtable")
+    write_version(spark.range(5).select("id"), d)
+    # simulate a crash: partial v=2 with data but no _SUCCESS marker
+    stale = os.path.join(d, "v=2")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+    assert list_versions(d) == [1]
+    v = write_version(spark.range(7).select("id"), d)
+    assert v == 2 and list_versions(d) == [1, 2]
+    assert read_version(spark, d, 2).count() == 7
+    # a COMMITTED version is still protected by errorifexists semantics
+    assert write_version(spark.range(3).select("id"), d) == 3
+
+
 def test_versioned_table_time_travel_and_diff(spark, tmp_path):
     from pyspark.sql import functions as F
 
