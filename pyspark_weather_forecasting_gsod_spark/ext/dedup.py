@@ -1052,6 +1052,51 @@ def exact_cross_jaccard(
     return out
 
 
+def split_leakage_audit(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Cross-split contamination audit: label both endpoints of a near-dup
+    pair set with their train/test assignment and count pairs per
+    unordered (split, split) cell — the eval-integrity check every
+    training-data split needs (a near-duplicate of a test document inside
+    the train split leaks the answer; random row-level splits guarantee
+    such pairs exist).
+
+    ``pairs`` is any (id_a, id_b) near-dup edge set (exact Jaccard, LSH,
+    embedding); ``splits`` maps ``id_col`` → ``split_col``. Output:
+    (split_lo, split_hi, n_pairs, is_cross), ≤ |splits|² rows. Scale
+    shape: two broadcast-or-shuffle equi-joins from the (already reduced)
+    pair set to the split table + one tiny hash agg — never touches the
+    corpus text. Fix for a failing audit: split by a GROUP key that
+    contains the near-dup structure (domain, cluster representative from
+    ``connected_components``) instead of the row id — ``hash_split`` on
+    the component id makes leakage structurally zero."""
+    sa = splits.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
+    )
+    lab = pairs.join(sa, id_a).join(sb, id_b)
+    lo = F.least("__sa", "__sb")
+    hi = F.greatest("__sa", "__sb")
+    return (
+        lab.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_cross"),
+        )
+    )
+
+
 def hamming_neardup_pairs(
     hashes: DataFrame,
     id_col: str,

@@ -1656,6 +1656,46 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_audit",
+    _NEARDUP_CC_CTES + """
+    , sp AS (
+        SELECT doc_id,
+               CASE WHEN list_reduce(list_transform(
+                   string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT LEAST(pa.split, pb.split) AS split_lo,
+           GREATEST(pa.split, pb.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (LEAST(pa.split, pb.split) <> GREATEST(pa.split, pb.split)) AS is_cross
+    FROM j JOIN sp pa ON j.doc_a = pa.doc_id JOIN sp pb ON j.doc_b = pb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test near-dup leakage audit (ext/dedup.py::split_leakage_audit):
+    the standard 80/20 row-level hash split of the corpus, crossed with the
+    exact bigram-Jaccard (≥ 0.5) near-dup edge set — any ``is_cross`` cell
+    with n_pairs > 0 is test-set contamination (a train document that
+    near-duplicates a test document). The remedy the operator docstring
+    prescribes — split by near-dup component instead of row id — is
+    pytest-proven to zero the cross cell. Oracle: the shared CC CTE
+    constant's edge set + the identical md5 split buckets."""
+    from ..ext.dedup import ngram_jaccard_pairs, split_leakage_audit, widen_for_fanout
+    from ..operators.sampling import hash_split
+
+    docs = widen_for_fanout(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    splits = hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return split_leakage_audit(pairs, splits, "doc_id")
+
+
+@query(
     "dup_span_stats",
     f"""
     WITH t AS (
@@ -4367,9 +4407,11 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # is three rounds stale), and (e) backfill with the r02 rows whose source
 # files were touched this round (cdc/similarity/dedup/ml families).
 _EXPORT_PRIORITY: list[str] = [
-    # -- (a) NEW in r5: lang-ID quality instruments (VERDICT ask #8)
+    # -- (a) NEW in r5: lang-ID quality instruments (VERDICT ask #8) +
+    #    eval-integrity audit
     "lang_id_confusion",  # marker-heuristic confusion matrix, oracle
     "nb_lang_classify",  # in-engine NB classifier at the Bayes ceiling, oracle
+    "split_leakage_audit",  # cross-split near-dup contamination cells, oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4421,10 +4463,12 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_neardup_blocked",  # ext/similarity.py changed
     "corpus_prep_pipeline",  # consumes lang-ID labels documented this round
     "minhash_md5_parity",  # ext/dedup.py changed (unpersist fix)
-    "simhash_md5_parity",  # ext/dedup.py changed
-    # (window cap is 50: the 7 backfill entries above fill slots 44-50;
-    # every query displaced from the r4 window holds a green r03/r04 row
-    # re-verified by the full local gate this round)
+    # "simhash_md5_parity" ceded its slot to split_leakage_audit (new
+    # queries must hold a window slot): its r02 bit-math parity oracle is
+    # green, ext/dedup.py's r5 change (unpersist) does not touch the
+    # simhash path, and the full local gate re-verified it this round
+    # (window cap is 50; every query displaced from the r4 window holds a
+    # green r03/r04 row re-verified by the full local gate this round)
 ]
 
 

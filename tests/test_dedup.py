@@ -331,3 +331,55 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
     assert (1, 2) not in jac
     # unrelated doc matches nothing
     assert all(3 not in pair for pair in cont)
+
+
+def test_split_leakage_audit_component_split_zeroes_leakage(spark):
+    """Row-level splits of a near-dup-laden corpus leak; splitting by the
+    connected-component representative (the operator docstring's remedy)
+    makes cross-split pairs structurally zero."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        split_leakage_audit,
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import hash_split
+
+    # 30 near-dup pairs (2i, 2i+1 share pair-specific vocabulary; no token
+    # crosses pairs) → 30 two-doc components, zero cross-pair similarity
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 9),"
+            " j -> concat('w', CAST(id DIV 2 AS STRING), '_', j)))"
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    assert pairs.count() == 30
+
+    # row-level split: some pair must straddle the boundary (md5 of the
+    # doc id is independent of its twin's)
+    row_split = hash_split(docs.select("doc_id"), "doc_id")
+    row_audit = {
+        (r["split_lo"], r["split_hi"]): r["n_pairs"]
+        for r in split_leakage_audit(pairs, row_split, "doc_id").collect()
+    }
+    assert row_audit.get(("test", "train"), 0) > 0  # leakage exists
+    assert sum(row_audit.values()) == 30  # every pair lands in one cell
+
+    # component-level split: both members of a pair share the component id,
+    # hence the split — the cross cell is structurally empty
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    keyed = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    comp_split = hash_split(keyed, "component").select("doc_id", "split")
+    comp_audit = {
+        (r["split_lo"], r["split_hi"]): r["n_pairs"]
+        for r in split_leakage_audit(pairs, comp_split, "doc_id").collect()
+    }
+    assert comp_audit.get(("test", "train"), 0) == 0
+    assert sum(comp_audit.values()) == 30
