@@ -2934,6 +2934,47 @@ def python_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_python_source_stream(spark)
 
 
+@query(
+    "streaming_scd2",
+    """
+    WITH m AS (
+        SELECT i, (i * 2654435761) % 2147483648 AS mixed FROM range(0, 1000) t(i)
+    ), r AS (
+        SELECT CAST(mixed % 20 AS BIGINT) AS user_id,
+               CAST(i AS BIGINT) AS event_id,
+               CAST(FLOOR(ROUND(mixed / 2147483648.0 * 100.0, 6) / 25.0) AS BIGINT) AS attr
+        FROM m
+    ), chg AS (
+        SELECT user_id, event_id, attr FROM (
+            SELECT user_id, event_id, attr,
+                   LAG(attr) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+            FROM r)
+        WHERE prev IS NULL OR prev <> attr
+    )
+    SELECT user_id, attr, event_id AS valid_from,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+               AS is_current
+    FROM chg
+    """,
+)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 / CDC-history maintenance
+    (streaming/scd2_stream.py): the replayable Python-source feed is
+    consumed micro-batch by micro-batch, and foreachBatch re-derives
+    version chains ONLY for the entities each batch touched (open rows
+    join the derivation as pseudo-events, so unchanged attributes extend
+    rows and changes close+open at the event position). The final history
+    table must equal the one-pass batch derivation over the identical
+    generator — the oracle — proving micro-batch boundaries cannot alter
+    the history. Multi-batch execution is enforced in-operator (raises
+    under 2 batches)."""
+    from ..streaming.scd2_stream import run_streaming_scd2
+
+    tune(spark)
+    return run_streaming_scd2(spark)
+
+
 _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
 
 
@@ -4412,6 +4453,7 @@ _EXPORT_PRIORITY: list[str] = [
     "lang_id_confusion",  # marker-heuristic confusion matrix, oracle
     "nb_lang_classify",  # in-engine NB classifier at the Bayes ceiling, oracle
     "split_leakage_audit",  # cross-split near-dup contamination cells, oracle
+    "streaming_scd2",  # foreachBatch CDC-history maintenance == batch oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4462,7 +4504,10 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_neardup_exact",  # ext/similarity.py changed (guard/index)
     "embedding_neardup_blocked",  # ext/similarity.py changed
     "corpus_prep_pipeline",  # consumes lang-ID labels documented this round
-    "minhash_md5_parity",  # ext/dedup.py changed (unpersist fix)
+    # "minhash_md5_parity" ceded its slot to streaming_scd2 (new queries
+    # must hold a window slot): its r02 signature-math oracle is green,
+    # the r5 dedup.py change (unpersist) does not touch signature math,
+    # and the full local gate re-verified it this round
     # "simhash_md5_parity" ceded its slot to split_leakage_audit (new
     # queries must hold a window slot): its r02 bit-math parity oracle is
     # green, ext/dedup.py's r5 change (unpersist) does not touch the

@@ -261,3 +261,50 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_dir):
         else:
             spark.conf.set(key, before)
     assert via_rocksdb == baseline and baseline
+
+
+def test_streaming_scd2_batch_boundary_independent(spark):
+    """The CDC-history table must be identical under different
+    micro-batch sizes (and match the one-pass batch derivation) — the
+    property that makes the streaming advance trustworthy."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.sources.pyds import register
+    from pyspark_weather_forecasting_gsod_spark.streaming.scd2_stream import (
+        run_streaming_scd2,
+        scd2_versions_from_events,
+    )
+
+    def rows(df):
+        return sorted(
+            (r.user_id, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    a = rows(run_streaming_scd2(spark, n_rows=400, rows_per_batch=100, n_users=7))
+    b = rows(run_streaming_scd2(spark, n_rows=400, rows_per_batch=37, n_users=7))
+    assert a == b  # batch boundaries cannot change history
+
+    register(spark)
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "400")
+        .option("n_users", "7")
+        .load()
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("attr"),
+        )
+    )
+    assert a == rows(scd2_versions_from_events(batch))
+    # history invariants: exactly one open row per user; spans chain
+    by_user: dict = {}
+    for u, attr, vf, vt, cur in a:
+        by_user.setdefault(u, []).append((vf, vt, cur))
+    for u, vers in by_user.items():
+        vers.sort()
+        assert sum(1 for _, _, cur in vers if cur) == 1
+        for (vf1, vt1, _), (vf2, _, _) in zip(vers, vers[1:]):
+            assert vt1 == vf2  # each close is the next open
+        assert vers[-1][1] is None
