@@ -262,6 +262,16 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["Exchange hashpartitioning", "Window"],
         "A-Res weighted sampling plans per-partition top-k heaps (TakeOrderedAndProject) over a map-only scoring pass — no shuffle before the top-k merge",
     ),
+    "nb_lang_classify": (
+        ["BroadcastHashJoin LeftOuter BuildRight", "WindowGroupLimit"],
+        [],
+        "the vocab-sized NB model BROADCASTS onto the exploded (doc, word) stream (the fan-out side never shuffles for the scoring join) and the per-doc argmax plans WindowGroupLimit rank-1, not a full per-doc sort",
+    ),
+    "lang_id_confusion": (
+        ["HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin"],
+        "confusion cells are ONE classify-pass hash aggregate; precision/recall come from windows over the tiny cell table — no join anywhere",
+    ),
 }
 
 
