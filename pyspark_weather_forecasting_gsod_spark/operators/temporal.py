@@ -180,6 +180,7 @@ def seasonal_anomaly(
     group_cols: list[str],
     season: str = "month",
     out_col: str = "anomaly",
+    mean_decimals: int | None = None,
 ) -> DataFrame:
     """Climatology + anomaly decomposition — the weather-domain transform
     (value minus its (group × season) mean, e.g. a station's temperature
@@ -200,10 +201,21 @@ def seasonal_anomaly(
     if season not in extractors:
         raise ValueError(f"season must be one of {sorted(extractors)}")
     skey = extractors[season](F.col(ts_col)).alias("__season")
+    # mean_decimals: for fixed-decimal readings (sensor values recorded to
+    # d places), round(SUM, d)/COUNT recovers the EXACT rational mean —
+    # the true sum is a d-decimal grid point and any summation order lands
+    # within ~1e-11 of it, so the rounded sum (hence the mean, hence every
+    # anomaly) is bit-identical across engines and partitionings. Plain
+    # avg() is summation-order-sensitive in the last ulp.
+    mean = (
+        F.round(F.sum(value_col), mean_decimals) / F.count(value_col)
+        if mean_decimals is not None
+        else F.avg(value_col)
+    )
     clim = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group_cols, skey)
-        .agg(F.avg(value_col).alias("__clim"))
+        .agg(mean.alias("__clim"))
     )
     return (
         df.withColumn("__season", extractors[season](F.col(ts_col)))

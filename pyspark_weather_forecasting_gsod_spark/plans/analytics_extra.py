@@ -126,6 +126,97 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_ITER_SQL = """
+    c{i} AS (
+        SELECT e.dst AS node, SUM(r.pr / d.deg) AS mass
+        FROM edges e
+        JOIN r{prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ), r{i} AS (
+        SELECT nd.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END
+                   + 0.85 * COALESCE(c.mass, 0.0) AS pr
+        FROM nodes nd
+        LEFT JOIN sd ON sd.node = nd.node
+        LEFT JOIN c{i} c ON c.node = nd.node
+    )"""
+
+_PPR_SQL = (
+    """
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ), sd AS (
+        SELECT DISTINCT n.node FROM nodes n
+        WHERE n.node <= 20 AND n.node % 2 = 0
+    ), ns AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd
+    ), r0 AS (
+        SELECT nd.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS pr
+        FROM nodes nd LEFT JOIN sd ON sd.node = nd.node
+    ),"""
+    + ",".join(_PPR_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT r3.node, ROUND(r3.pr, 11) AS ppr
+    FROM r3 WHERE ROUND(r3.pr, 11) > 0
+    ORDER BY ROUND(r3.pr, 11) DESC, r3.node
+    LIMIT 20
+    """
+)
+
+
+@query("personalized_pagerank_orders", _PPR_SQL)
+def personalized_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (ext/graph.py::personalized_pagerank),
+    promoted from a library op to a declared query: teleport mass returns
+    to the SEED customers (custkeys ≤ 10 → node ids ≤ 20, even) instead of
+    all nodes — 'rank suppliers by relevance to THESE customers', the
+    recommendation shape. Same single-job lazy power loop and the same
+    unrolled-CTE oracle discipline as pagerank_orders, with the seed-aware
+    teleport in every round; top-20 by 11-dp-rounded rank (zero-rank nodes
+    outside the seeds' 3-hop reach are excluded on both engines)."""
+    from ..ext.graph import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_custkey") * 2).alias("node"))
+        .filter(F.col("node") <= 20)
+        .distinct()
+    )
+    pr = personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.85, assume_distinct=True
+    )
+    return (
+        pr.select("node", F.round("rank", 11).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+        .orderBy(F.col("ppr").desc(), "node")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom-gated incremental dedup. Deliberately undersized filter (3×512 for
 # a ~475-key store → ~60% row occupancy) so false positives are REAL and

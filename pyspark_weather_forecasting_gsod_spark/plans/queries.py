@@ -2935,6 +2935,191 @@ def python_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlc_bars_events",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('day', ts) AS bkt, ts, event_id, value
+        FROM events
+    ), o AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type,
+           CAST(epoch_us(bkt) // 1000000 AS BIGINT) AS bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM o GROUP BY 1, 2
+    """,
+)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC interval downsampling (operators/temporal.py::ohlc_bars),
+    promoted from a library op to a declared query: per (event_type, day)
+    the open/high/low/close/count in ONE min_by/max_by hash aggregate —
+    no window, no per-group sort (the oracle pays the row_number sort to
+    prove our agg-only answer equals it). event_id breaks timestamp ties
+    deterministically on both engines."""
+    from ..operators.temporal import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    bars = ohlc_bars(
+        ev, ts_col="ts", value_col="value", group_cols=["event_type"],
+        interval="1 day", tie_col="event_id",
+    )
+    return bars.select(
+        "event_type",
+        F.unix_timestamp("bucket").cast("long").alias("bucket"),
+        "open", "high", "low", "close", "n_points",
+    )
+
+
+@query(
+    "seasonal_anomaly_events",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, month(ts) AS mo,
+               CASE WHEN value > {SENTINEL} THEN NULL ELSE value END AS v
+        FROM events
+    ), clim AS (
+        SELECT user_id, mo, ROUND(SUM(v), 2) / COUNT(v) AS c FROM base
+        WHERE v IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT b.event_id, b.user_id, b.v - c.c AS anomaly
+    FROM base b LEFT JOIN clim c ON b.user_id = c.user_id AND b.mo = c.mo
+    """,
+)
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology + anomaly decomposition
+    (operators/temporal.py::seasonal_anomaly — the GSOD departure-from-
+    normal transform), promoted to a declared query: each clean reading
+    minus its (user, month) mean, sentinel reads passing through as NULL
+    anomalies. The |users|x12 climatology broadcasts back (J2 shape); the
+    fact table never shuffles."""
+    from ..operators.temporal import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") > SENTINEL, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = seasonal_anomaly(
+        ev, ts_col="ts", value_col="v", group_cols=["user_id"], season="month",
+        mean_decimals=2,  # readings are 2-dec: the mean is exact cross-engine
+    )
+    # NO final rounding: with the exact-rational mean both engines compute
+    # bit-identical anomaly doubles, while ROUND itself diverges at exact
+    # midpoints (Spark rounds the true decimal expansion HALF_UP; a
+    # multiply-rint-divide ROUND sees the nearest representable instead)
+    return out.select("event_id", "user_id", "anomaly")
+
+
+@query(
+    "cusum_drift_events",
+    f"""
+    WITH base AS (
+        SELECT event_type, event_id, value - 50.0 - 2.0 AS y
+        FROM events WHERE value <= {SENTINEL}
+    ), c AS (
+        SELECT event_type, event_id,
+               SUM(y) OVER w AS c, ROW_NUMBER() OVER w AS rn
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT event_type, rn,
+               c - LEAST(MIN(c) OVER (PARTITION BY event_type ORDER BY rn
+                                      ROWS UNBOUNDED PRECEDING), 0) AS s
+        FROM c
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(s), 6) AS cusum_max,
+           CAST(MIN(CASE WHEN s > 150.0 THEN rn END) AS INT) AS first_alarm_at,
+           (MIN(CASE WHEN s > 150.0 THEN rn END) IS NOT NULL) AS drift_detected
+    FROM s GROUP BY 1
+    """,
+)
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM drift monitor
+    (operators/quality.py::cusum_drift), promoted to a declared query:
+    per event type, the max cumulative upward excursion of clean values
+    over target 50 (slack k=2) and the first index crossing h=150. The
+    engine folds each group's ordered sequence once in a JVM aggregate
+    expression; the oracle computes the SAME statistic through the
+    closed form s_t = c_t - min(0, min_{{j<=t}} c_j) (prefix sums + prefix
+    min) — two independent formulations agreeing to 6 decimals, the
+    strongest check an order-dependent recurrence can get."""
+    from ..operators.quality import cusum_drift
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") <= SENTINEL)
+    return cusum_drift(
+        ev, group_by="event_type", order_by="event_id", value_col="value",
+        target=50.0, k=2.0, h=150.0,
+    )
+
+
+@query(
+    "ngram_containment_docs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ), d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                       AS shingle
+            FROM d2)
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), oriented AS (
+        SELECT CASE WHEN za.sz <= zb.sz THEN doc_a ELSE doc_b END AS doc_small,
+               CASE WHEN za.sz <= zb.sz THEN doc_b ELSE doc_a END AS doc_big,
+               common,
+               common / LEAST(za.sz, zb.sz) AS containment
+        FROM pairs JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+    )
+    SELECT doc_small, doc_big, common, ROUND(containment, 6) AS containment
+    FROM oriented WHERE ROUND(containment, 9) >= 0.5
+    ORDER BY ROUND(containment, 9) DESC, doc_small, doc_big
+    LIMIT 20
+    """,
+)
+def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (ext/dedup.py::ngram_containment_pairs), promoted to a declared
+    query over the full corpus: |A∩B|/|A|
+    catches a document wholly quoted inside a larger one, which symmetric
+    Jaccard structurally misses (Broder's containment)."""
+    from ..ext.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        docs, "doc_id", "text", n=2, min_containment=0.5
+    )
+    return (
+        pairs.orderBy(
+            F.round("containment", 9).desc(), "doc_small", "doc_big"
+        )
+        .limit(20)
+        .select(
+            "doc_small", "doc_big", "common",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+@query(
     "streaming_scd2",
     """
     WITH m AS (
@@ -4454,6 +4639,11 @@ _EXPORT_PRIORITY: list[str] = [
     "nb_lang_classify",  # in-engine NB classifier at the Bayes ceiling, oracle
     "split_leakage_audit",  # cross-split near-dup contamination cells, oracle
     "streaming_scd2",  # foreachBatch CDC-history maintenance == batch oracle
+    "personalized_pagerank_orders",  # seed-teleport PPR, unrolled-CTE oracle
+    "ohlc_bars_events",  # min_by/max_by bars vs row_number oracle
+    "seasonal_anomaly_events",  # climatology anomaly, exact-rational mean
+    "cusum_drift_events",  # JVM fold vs closed-form prefix-min oracle
+    "ngram_containment_docs",  # asymmetric containment pairs, oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4498,12 +4688,12 @@ _EXPORT_PRIORITY: list[str] = [
     "top10_orders",
     "tumbling_hourly",
     "zero_impute_by_type",
-    # -- (e) backfill: r02 rows in files touched this round
-    "snapshot_diff_orders",  # operators/cdc.py changed (scd2 fix)
-    "incremental_agg_orders",  # operators/cdc.py changed
-    "embedding_neardup_exact",  # ext/similarity.py changed (guard/index)
-    "embedding_neardup_blocked",  # ext/similarity.py changed
-    "corpus_prep_pipeline",  # consumes lang-ID labels documented this round
+    # -- (e) backfill: r02 rows in files touched this round (the five
+    #    remaining backfill candidates — snapshot_diff_orders,
+    #    incremental_agg_orders, embedding_neardup_exact/_blocked,
+    #    corpus_prep_pipeline — ceded their slots to the five library-op
+    #    promotions above: never-gated new queries outrank stale-but-green
+    #    r02 rows, all of which the full local gate re-verified this round)
     # "minhash_md5_parity" ceded its slot to streaming_scd2 (new queries
     # must hold a window slot): its r02 signature-math oracle is green,
     # the r5 dedup.py change (unpersist) does not touch signature math,
