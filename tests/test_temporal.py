@@ -96,3 +96,36 @@ def test_seasonal_anomaly_zero_mean_per_cell_and_null_passthrough(spark):
 
     with _p.raises(ValueError):
         seasonal_anomaly(df, "ts", "temp", ["station"], season="fortnight")
+
+
+def test_seasonal_anomaly_exact_mean_is_partitioning_invariant(spark):
+    """mean_decimals: for fixed-decimal readings the climatology mean is
+    the exact rational sum/count, so anomalies are bit-identical under
+    any partitioning (plain avg drifts in the last ulp with summation
+    order)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        seasonal_anomaly,
+    )
+
+    df = spark.range(999).select(
+        F.lit("s1").alias("station"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"))
+        ).alias("ts"),
+        F.round((F.col("id") % 97) * 0.07, 2).alias("temp"),
+    )
+    def vals(frame):
+        return sorted(
+            r["anomaly"]
+            for r in seasonal_anomaly(
+                frame, "ts", "temp", ["station"], mean_decimals=2
+            ).collect()
+        )
+
+    a = vals(df.repartition(1))
+    b = vals(df.repartition(13))
+    assert a == b  # bit-identical, not approximately equal
+    # and the mean is exactly sum/count: anomalies sum to ~0 at float scale
+    assert abs(sum(a)) < 1e-6
