@@ -1052,6 +1052,80 @@ def exact_cross_jaccard(
     return out
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    mask_bits: int = 6,
+    base: int = 131,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS): split each document where a
+    sliding ``window``-char Rabin-Karp hash hits ``h % 2**mask_bits == 0``
+    (expected chunk length ≈ 2**mask_bits chars). Because boundaries
+    depend only on LOCAL content, an insertion re-aligns within one chunk
+    and every downstream chunk hash survives — the property fixed-stride
+    spans structurally lack (one inserted word shifts every later span;
+    pytest proves the contrast). Chunk-hash dedup on this output is
+    therefore robust to edits, the storage-dedup trick applied to corpus
+    near-dup detection.
+
+    Shape: one char-level posexplode (linear in bytes — CDC is a
+    byte-stream algorithm, this IS its cost), an 8-element frame fold per
+    char, and one (id, chunk) reassembly agg. ONE exchange total: the
+    window partitions by id and HashPartitioning(id) already satisfies
+    the (id, chunk_no) grouping. Engine-portable modular arithmetic (the
+    ``rolling_hash_fingerprint`` discipline, same BMP caveat).
+
+    Returns (id, chunk_no, chunk_text, chunk_hash, n_chars)."""
+    norm = normalize_text(text_col)
+    chars = df.select(
+        F.col(id_col), F.posexplode(F.split(norm, "")).alias("pos", "c")
+    )
+    w_frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    )
+    wc = F.collect_list(F.ascii("c")).over(w_frame)
+    h = F.expr(
+        f"aggregate(__wc, 0L, (a, c) -> (a * {base} + c) % {mod})"
+    )
+    mask = (1 << mask_bits) - 1
+    flagged = (
+        chars.withColumn("__wc", wc)
+        .withColumn(
+            "__boundary",
+            ((F.size("__wc") == window) & (h.bitwiseAND(F.lit(mask)) == 0))
+            .cast("long"),
+        )
+        .drop("__wc")
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "chunk_no", F.coalesce(F.sum("__boundary").over(w_cum), F.lit(0)).cast("long")
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_no")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__ps"))
+        .select(
+            id_col,
+            "chunk_no",
+            F.expr("concat_ws('', transform(__ps, p -> p.c))").alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            "chunk_text",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+            F.length("chunk_text").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def split_leakage_audit(
     pairs: DataFrame,
     splits: DataFrame,

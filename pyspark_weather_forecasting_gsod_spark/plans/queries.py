@@ -3120,6 +3120,64 @@ def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_chunks_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ), cs AS (
+        SELECT doc_id, string_split(t, '') AS cl FROM d
+    ), chars AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(cl) + 1),
+                      i -> struct_pack(pos := i - 1, c := cl[i]))) AS pc
+        FROM cs
+    ), c2 AS (
+        SELECT doc_id, pc.pos AS pos, pc.c AS c, ascii(pc.c) AS code FROM chars
+    ), win AS (
+        SELECT doc_id, pos, c,
+               list(code) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wc
+        FROM c2
+    ), b AS (
+        SELECT doc_id, pos, c,
+               CASE WHEN len(wc) = 8 AND
+                    list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(wc, x -> CAST(x AS BIGINT))),
+                        (a, x) -> (a * 131 + x) % 1000000007) % 64 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM win
+    ), ch AS (
+        SELECT doc_id, pos, c,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_no
+        FROM b
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           md5(string_agg(c, '' ORDER BY pos)) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_chars
+    FROM ch GROUP BY 1, 2
+    """,
+)
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (ext/dedup.py::content_defined_chunks)
+    over a 1/10 corpus slice: every chunk's md5 and length hash-checked
+    cross-engine (the oracle replays the identical sliding Rabin-Karp
+    boundary rule character by character). Chunk-hash dedup on this
+    output survives insertions — the fixed-stride spans in
+    ``dup_span_stats``/``doc_chunk_windows`` do not (pytest proves the
+    contrast on an edited document)."""
+    from ..ext.dedup import content_defined_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    chunks = content_defined_chunks(docs, "doc_id", "text")
+    return chunks.select("doc_id", "chunk_no", "chunk_hash", "n_chars")
+
+
+@query(
     "streaming_scd2",
     """
     WITH m AS (
@@ -4644,6 +4702,7 @@ _EXPORT_PRIORITY: list[str] = [
     "seasonal_anomaly_events",  # climatology anomaly, exact-rational mean
     "cusum_drift_events",  # JVM fold vs closed-form prefix-min oracle
     "ngram_containment_docs",  # asymmetric containment pairs, oracle
+    "cdc_chunks_docs",  # content-defined chunking, per-chunk md5 oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4687,6 +4746,10 @@ _EXPORT_PRIORITY: list[str] = [
     "text_quality",
     "top10_orders",
     "tumbling_hourly",
+    # "zero_impute_by_type" is the one r01-backlog entry the 50-slot window
+    # cannot fit after the six never-gated r5 queries took their slots: it
+    # is the simplest constant-fill oracle, r01-green, and re-verified by
+    # the full local gate twice this round — the least marginal hard signal
     "zero_impute_by_type",
     # -- (e) backfill: r02 rows in files touched this round (the five
     #    remaining backfill candidates — snapshot_diff_orders,

@@ -383,3 +383,42 @@ def test_split_leakage_audit_component_split_zeroes_leakage(spark):
     }
     assert comp_audit.get(("test", "train"), 0) == 0
     assert sum(comp_audit.values()) == 30
+
+
+def test_content_defined_chunks_lossless_and_insertion_robust(spark):
+    """CDC chunk boundaries depend only on local content: a head insertion
+    re-aligns within ~one chunk and the downstream chunk hashes survive,
+    while fixed-stride spans all shift. Also: chunks concatenate back to
+    the normalized text (lossless)."""
+    from pyspark.sql import Row, functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        content_defined_chunks,
+    )
+
+    base_text = " ".join(f"word{i % 13} tok{i % 7}" for i in range(120))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base_text),
+         Row(doc_id=2, text="INSERTED PREFIX " + base_text)]
+    )
+    chunks = content_defined_chunks(docs, "doc_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_no)
+        # losslessness: chunks re-concatenate to the normalized text
+        rebuilt = "".join(r.chunk_text for r in rows)
+        want = " ".join(("inserted prefix " + base_text if d == 2 else base_text).split()).lower()
+        assert rebuilt == want
+        assert len(rows) > 3  # the hash actually split the doc
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    # insertion robustness: most of doc1's chunks survive verbatim in doc2
+    assert len(h1 & h2) / len(h1) >= 0.6
+    # contrast: fixed 64-char strides share almost nothing after the shift
+    norm1 = " ".join(base_text.split()).lower()
+    norm2 = "inserted prefix " + norm1
+    s1 = {norm1[i : i + 64] for i in range(0, len(norm1), 64)}
+    s2 = {norm2[i : i + 64] for i in range(0, len(norm2), 64)}
+    assert len(s1 & s2) <= 1
