@@ -2109,6 +2109,61 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_ahash_oracle(n_samples: int = 256, hash_bits: int = 64) -> str:
+    """Re-derive ahash_wav's 64-bit energy fingerprint in SQL: the WAV
+    samples tile md5(text)'s 8 int16 words, so every segment's integer
+    mean-abs energy — and therefore every fingerprint bit — is static
+    arithmetic over the hex digest. Bit 63 lands as the two's-complement
+    sign bit (DuckDB cannot shift 1<<63, so it contributes the INT64_MIN
+    literal instead)."""
+    segs = hash_bits + 1
+    energy_exprs = []
+    for s in range(segs):
+        lo = s * n_samples // segs
+        hi = max((s + 1) * n_samples // segs, lo + 1)
+        terms = " + ".join(f"ABS(wv[{(i % 8) + 1}])" for i in range(lo, hi))
+        energy_exprs.append(f"(({terms}) // {hi - lo})")
+    bit_terms = []
+    for i in range(hash_bits):
+        contrib = "(-9223372036854775807 - 1)" if i == 63 else str(1 << i)
+        bit_terms.append(
+            f"CASE WHEN ev[{i + 1}] > ev[{i + 2}] THEN CAST({contrib} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    w AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), i ->
+                   CASE WHEN {_WORD} >= 32768
+                        THEN {_WORD} - 65536 ELSE {_WORD} END) AS wv
+        FROM h
+    ), e AS (
+        SELECT doc_id, [{', '.join(energy_exprs)}] AS ev FROM w
+    )
+    SELECT doc_id, ({' + '.join(bit_terms)}) AS ahash FROM e
+    """
+
+
+@query("audio_ahash_fingerprints", None)  # oracle attached below (generated)
+def audio_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy fingerprints across the REAL decode path
+    (ext/multimodal.py::ahash_wav): synthesize a valid PCM16 WAV per
+    document, RIFF-chunk-walk + int16-decode it, and compute the 64-bit
+    segment-energy hash — every bit of every fingerprint hash-checked
+    against the oracle's independent arithmetic on the md5 hex (the same
+    discipline as multimodal_wav_decode, extended from one mean to the
+    full 65-segment energy profile). These fingerprints feed the SAME
+    lossless ``hamming_neardup_pairs`` band join that dedups images —
+    pytest covers the planted-pair recovery; this query pins the
+    fingerprint math itself cross-engine."""
+    from ..ext.multimodal import attach_media_payload, wav_ahash_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mm = attach_media_payload(docs, "audio/wav")
+    return wav_ahash_features(mm).select("doc_id", "ahash")
+
+
 @query(
     "multimodal_frame_sample",
     """
@@ -3873,6 +3928,9 @@ def minhash_md5_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # attach the generated oracles (built from shared parameter sources)
 QUERIES["lang_id"] = (QUERIES["lang_id"][0], _langid_oracle())
+QUERIES["audio_ahash_fingerprints"] = (
+    QUERIES["audio_ahash_fingerprints"][0], _audio_ahash_oracle()
+)
 QUERIES["lang_id_confusion"] = (
     QUERIES["lang_id_confusion"][0], _langid_confusion_oracle()
 )
@@ -4703,6 +4761,7 @@ _EXPORT_PRIORITY: list[str] = [
     "cusum_drift_events",  # JVM fold vs closed-form prefix-min oracle
     "ngram_containment_docs",  # asymmetric containment pairs, oracle
     "cdc_chunks_docs",  # content-defined chunking, per-chunk md5 oracle
+    "audio_ahash_fingerprints",  # 64-bit audio energy hash, bit-exact oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4746,10 +4805,11 @@ _EXPORT_PRIORITY: list[str] = [
     "text_quality",
     "top10_orders",
     "tumbling_hourly",
-    # "zero_impute_by_type" is the one r01-backlog entry the 50-slot window
-    # cannot fit after the six never-gated r5 queries took their slots: it
-    # is the simplest constant-fill oracle, r01-green, and re-verified by
-    # the full local gate twice this round — the least marginal hard signal
+    # "zero_impute_by_type" and "tumbling_hourly" are the two r01-backlog
+    # entries the 50-slot window cannot fit after the seven never-gated r5
+    # queries took their slots: the simplest constant-fill and tumbling
+    # aggs, both r01-green and re-verified by the full local gate twice
+    # this round — the least marginal hard signal in the backlog
     "zero_impute_by_type",
     # -- (e) backfill: r02 rows in files touched this round (the five
     #    remaining backfill candidates — snapshot_diff_orders,
