@@ -1244,7 +1244,7 @@ def ngram_containment_pairs(
     the contained side; ties by id. Both directions are checked; only the
     small-in-big containment is reported (big-in-small is bounded above
     by it)."""
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    arrs = shingle_arrays(widen_for_fanout(df), id_col, text_col, n).persist()
     sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -1258,7 +1258,7 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     smaller_first = F.col("sz_a") <= F.col("sz_b")
-    return (
+    out = (
         common.join(F.broadcast(sa), on="doc_a")
         .join(F.broadcast(sb), on="doc_b")
         .select(
@@ -1272,3 +1272,8 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+    # materialize the (threshold-bounded) pair set, release the shingle
+    # cache — the same persist/unpersist pairing as exact_cross_jaccard
+    out = out.localCheckpoint(eager=True)
+    arrs.unpersist()
+    return out

@@ -4806,8 +4806,8 @@ _EXPORT_PRIORITY: list[str] = [
     "top10_orders",
     "tumbling_hourly",
     # "zero_impute_by_type" and "tumbling_hourly" are the two r01-backlog
-    # entries the 50-slot window cannot fit after the seven never-gated r5
-    # queries took their slots: the simplest constant-fill and tumbling
+    # entries the 50-slot window cannot fit after the eleven never-gated
+    # r5 queries took their slots: the simplest constant-fill and tumbling
     # aggs, both r01-green and re-verified by the full local gate twice
     # this round — the least marginal hard signal in the backlog
     "zero_impute_by_type",
