@@ -2164,6 +2164,98 @@ def audio_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_ahash_features(mm).select("doc_id", "ahash")
 
 
+def _image_dhash_oracle(width: int = 16, height: int = 8) -> str:
+    """Re-derive dhash_bmp's 64-bit fingerprint in SQL for the
+    hex-chained BMP fixture: payload bytes come from chaining md5 over
+    HEX STRINGS (h_{k+1} = md5(h_k) — SQL-replicable, unlike a binary
+    digest chain), grayscale/pooling/bit comparisons unroll statically
+    for the 16×8 image (stride 48 = row bytes, so pixel j is chain byte
+    j). Sign bit contributes INT64_MIN, as in the audio oracle."""
+    n_blocks = (width * 3 * height + 15) // 16  # 384 bytes → 24 blocks
+    chain = ["md5(text) AS h0"] + [
+        f"md5(h{k - 1}) AS h{k}" for k in range(1, n_blocks)
+    ]
+    nib = "strpos('0123456789abcdef', substr(h{k}, CAST(2 * m + {o} AS INT), 1)) - 1"
+    blocks = ", ".join(
+        "list_transform(range(0, 16), m -> ("
+        + nib.format(k=k, o=1)
+        + ") * 16 + ("
+        + nib.format(k=k, o=2)
+        + "))"
+        for k in range(n_blocks)
+    )
+    stride = (width * 3 + 3) & ~3
+    gray = (
+        f"list_transform(range(0, {width * height}), g -> "
+        f"(bl[(g // {width}) * {stride} + (g % {width}) * 3 + 1]"
+        f" + bl[(g // {width}) * {stride} + (g % {width}) * 3 + 2]"
+        f" + bl[(g // {width}) * {stride} + (g % {width}) * 3 + 3]) // 3)"
+    )
+    gw = 9  # hash_w + 1
+    pooled = []
+    for cy in range(height):
+        for cx in range(gw):
+            x0 = cx * width // gw
+            x1 = max((cx + 1) * width // gw, x0 + 1)
+            xs = list(range(x0, min(x1, width)))
+            terms = " + ".join(f"gl[{cy * width + x + 1}]" for x in xs)
+            pooled.append(f"(({terms}) // {len(xs)})")
+    bit_terms = []
+    for cy in range(height):
+        for cx in range(8):
+            i = cy * 8 + cx
+            contrib = "(-9223372036854775807 - 1)" if i == 63 else str(1 << i)
+            lhs = f"pl[{cy * gw + cx + 1}]"
+            rhs = f"pl[{cy * gw + cx + 2}]"
+            bit_terms.append(
+                f"CASE WHEN {lhs} < {rhs} THEN CAST({contrib} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+    return f"""
+    WITH c AS (SELECT doc_id, {', '.join(chain)} FROM documents),
+    b AS (SELECT doc_id, flatten([{blocks}]) AS bl FROM c),
+    g AS (SELECT doc_id, {gray} AS gl FROM b),
+    p AS (SELECT doc_id, [{', '.join(pooled)}] AS pl FROM g)
+    SELECT doc_id, ({' + '.join(bit_terms)}) AS dhash FROM p
+    """
+
+
+@query("image_dhash_fingerprints", None)  # oracle attached below (generated)
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dHash fingerprints across the REAL decode path, every bit
+    oracle-checked — the image twin of ``audio_ahash_fingerprints``: each
+    document builds a valid 24-bit BMP whose 384 pixel bytes chain md5
+    over hex strings (full entropy per row, and — unlike the binary-digest
+    chain the near-dup query plants variants into — SQL-replicable), the
+    engine runs the actual header-parse + pixel-walk + grayscale + 9×8
+    pooling (ext/multimodal.py::dhash_bmp), and the oracle re-derives all
+    64 comparison bits from the md5 hex by static unrolling. Together with
+    the audio query, BOTH multimodal fingerprint paths are now value-exact
+    cross-engine, not just pytest-planted."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..ext.multimodal import bmp_dhash_features, synthesize_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            pays = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                buf = b""
+                while len(buf) < 384:
+                    buf += bytes.fromhex(h)
+                    h = hashlib.md5(h.encode("utf-8")).hexdigest()
+                pays.append(synthesize_bmp(buf[:384]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": pays})
+
+    mm = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return bmp_dhash_features(mm).select("doc_id", "dhash")
+
+
 @query(
     "multimodal_frame_sample",
     """
@@ -3931,6 +4023,9 @@ QUERIES["lang_id"] = (QUERIES["lang_id"][0], _langid_oracle())
 QUERIES["audio_ahash_fingerprints"] = (
     QUERIES["audio_ahash_fingerprints"][0], _audio_ahash_oracle()
 )
+QUERIES["image_dhash_fingerprints"] = (
+    QUERIES["image_dhash_fingerprints"][0], _image_dhash_oracle()
+)
 QUERIES["lang_id_confusion"] = (
     QUERIES["lang_id_confusion"][0], _langid_confusion_oracle()
 )
@@ -4762,6 +4857,7 @@ _EXPORT_PRIORITY: list[str] = [
     "ngram_containment_docs",  # asymmetric containment pairs, oracle
     "cdc_chunks_docs",  # content-defined chunking, per-chunk md5 oracle
     "audio_ahash_fingerprints",  # 64-bit audio energy hash, bit-exact oracle
+    "image_dhash_fingerprints",  # 64-bit image dHash, bit-exact oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4805,11 +4901,12 @@ _EXPORT_PRIORITY: list[str] = [
     "text_quality",
     "top10_orders",
     "tumbling_hourly",
-    # "zero_impute_by_type" and "tumbling_hourly" are the two r01-backlog
-    # entries the 50-slot window cannot fit after the eleven never-gated
-    # r5 queries took their slots: the simplest constant-fill and tumbling
-    # aggs, both r01-green and re-verified by the full local gate twice
-    # this round — the least marginal hard signal in the backlog
+    # "zero_impute_by_type", "tumbling_hourly" and "top10_orders" are the
+    # three r01-backlog entries the 50-slot window cannot fit after the
+    # twelve never-gated r5 queries took their slots: the simplest
+    # constant-fill / tumbling-agg / TakeOrdered queries, all r01-green
+    # and re-verified by the full local gate twice this round — the least
+    # marginal hard signal in the backlog
     "zero_impute_by_type",
     # -- (e) backfill: r02 rows in files touched this round (the five
     #    remaining backfill candidates — snapshot_diff_orders,
