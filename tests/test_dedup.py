@@ -422,3 +422,29 @@ def test_content_defined_chunks_lossless_and_insertion_robust(spark):
     s1 = {norm1[i : i + 64] for i in range(0, len(norm1), 64)}
     s2 = {norm2[i : i + 64] for i in range(0, len(norm2), 64)}
     assert len(s1 & s2) <= 1
+
+
+def test_content_defined_chunks_single_exchange_plan(spark):
+    """The claimed shuffle shape: ONE exchange total — the char-window
+    partitioning by id also satisfies the (id, chunk_no) reassembly
+    grouping, so no second shuffle appears."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        content_defined_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j % 11}" for j in range(150)))
+         for i in range(20)]
+    )
+    out = content_defined_chunks(docs, "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
