@@ -448,3 +448,37 @@ def test_content_defined_chunks_single_exchange_plan(spark):
         out.explain("formatted")
     p = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_property_cdc_chunks_lossless_on_random_text(spark):
+    """Property: content-defined chunks always reassemble to the
+    normalized text, for random word soups of any length (including
+    below-window docs that yield a single chunk)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        content_defined_chunks,
+    )
+
+    word = st.sampled_from(["alpha", "bb", "c", "dddd", "eee"])
+    doc = st.lists(word, min_size=1, max_size=60).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = content_defined_chunks(df, "doc_id").collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, t in enumerate(texts):
+            want = " ".join(t.split()).lower()
+            got = "".join(
+                r.chunk_text
+                for r in sorted(by_doc.get(i, []), key=lambda r: r.chunk_no)
+            )
+            assert got == want, (i, want, got)
+
+    check()

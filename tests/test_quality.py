@@ -139,3 +139,48 @@ def test_cusum_drift_flags_shifted_group_only(spark):
         ),
         abs=1e-9,
     )
+
+
+def test_property_cusum_fold_matches_closed_form(spark):
+    """Property: the JVM iterative CUSUM fold equals the closed form
+    s_t = c_t - min(0, min_{j<=t} c_j) (prefix sums + prefix min — the
+    formulation the declared query's oracle uses) on random sequences,
+    including all-below-target and spike patterns."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        cusum_drift,
+    )
+
+    vals = st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(vals, st.floats(min_value=-5, max_value=5, allow_nan=False, width=32))
+    def check(xs, target):
+        k, h = 1.0, 30.0
+        df = spark.createDataFrame(
+            [(1, i, float(x)) for i, x in enumerate(xs)], "g int, o int, v double"
+        )
+        got = cusum_drift(
+            df, group_by="g", order_by="o", value_col="v",
+            target=float(target), k=k, h=h,
+        ).collect()[0]
+        # closed-form reference
+        smax = 0.0
+        c, cmin = 0.0, 0.0  # cmin = min over c_0..c_t with c_0 = 0
+        alarm = None
+        for i, x in enumerate(xs):
+            c += x - target - k
+            cmin = min(cmin, c)
+            s = c - cmin  # = max(0, s_prev + y): the clamp's closed form
+            smax = max(smax, s)
+            if alarm is None and s > h:
+                alarm = i + 1
+        assert abs(got["cusum_max"] - round(smax, 6)) < 1e-4
+        assert got["first_alarm_at"] == alarm
+        assert got["drift_detected"] == (alarm is not None)
+
+    check()
