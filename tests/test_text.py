@@ -326,6 +326,36 @@ def test_nb_classifier_beats_marker_heuristic(spark):
     assert nb_acc > marker_acc
 
 
+def test_nb_classifier_scores_held_out_docs_with_unseen_words(spark):
+    """Train and score sets may differ: a held-out doc whose words are
+    partly ABSENT from the training vocabulary must still classify via
+    the per-label unseen-word default (the coalesce path), and known
+    vocabulary must dominate the decision."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import nb_classify
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, lang="aa" if i % 2 == 0 else "bb",
+             text="alpha beta gamma " * 4 if i % 2 == 0 else "uno dos tres " * 4)
+         for i in range(20)]
+    )
+    held_out = spark.createDataFrame(
+        [
+            Row(doc_id=100, lang="aa", text="alpha beta NEVERSEEN xx"),
+            Row(doc_id=101, lang="bb", text="uno dos NEVERSEEN yy"),
+            Row(doc_id=102, lang="aa", text="NEVERSEEN zz alpha"),
+        ]
+    )
+    out = {
+        r.doc_id: r.pred
+        for r in nb_classify(
+            train, held_out, "doc_id", label_col="lang", out_col="pred"
+        ).collect()
+    }
+    assert out == {100: "aa", 101: "bb", 102: "aa"}
+
+
 def test_nb_classifier_separable_corpus_is_exact(spark):
     """On a corpus whose languages use DISJOINT vocabularies, NB must be
     perfect — the sanity bound proving the ~0.47 above is the data's
