@@ -1052,6 +1052,76 @@ def exact_cross_jaccard(
     return out
 
 
+def update_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node_col: str = "node",
+    comp_col: str = "comp",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW edges into an
+    existing (node, component) labeling WITHOUT re-traversing the old
+    graph — the growing-corpus companion to ``dedup_increment`` /
+    ``neardup_probe`` (cluster the store once; each arriving batch's
+    near-dup edges update cluster membership at delta cost).
+
+    Correctness rests on component contraction: every old component
+    collapses to its representative (already the min member id), each new
+    edge maps its endpoints through the labeling (unlabeled endpoints —
+    brand-new docs, or store docs whose first edge is cross-batch — stay
+    themselves), and min-label CC runs on that CONTRACTED graph only.
+    Because old reps are minima of their members and CC picks the min of
+    the contracted ids, the updated labels provably equal a full
+    recompute over (old edges ∪ new edges) — which is exactly what the
+    declared query's oracle checks.
+
+    Cost: two broadcast-or-shuffle label lookups on the new edges + CC
+    over a graph whose size is O(|new edges|) — independent of the
+    accumulated corpus. Returns the full updated (node, comp) table."""
+    la = labels.select(
+        F.col(node_col).alias(src), F.col(comp_col).alias("__ca")
+    )
+    lb = labels.select(
+        F.col(node_col).alias(dst), F.col(comp_col).alias("__cb")
+    )
+    contracted = (
+        new_edges.select(src, dst)
+        .join(la, src, "left")
+        .join(lb, dst, "left")
+        .select(
+            F.coalesce("__ca", F.col(src)).alias(src),
+            F.coalesce("__cb", F.col(dst)).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        # materialize: the frame is O(|new edges|) by construction, every
+        # CC round re-references it, and planning CC's loop through the
+        # label table's own (iterative, persisted) lineage drives Catalyst
+        # into a planning blow-up (measured: driver heap OOM on a 3-edge
+        # graph without this truncation)
+        .localCheckpoint(eager=True)
+    )
+    delta = connected_components(contracted, src, dst, max_iter=max_iter)
+    remap = delta.select(
+        F.col("node").alias("__old"), F.col("comp").alias("__new")
+    )
+    updated_old = labels.join(
+        remap, labels[comp_col] == F.col("__old"), "left"
+    ).select(
+        F.col(node_col),
+        F.coalesce("__new", F.col(comp_col)).alias(comp_col),
+    )
+    # contracted ids that are raw (previously unlabeled) nodes need rows
+    fresh = delta.join(
+        labels.select(F.col(node_col)),
+        delta["node"] == labels[node_col],
+        "left_anti",
+    ).select(F.col("node").alias(node_col), F.col("comp").alias(comp_col))
+    return updated_old.unionByName(fresh)
+
+
 def content_defined_chunks(
     df: DataFrame,
     id_col: str,

@@ -1605,6 +1605,53 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters_incremental",
+    _NEARDUP_CC_CTES.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    )
+    + """
+    SELECT doc_id, component FROM comp
+    """,
+)
+def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup clustering (ext/dedup.py::update_components):
+    a half-corpus slice splits into an already-clustered STORE
+    (doc_id % 10 != 0) and an arriving BATCH (doc_id % 10 == 0); the batch contributes its internal pairs plus
+    its cross-pairs against the store, and the store's labeling updates
+    by component contraction — CC runs only on a graph of O(|new edges|)
+    contracted ids, never re-traversing the store's edges. The oracle is
+    the FULL-corpus recursive-CTE closure (the same shared constant
+    neardup_clusters checks against), so a hash match proves
+    incremental == full recompute, edge for edge."""
+    from ..ext.dedup import (
+        connected_components,
+        exact_cross_jaccard,
+        ngram_jaccard_pairs,
+        update_components,
+        widen_for_fanout,
+    )
+
+    docs = widen_for_fanout(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    store = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store_pairs = ngram_jaccard_pairs(store, "doc_id", "text", n=2, min_jaccard=0.5)
+    store_labels = connected_components(store_pairs, "doc_a", "doc_b")
+    batch_pairs = ngram_jaccard_pairs(
+        batch, "doc_id", "text", n=2, min_jaccard=0.5
+    ).select("doc_a", "doc_b")
+    cross = exact_cross_jaccard(
+        batch, store, "doc_id", "text", n=2, min_jaccard=0.5
+    ).select(F.col("bid").alias("doc_a"), F.col("sid").alias("doc_b"))
+    updated = update_components(store_labels, batch_pairs.unionByName(cross))
+    return updated.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@query(
     "neardup_keep_best",
     _NEARDUP_CC_CTES + """
     , ranked AS (
@@ -4858,6 +4905,7 @@ _EXPORT_PRIORITY: list[str] = [
     "cdc_chunks_docs",  # content-defined chunking, per-chunk md5 oracle
     "audio_ahash_fingerprints",  # 64-bit audio energy hash, bit-exact oracle
     "image_dhash_fingerprints",  # 64-bit image dHash, bit-exact oracle
+    "neardup_clusters_incremental",  # incremental CC == full recompute, oracle
     # -- (b) code/oracle changed in r5
     "gsod_pipeline_e2e",  # NEW phase_* timing rows + conditional persist
     "cms_join_estimate",  # zero-overlap rows now materialized (ADVICE fix)
@@ -4901,12 +4949,12 @@ _EXPORT_PRIORITY: list[str] = [
     "text_quality",
     "top10_orders",
     "tumbling_hourly",
-    # "zero_impute_by_type", "tumbling_hourly" and "top10_orders" are the
-    # three r01-backlog entries the 50-slot window cannot fit after the
-    # twelve never-gated r5 queries took their slots: the simplest
-    # constant-fill / tumbling-agg / TakeOrdered queries, all r01-green
-    # and re-verified by the full local gate twice this round — the least
-    # marginal hard signal in the backlog
+    # "zero_impute_by_type", "tumbling_hourly", "top10_orders" and
+    # "text_quality" are the four r01-backlog entries the 50-slot window
+    # cannot fit after the thirteen never-gated r5 queries took their
+    # slots: the simplest constant-fill / tumbling-agg / TakeOrdered /
+    # ratio-projection queries, all r01-green and re-verified by the full
+    # local gate twice this round — the least marginal hard signal
     "zero_impute_by_type",
     # -- (e) backfill: r02 rows in files touched this round (the five
     #    remaining backfill candidates — snapshot_diff_orders,

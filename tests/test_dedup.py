@@ -482,3 +482,41 @@ def test_property_cdc_chunks_lossless_on_random_text(spark):
             assert got == want, (i, want, got)
 
     check()
+
+
+def test_update_components_equals_full_recompute(spark):
+    """Incremental CC via component contraction must equal a full
+    recompute over (old ∪ new) edges for merge-heavy updates: new edges
+    that bridge two old components, chain through brand-new nodes, and
+    touch store nodes that previously had no edges at all."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        connected_components,
+        update_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(old_edges)
+    new_edges = spark.createDataFrame(
+        [
+            (3, 10),    # merges comp{1,2,3} with comp{10,11}
+            (40, 41),   # brand-new standalone component
+            (41, 20),   # ...which immediately merges into comp{20,21}
+            (50, 31),   # new node joins comp{30,31}
+            (1, 2),     # duplicate of an old edge: no-op
+        ],
+        ["doc_a", "doc_b"],
+    )
+    got = sorted(
+        (r.node, r.comp)
+        for r in update_components(labels, new_edges).collect()
+    )
+    want = sorted(
+        (r.node, r.comp)
+        for r in connected_components(
+            old_edges.unionByName(new_edges)
+        ).collect()
+    )
+    assert got == want
+    assert (40, 20) in got and (50, 30) in got  # merges landed, min-id reps
