@@ -267,7 +267,10 @@ def pagerank_on(
             node_col,
             "left",
         )
-    return ranks
+    # Mirror pagerank (r05 ADVICE): materialize once so ONE job runs all
+    # power iterations — without this every downstream action (count then
+    # collect, say) replays the full lazy loop from the bucketed scan.
+    return ranks.localCheckpoint(eager=True)
 
 
 def personalized_pagerank(

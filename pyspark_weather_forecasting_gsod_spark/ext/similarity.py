@@ -444,12 +444,30 @@ def semantic_dedup(
     if index_dir is not None:
         # reuse the persisted IVF layout: assignment already computed (and
         # physically clustered by cell) at build time — no fit, no full
-        # KMeans pass; the scan is the partitioned index corpus itself
+        # KMeans pass; the scan is the partitioned index corpus itself.
+        # On this path the index REPLACES the corpus argument (n_cells /
+        # id_col / vec_col come from build time too), so validate it IS the
+        # same corpus: a stale or mismatched index would otherwise silently
+        # dedup different data than the caller passed (r05 ADVICE). Both
+        # counts are parquet-metadata-cheap.
         assigned = corpus.sparkSession.read.parquet(f"{index_dir}/corpus").select(
             F.col("nid").cast("long").alias("id"),
             F.col("ne").alias("vec"),
             F.col("centroid").cast("int").alias("cell"),
         )
+        n_index, n_corpus = assigned.count(), corpus.count()
+        if n_index == 0:
+            raise ValueError(
+                f"semantic_dedup: index at {index_dir} is empty — rebuild it "
+                f"with build_ivf_index over the corpus first"
+            )
+        if n_index != n_corpus:
+            raise ValueError(
+                f"semantic_dedup: index at {index_dir} holds {n_index} rows "
+                f"but the passed corpus holds {n_corpus} — the index is stale "
+                f"or was built from a different corpus; rebuild it or pass "
+                f"index_dir=None to cluster the corpus directly"
+            )
     else:
         feat = _featurize(corpus, id_col, vec_col)
         km = KMeans(

@@ -165,6 +165,7 @@ def cusum_drift(
     target: float,
     k: float = 0.0,
     h: float = 5.0,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """One-sided CUSUM drift detection per group — the sequential
     monitoring statistic (Page 1954) behind data-drift alarms:
@@ -175,10 +176,21 @@ def cusum_drift(
     expression over its sorted array — the ewma/rolling-hash discipline:
     no Python, one shuffle (the group agg), per-group memory bounded by
     the sequence length (pre-aggregate to a coarser grain first for
-    unbounded streams, as any CUSUM deployment does).
+    unbounded streams, as any CUSUM deployment does). Pass
+    ``max_group_rows`` to ENFORCE that discipline: a one-count-agg
+    pre-flight raises before any oversized group's array materializes
+    (operators/guards.py — r05 VERDICT hardening).
 
     Returns per group: (group, n, cusum_max, first_alarm_at — 1-based
     index into the ordered sequence, NULL if never — drift_detected)."""
+    from .guards import check_max_group_rows
+
+    check_max_group_rows(
+        df.filter(F.col(value_col).isNotNull()),
+        group_by,
+        max_group_rows,
+        "cusum_drift",
+    )
     arr = F.array_sort(
         F.collect_list(
             F.struct(F.col(order_by).alias("o"), F.col(value_col).alias("v"))

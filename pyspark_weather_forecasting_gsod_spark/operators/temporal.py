@@ -158,12 +158,21 @@ def ohlc_bars(
     tie-break) key, no window, no sort. ``tie_col`` (default: the value
     itself) disambiguates equal timestamps deterministically.
 
+    NULL semantics (defined, r05 VERDICT): NULL ``value_col`` rows are
+    filtered BEFORE aggregation — same policy as ``cusum_drift``. Without
+    the filter the four statistics disagree on NULLs (``min_by``/``max_by``
+    keys can select a NULL value while ``max``/``min`` skip them), so a
+    bar could report NULL open/close beside non-NULL high/low, and
+    ``n_points`` would count unmeasured rows. A bucket with only NULL
+    values therefore produces NO bar (not a NULL-filled one).
+
     At 100 TB this is a single map-side-combined hash agg on
     (group, bucket) — the scale-correct alternative to first()/last()
     over ordered windows, which would pay a full per-group sort."""
     tie = F.col(tie_col) if tie_col else F.col(value_col)
     key = F.struct(F.col(ts_col).alias("t"), tie.alias("tb"))
     bucket = F.window(F.col(ts_col), interval).getField("start").alias("bucket")
+    df = df.filter(F.col(value_col).isNotNull())
     return df.groupBy(*group_cols, bucket).agg(
         F.min_by(F.col(value_col), key).alias("open"),
         F.max(value_col).alias("high"),

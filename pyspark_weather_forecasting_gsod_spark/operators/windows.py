@@ -149,6 +149,43 @@ def sliding_frame_avg(
     return df.withColumn(out_col, F.avg(column).over(w))
 
 
+def rolling_frame_median(
+    df: DataFrame,
+    column: str,
+    group_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    before: int = 3,
+    after: int = 3,
+    out_col: str = "rolling_median",
+    digits: int | None = 4,
+    max_group_rows: int | None = None,
+) -> DataFrame:
+    """EXACT median over a symmetric/asymmetric ROWS frame — the robust
+    (outlier-resistant) variant of ``sliding_frame_avg`` (what the
+    reference's ProximityMedian name promises but its ``avg`` doesn't
+    deliver, ipynb:866). Spark has no frame-capable ``median``, so the
+    frame is gathered with ``collect_list`` (bounded: ≤ before+after+1
+    values per row) and the interpolated middle taken JVM-side — same
+    single shuffle + in-partition sort as any frame aggregate, matching
+    DuckDB/Postgres windowed ``median`` interpolation semantics.
+
+    Per-row memory is frame-bounded; per-GROUP the window sorts the whole
+    group on one executor — ``max_group_rows`` pre-flights that skew
+    (operators/guards.py — r05 VERDICT hardening)."""
+    from .guards import check_max_group_rows
+
+    check_max_group_rows(df, group_by, max_group_rows, "rolling_frame_median")
+    w = keyed_window(group_by, order_by).rowsBetween(-before, after)
+    arr = F.array_sort(F.collect_list(F.col(column)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    if digits is not None:
+        med = F.round(med, digits)
+    return df.withColumn(out_col, med)
+
+
 def ewma(
     df: DataFrame,
     column: str,
@@ -158,6 +195,7 @@ def ewma(
     lookback: int = 20,
     out_col: str = "ewma",
     digits: int = 6,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average over a bounded ROWS frame —
     the smoothing kernel of a forecasting pipeline (the reference's domain)
@@ -171,8 +209,14 @@ def ewma(
     cost is O(lookback), shuffle cost is the one window exchange every
     keyed window already pays. A closed-form prefix trick would avoid the
     O(lookback) fold but is numerically explosive ((1-α)^-t overflows);
-    the bounded frame is the scale-safe shape.
+    the bounded frame is the scale-safe shape. The frame bounds per-ROW
+    memory; per-GROUP the window still sorts the whole group on one
+    executor — pass ``max_group_rows`` to pre-flight that skew
+    (operators/guards.py — r05 VERDICT hardening).
     """
+    from .guards import check_max_group_rows
+
+    check_max_group_rows(df, group_by, max_group_rows, "ewma")
     w = keyed_window(group_by, order_by).rowsBetween(-(lookback - 1), 0)
     frame = F.collect_list(F.col(column)).over(w)
     decay = 1.0 - alpha

@@ -335,24 +335,18 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 variant with a robust statistic: EXACT median over the symmetric
-    ROWS frame (outlier-resistant proximity smoothing — what the
+    ROWS frame (operators/windows.py::rolling_frame_median — what the
     reference's ProximityMedian name promises but its ``avg`` doesn't
-    deliver, ipynb:866). Spark has no frame-capable ``median``, so the
-    frame is gathered with ``collect_list`` (bounded: ≤7 values) and the
-    interpolated middle taken JVM-side — same single shuffle + sort as any
-    frame aggregate, matching DuckDB's windowed ``median`` semantics."""
-    from pyspark.sql.window import Window
+    deliver, ipynb:866): the ≤7-value frame gathered and interpolated
+    JVM-side, one shuffle + sort, DuckDB windowed ``median`` semantics."""
+    from ..operators.windows import rolling_frame_median
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
-    return ev.select(
-        "event_id", "user_id", F.round(med, 4).alias("rolling_median")
+    out = rolling_frame_median(
+        ev, "value", group_by="user_id", order_by=["ts", "event_id"],
+        before=3, after=3,
     )
+    return out.select("event_id", "user_id", "rolling_median")
 
 
 # ---------------------------------------------------------------------------
@@ -3133,7 +3127,7 @@ def python_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT event_type, date_trunc('day', ts) AS bkt, ts, event_id, value
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), o AS (
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY event_type, bkt

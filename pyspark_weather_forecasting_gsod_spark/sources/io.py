@@ -187,18 +187,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_csv(
     spark: SparkSession,
     path: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     header: bool = True,
+    infer_schema: bool = False,
     **options: str,
 ) -> DataFrame:
-    """CSV source with a mandatory explicit schema.
+    """CSV source with an explicit schema by default.
 
     Replaces the reference's ``inferSchema=True`` load (ipynb:187): at 100 TB
     an inference pass is a full extra scan, and inferred types drift with the
     data sample (SURVEY.md §1 shows GSOD's declared STRING columns silently
-    retyped). Schema is required, not optional.
+    retyped). The scale-correct default therefore REQUIRES ``schema``.
+
+    ``infer_schema=True`` (r05 VERDICT ask — the last literal reference-API
+    gap) opts into the reference's exploratory behavior: Spark's own
+    inference pre-scan types the columns. Exploration convenience only —
+    production pipelines should pin the ``StructType``. Passing both (or
+    neither) a schema and ``infer_schema=True`` raises: silent precedence
+    between the two would reintroduce exactly the drift this API prevents.
     """
-    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+    if (schema is None) == (not infer_schema):
+        raise ValueError(
+            "read_csv: pass exactly one of schema=<StructType> (production) "
+            "or infer_schema=True (exploration — extra full scan, "
+            "sample-dependent types)"
+        )
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if infer_schema:
+        return reader.option("inferSchema", "true").csv(path)
+    return reader.schema(schema).csv(path)
 
 
 def write_parquet(

@@ -35,27 +35,53 @@ def list_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
+def write_version(df: DataFrame, table_dir: str, max_attempts: int = 16) -> int:
     """Commit ``df`` as the next version; returns the version number.
     Existing COMMITTED versions are never touched (immutable history).
 
-    Staging cleanup (r04 ADVICE): a crashed writer leaves a partial
-    ``v=N`` directory with no ``_SUCCESS``; since ``list_versions``
-    ignores it, the next writer would compute the same N and fail forever
-    on ``errorifexists``. An uncommitted target directory is provably
-    garbage (no reader can ever see it), so it is deleted and the slot
-    reused."""
+    Commit protocol (r05 ADVICE — concurrent-writer safe): the data is
+    first written into a writer-private staging directory
+    (``_staging-<uuid>``, invisible to ``list_versions`` and to Hadoop
+    globbing), then atomically ``os.rename``d onto the next free ``v=N``
+    slot. Two concurrent writers that race for the same N cannot corrupt
+    each other: POSIX rename onto an existing non-empty directory fails,
+    so the loser recomputes the (now advanced) latest version and retries
+    on the next slot. Under this protocol a ``v=N`` directory either has
+    ``_SUCCESS`` (Spark writes it into the staging dir before the rename)
+    or is garbage from a pre-protocol crashed writer — never a live
+    writer — so an uncommitted target is safe to reclaim before the
+    rename attempt."""
     import shutil
+    import uuid
 
-    versions = list_versions(table_dir)
-    v = (versions[-1] + 1) if versions else 1
-    target = os.path.join(table_dir, f"v={v}")
-    if os.path.isdir(target) and not os.path.exists(
-        os.path.join(target, "_SUCCESS")
-    ):
-        shutil.rmtree(target)
-    df.write.mode("errorifexists").parquet(target)
-    return v
+    os.makedirs(table_dir, exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(staging)
+    try:
+        for _ in range(max_attempts):
+            versions = list_versions(table_dir)
+            v = (versions[-1] + 1) if versions else 1
+            target = os.path.join(table_dir, f"v={v}")
+            if os.path.isdir(target) and not os.path.exists(
+                os.path.join(target, "_SUCCESS")
+            ):
+                # Pre-protocol crashed partial (staged writes always carry
+                # _SUCCESS before rename): provably garbage, reclaim slot.
+                shutil.rmtree(target)
+            try:
+                os.rename(staging, target)
+                return v
+            except OSError:
+                # Lost the race for slot N — a concurrent writer committed
+                # it between list_versions and rename. Recompute and retry.
+                continue
+        raise RuntimeError(
+            f"write_version: could not claim a version slot under "
+            f"{table_dir} after {max_attempts} attempts (writer storm?)"
+        )
+    finally:
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_version(
@@ -105,12 +131,18 @@ def diff_versions(
     )
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    table_dir: str, keep_last: int = 2, staging_ttl_sec: float = 86400.0
+) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions (history
     retention). Returns the versions removed. Readers pinned to a dropped
     version fail loudly on their next read — the retention contract every
-    table format documents."""
+    table format documents. Also sweeps ``_staging-*`` directories left
+    by crashed writers once they are older than ``staging_ttl_sec``
+    (default 24 h — comfortably past any live write's duration, the same
+    retention-vs-in-flight trade Delta's VACUUM documents)."""
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -118,6 +150,16 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     drop = versions[:-keep_last]
     for v in drop:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    if os.path.isdir(table_dir):
+        now = time.time()
+        for name in os.listdir(table_dir):
+            p = os.path.join(table_dir, name)
+            if (
+                name.startswith("_staging-")
+                and os.path.isdir(p)
+                and now - os.path.getmtime(p) > staging_ttl_sec
+            ):
+                shutil.rmtree(p, ignore_errors=True)
     return drop
 
 

@@ -520,3 +520,41 @@ def test_update_components_equals_full_recompute(spark):
     )
     assert got == want
     assert (40, 20) in got and (50, 30) in got  # merges landed, min-id reps
+
+
+def test_update_components_rejects_non_min_labeling(spark):
+    """r05 ADVICE: the contraction proof needs min-member-id reps. A
+    labeling whose comp ids are not self-labeled nodes (external system,
+    hand-built) must raise instead of silently returning wrong clusters;
+    validate_labels=False opts out for externally-proven labelings."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import update_components
+
+    bad = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99)], ["node", "comp"]  # 99 is not a node
+    )
+    new_edges = spark.createDataFrame([(3, 4)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="min-member-id"):
+        update_components(bad, new_edges)
+    # the escape hatch still runs (caller vouches for the labeling)
+    assert update_components(bad, new_edges, validate_labels=False).count() > 0
+
+
+def test_widen_for_fanout_connect_safe(spark, tmp_path):
+    """r05 VERDICT #4: no RDD probe. A narrow file-backed scan widens to
+    the session's shuffle parallelism; a post-shuffle frame is returned
+    untouched (identity — no extra exchange in anyone's plan)."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import widen_for_fanout
+
+    p = str(tmp_path / "one_file")
+    spark.range(100).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    widened = widen_for_fanout(narrow)
+    # tests may probe the RDD; the package itself must not
+    assert widened.rdd.getNumPartitions() == target
+    no_files = spark.range(100)  # no file source in the lineage: identity
+    assert widen_for_fanout(no_files) is no_files
+    src = __import__("inspect").getsource(widen_for_fanout)
+    assert ".rdd" not in src.replace("``df.rdd.getNumPartitions()``", "")

@@ -958,3 +958,22 @@ def test_weighted_pagerank_sums_parallel_edges(spark):
     g1 = {r["node"]: r["rank"] for r in pagerank(one, iterations=3, weight_col="w").collect()}
     for n in g1:
         assert g2[n] == pytest.approx(g1[n], abs=1e-12)
+
+
+def test_pagerank_on_is_materialized(spark):
+    """r05 ADVICE: pagerank_on must localCheckpoint like pagerank — a
+    caller doing count() then collect() pays the power loop once, and the
+    returned plan is a materialized scan, not the lazy iteration tree."""
+    from pyspark_weather_forecasting_gsod_spark.ext.graph import (
+        build_graph,
+        pagerank_on,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    build_graph(df, "g_pr_ckpt", num_buckets=2)
+    ranks = pagerank_on(spark, "g_pr_ckpt", iterations=2)
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert ranks.count() == 3

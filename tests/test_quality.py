@@ -184,3 +184,26 @@ def test_property_cusum_fold_matches_closed_form(spark):
         assert got["drift_detected"] == (alarm is not None)
 
     check()
+
+
+def test_cusum_drift_max_group_rows_guard(spark):
+    """The shared skew pre-flight (operators/guards.py, r05 VERDICT): an
+    oversized group raises BEFORE the fold materializes its array; a
+    compliant grain passes; None disables the check."""
+    import pytest
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import cusum_drift
+
+    rows = [Row(g="hot", seq=i, v=10.0) for i in range(50)] + [
+        Row(g="cool", seq=i, v=10.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="max_group_rows=10"):
+        cusum_drift(df, "g", "seq", "v", target=10.0, max_group_rows=10)
+    # hottest offender is named so the caller can triage key-vs-grain
+    with pytest.raises(ValueError, match="hot"):
+        cusum_drift(df, "g", "seq", "v", target=10.0, max_group_rows=10)
+    ok = cusum_drift(df, "g", "seq", "v", target=10.0, max_group_rows=50)
+    assert ok.count() == 2
+    assert cusum_drift(df, "g", "seq", "v", target=10.0).count() == 2

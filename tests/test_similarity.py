@@ -467,3 +467,29 @@ def test_ivfpq_index_recall_and_pruning(spark, tmp_path):
         "PartitionFilters: [" in ln and "PartitionFilters: []" not in ln
         for ln in plan.splitlines()
     )
+
+
+def test_semantic_dedup_index_corpus_mismatch_raises(spark, sf_dir, tmp_path):
+    """r05 ADVICE: on the index path the persisted layout REPLACES the
+    corpus argument, so a stale/mismatched index must raise instead of
+    silently deduping different data; an empty index gets a clear error
+    (previously TypeError None+1)."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        build_ivf_index,
+        semantic_dedup,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "ivf")
+    build_ivf_index(emb, d, n_centroids=4, seed=42, max_iter=3)
+    with pytest.raises(ValueError, match="stale"):
+        semantic_dedup(emb.limit(10), min_cosine=0.35, index_dir=d)
+    empty = str(tmp_path / "ivf_empty")
+    spark.createDataFrame(
+        [], "nid long, ne array<double>, centroid int"
+    ).write.parquet(f"{empty}/corpus")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_dedup(emb, min_cosine=0.35, index_dir=empty)

@@ -351,3 +351,83 @@ def test_versioned_vacuum_and_compact(spark, tmp_path):
     dropped = vacuum(d, keep_last=2)
     assert dropped == [1]
     assert list_versions(d) == [2, 3]
+
+
+def test_write_version_staging_commit_protocol(spark, tmp_path):
+    """r05 ADVICE (medium): writes stage into _staging-<uuid> and atomically
+    rename onto v=N, so a lost rename race retries on the next slot instead
+    of deleting a live writer's output. Here: a failed rename is injected
+    and the commit must still land; no staging debris may survive."""
+    import os
+
+    from pyspark_weather_forecasting_gsod_spark.sources import versioned
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    d = str(tmp_path / "vtable")
+    assert write_version(spark.range(4).select("id"), d) == 1
+    real_rename = os.rename
+    fails = {"n": 0}
+
+    def flaky_rename(src, dst):
+        if "/v=" in dst and fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("simulated rename race: slot taken")
+        return real_rename(src, dst)
+
+    os.rename = flaky_rename
+    try:
+        v = write_version(spark.range(6).select("id"), d)
+    finally:
+        os.rename = real_rename
+    assert fails["n"] == 1 and v == 2
+    assert list_versions(d) == [1, 2]
+    assert read_version(spark, d, 2).count() == 6
+    assert not [n for n in os.listdir(d) if n.startswith("_staging-")]
+
+
+def test_vacuum_sweeps_stale_staging_dirs(spark, tmp_path):
+    import os
+
+    from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
+        vacuum,
+        write_version,
+    )
+
+    d = str(tmp_path / "vtable")
+    write_version(spark.range(3).select("id"), d)
+    write_version(spark.range(3).select("id"), d)
+    stale = os.path.join(d, "_staging-deadbeef")
+    os.makedirs(stale)
+    live = os.path.join(d, "_staging-cafebabe")
+    os.makedirs(live)
+    old = 1_000_000.0
+    os.utime(stale, (old, old))
+    vacuum(d, keep_last=2)
+    # in-flight staging (young mtime) survives; crashed debris is swept
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(live)
+
+
+def test_read_csv_infer_schema_flag(spark, scratch):
+    """r05 VERDICT ask #8: infer_schema=True restores the reference's
+    exploratory inference (ipynb:187); schema XOR infer_schema enforced."""
+    import pytest
+
+    path = os.path.join(scratch, "infer.csv")
+    with open(path, "w") as f:
+        f.write("stn,temp,prcp\n010010,50.5,0.0\n010020,9999.9,99.99\n")
+    df = read_csv(spark, path, infer_schema=True)
+    types = dict(df.dtypes)
+    # inference retypes the zero-padded station id — exactly the drift the
+    # explicit-schema default exists to prevent; exploration accepts it
+    assert types["stn"] in ("int", "bigint")
+    assert types["temp"] == "double"
+    with pytest.raises(ValueError, match="exactly one"):
+        read_csv(spark, path)
+    schema = T.StructType([T.StructField("stn", T.StringType())])
+    with pytest.raises(ValueError, match="exactly one"):
+        read_csv(spark, path, schema, infer_schema=True)

@@ -129,3 +129,36 @@ def test_seasonal_anomaly_exact_mean_is_partitioning_invariant(spark):
     assert a == b  # bit-identical, not approximately equal
     # and the mean is exactly sum/count: anomalies sum to ~0 at float scale
     assert abs(sum(a)) < 1e-6
+
+
+def test_ohlc_bars_null_value_semantics(spark):
+    """Defined NULL policy (r05 VERDICT): NULL values are filtered before
+    aggregation, so open/close can never be NULL beside non-NULL high/low,
+    n_points counts measured rows only, and an all-NULL bucket yields no
+    bar at all."""
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        # bucket hour 1: NULLs interleaved at the edges — without the
+        # filter, min_by/max_by would pick the NULL open and close
+        Row(g="a", ts=T(1, 0), v=None, tid=1),
+        Row(g="a", ts=T(1, 10), v=5.0, tid=2),
+        Row(g="a", ts=T(1, 20), v=9.0, tid=3),
+        Row(g="a", ts=T(1, 30), v=3.0, tid=4),
+        Row(g="a", ts=T(1, 40), v=None, tid=5),
+        # bucket hour 2: all NULL — must produce NO bar
+        Row(g="a", ts=T(2, 0), v=None, tid=6),
+        Row(g="a", ts=T(2, 30), v=None, tid=7),
+    ]
+    df = spark.createDataFrame(rows)
+    bars = {
+        r["bucket"].hour: r
+        for r in ohlc_bars(
+            df, ts_col="ts", value_col="v", group_cols=["g"],
+            interval="1 hour", tie_col="tid",
+        ).collect()
+    }
+    assert set(bars) == {1}  # the all-NULL bucket vanished
+    b = bars[1]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (5.0, 9.0, 3.0, 3.0)
+    assert b["n_points"] == 3

@@ -135,3 +135,41 @@ def test_ewma_matches_pandas_adjusted(spark):
     want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
     for i, w in enumerate(want):
         assert abs(got[i] - round(w, 9)) < 1e-9, (i, got[i], w)
+
+
+def test_rolling_frame_median_and_guard(spark):
+    """rolling_frame_median (extracted operator, r05 VERDICT): exact
+    interpolated frame median, plus the shared max_group_rows pre-flight."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import (
+        rolling_frame_median,
+    )
+
+    rows = [Row(g="a", seq=i, v=float(x)) for i, x in enumerate([1, 9, 3, 7, 5])]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.seq: r.rolling_median
+        for r in rolling_frame_median(
+            df, "v", group_by="g", order_by="seq", before=1, after=1
+        ).collect()
+    }
+    # frames: [1,9] [1,9,3] [9,3,7] [3,7,5] [7,5]
+    assert got == {0: 5.0, 1: 3.0, 2: 7.0, 3: 5.0, 4: 6.0}
+    with pytest.raises(ValueError, match="rolling_frame_median"):
+        rolling_frame_median(
+            df, "v", group_by="g", order_by="seq", max_group_rows=3
+        )
+
+
+def test_ewma_max_group_rows_guard(spark):
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [Row(g="a", seq=i, v=float(i)) for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="ewma"):
+        ewma(df, "v", group_by="g", order_by="seq", max_group_rows=5)
+    assert "ewma" in ewma(df, "v", group_by="g", order_by="seq").columns
