@@ -1646,6 +1646,106 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters_deletion",
+    """
+    WITH RECURSIVE
+    d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE doc_id % 2 = 0
+    ), d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                       AS shingle
+            FROM d2)
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT doc_a, doc_b, common / (za.sz + zb.sz - common) AS jac
+        FROM pairs JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+    ), best AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   row_number() OVER (PARTITION BY doc_a ORDER BY jac DESC, doc_b)
+                       AS rn
+            FROM scored) WHERE rn = 1
+    ), und AS (
+        SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+        FROM best GROUP BY 1, 2
+    ), alive AS (
+        SELECT a, b FROM und WHERE a % 10 <> 2 AND b % 10 <> 2
+    ), e AS (
+        SELECT a, b FROM alive UNION ALL SELECT b, a FROM alive
+    ), reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion support for incremental clustering (r05 VERDICT ask #5 —
+    ext/dedup.py::remove_nodes): takedowns can SPLIT a component, which
+    addition-only contraction cannot express. The edge set here is the
+    best-match (1-NN by exact bigram Jaccard, smallest-id tie-break) graph
+    — chain-shaped, so it actually HAS cut vertices (the clique-shaped
+    ≥0.5 near-dup graph doesn't); removing ``doc_id % 10 == 2`` takes out
+    cut vertices and forces splits. The engine clusters the FULL graph,
+    then applies remove_nodes — re-clustering only the affected
+    components' surviving internal edges; the oracle is the recursive-CTE
+    closure over the post-deletion edge set, so a hash match proves
+    deletion == full recompute, splits and relabeled representatives
+    included."""
+    from pyspark.sql.window import Window
+
+    from ..ext.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        remove_nodes,
+        widen_for_fanout,
+    )
+
+    docs = widen_for_fanout(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
+    directed = pairs.select("doc_a", "doc_b", "jaccard").unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    best = directed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    edges = (
+        best.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+        # consumed by BOTH the full clustering and remove_nodes' semi-joins:
+        # materialize once so the 10M-candidate-pair enumeration (sf0.1)
+        # doesn't replay per consumer
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(edges)
+    removed = docs.filter(F.col("doc_id") % 10 == 2).select("doc_id")
+    updated = remove_nodes(labels, edges, removed)
+    return updated.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@query(
     "neardup_keep_best",
     _NEARDUP_CC_CTES + """
     , ranked AS (
