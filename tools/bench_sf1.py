@@ -1,0 +1,223 @@
+"""Scale rehearsal at sf1 for the regime routers (r05 VERDICT ask #6).
+
+The regime routers (``ngram_jaccard_pairs_auto``'s dense/prefix probes,
+``bpe_train``'s 100k-vocab driver/distributed cutover, ``semantic_dedup``'s
+giant-cell split guard) document crossover points that BENCH only ever
+exercised at sf0.1. This tool synthesizes an sf1-scale corpus (10x sf0.1,
+derived deterministically — no RNG) under ``.scratch/sf1``, runs the
+router-bearing workloads there, records which regime each router picked and
+how long each path took, and writes ``BENCH_sf1.json``.
+
+Synthesis (rehearsal data, never used for correctness gates): each sf0.1
+document/embedding is replicated 10x with remapped ids; replica k != 0 gets
+a replica-tag token appended (documents) or a (1 + k*1e-3) element scale
+(embeddings), so replicas are NEAR-duplicates — preserving the near-dup /
+ANN structure the routed operators exist for — without being byte-identical.
+
+Usage:  python tools/bench_sf1.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+REPLICAS = 10
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_emb = emb.count()
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    docs1 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" rtag"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            F.when(F.col("rep") == 0, F.col("n_chars"))
+            .otherwise(F.col("n_chars") + 6)
+            .alias("n_chars"),
+        )
+    )
+    emb1 = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("long") * n_emb).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> CAST(x * (1.0 + rep * 0.001) AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    docs1.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "documents.parquet")
+    )
+    emb1.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.session import get_spark
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("gsod-engine-bench-sf1", master=f"local[{cpus}]")
+
+    if "--rebuild" in sys.argv or not os.path.isdir(
+        os.path.join(SF1, "documents.parquet")
+    ):
+        synthesize(spark)
+
+    timings: dict[str, float] = {}
+    routes: dict[str, str] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        try:
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — rehearsal records failures
+            timings[name] = -1.0
+            routes[name] = f"ERROR: {type(exc).__name__}: {exc}"[:300]
+        spark.catalog.clearCache()
+
+    docs = load_table(spark, SF1, "documents")
+    emb = load_table(spark, SF1, "embeddings")
+    n_docs, n_emb = docs.count(), emb.count()
+
+    # --- router 1: ngram_jaccard_pairs_auto (dense vs prefix probes) ----
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs_auto,
+        shingle_arrays,
+    )
+
+    vocab_probe = (
+        shingle_arrays(docs, "doc_id", "text", 3)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .limit(4097)
+        .count()
+    )
+    routes["jaccard_auto"] = (
+        f"corpus={n_docs} vocab_probe={'>4096' if vocab_probe > 4096 else vocab_probe}"
+        f" -> {'prefix' if (n_docs > 200_000 or vocab_probe > 4096) else 'dense'}"
+    )
+    timed(
+        "jaccard_auto",
+        lambda: ngram_jaccard_pairs_auto(
+            docs, "doc_id", "text", n=3, min_jaccard=0.8
+        ).count(),
+    )
+
+    # --- router 2: bpe_train (driver loop vs distributed fold) ----------
+    from pyspark_weather_forecasting_gsod_spark.ext.tokenizer import (
+        bpe_train,
+        word_symbol_table,
+    )
+
+    vocab_rows = word_symbol_table(docs, "text").count()
+    routes["bpe_train"] = (
+        f"word_vocab={vocab_rows} -> "
+        f"{'driver' if vocab_rows <= 100_000 else 'distributed'} (cutover 100k)"
+    )
+    timed("bpe_train_routed", lambda: bpe_train(docs, "text", num_merges=5))
+    # force the OTHER regime on identical data: the crossover is validated
+    # only if the routed side is not slower than the forced side
+    forced = (
+        "bpe_train_forced_distributed"
+        if vocab_rows <= 100_000
+        else "bpe_train_forced_driver"
+    )
+    timed(
+        forced,
+        lambda: bpe_train(
+            docs,
+            "text",
+            num_merges=5,
+            max_driver_vocab=(1 if vocab_rows <= 100_000 else 10_000_000),
+        ),
+    )
+
+    # --- router 3: semantic_dedup giant-cell guard ----------------------
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
+
+    # max_cell_rows below |corpus|/n_cells forces the split path at scale
+    timed(
+        "semantic_dedup_split_path",
+        lambda: semantic_dedup(
+            emb, min_cosine=0.35, n_cells=8, max_cell_rows=max(400, n_emb // 40)
+        ).count(),
+    )
+    routes["semantic_dedup_split_path"] = (
+        f"n_emb={n_emb} n_cells=8 max_cell_rows={max(400, n_emb // 40)}"
+        " (forces recursive split)"
+    )
+
+    # --- bucketed/banded scale paths: declared doc/embedding queries ----
+    from pyspark_weather_forecasting_gsod_spark.plans import queries
+
+    qs = queries()
+    for name in [
+        "minhash_neardup",
+        "simhash_fingerprints",
+        "ann_lsh_topk",
+        "ivf_ann_topk",
+        "embedding_neardup_blocked",
+        "cdc_chunks_docs",
+        "neardup_index_probe",
+        "bpe_tokenizer",
+        "ngram_containment_docs",
+        "text_quality",
+    ]:
+        timed(
+            name,
+            lambda n=name: qs[n](spark, SF1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    payload = {
+        "metric": "sf1_router_rehearsal_wall",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "n_docs": n_docs,
+        "n_embeddings": n_emb,
+        "replicas": REPLICAS,
+        "queries": timings,
+        "routes": routes,
+        "meta": {
+            "estimator": "single_cold_run",
+            "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY"),
+            "cpus": cpus,
+            "data": "derived 10x sf0.1 (deterministic near-dup replicas)",
+        },
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        f.write(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
