@@ -1506,3 +1506,244 @@ def ngram_containment_pairs(
     out = out.localCheckpoint(eager=True)
     arrs.unpersist()
     return out
+
+
+def ngram_containment_pairs_dense(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_rows: int = 200_000,
+    max_vocab: int = 4096,
+) -> DataFrame:
+    """``ngram_containment_pairs`` via dense bitset intersection — the
+    small-shingle-universe regime (same block-cogroup BLAS decomposition,
+    guards, and rationale as ``ngram_jaccard_pairs_dense``; the common
+    matrix is identical, only the denominator changes to ``min(|A|,|B|)``).
+    Output contract matches the inverted index (doc_small, doc_big,
+    common, containment), pytest-verified identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    t = float(min_containment)
+    if t <= 0.0:
+        raise ValueError("dense containment requires min_containment > 0")
+    spark = df.sparkSession
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    if arrs.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"dense containment is guarded at {max_rows} docs; use "
+            "ngram_containment_pairs_prefix or a sampled audit subset"
+        )
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    vsize = int(sh.select("shingle").distinct().limit(max_vocab + 1).count())
+    if vsize > max_vocab:
+        raise ValueError(
+            f"dense containment is guarded at {max_vocab} distinct shingles "
+            "(the universe is no longer 'small'); use "
+            "ngram_containment_pairs_prefix"
+        )
+    n_blocks = 8
+    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+
+    def _side(role: str) -> DataFrame:
+        arrs_f = shingle_arrays(df, id_col, text_col, n)
+        sh_f = arrs_f.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        vidx = (
+            sh_f.select("shingle")
+            .distinct()
+            .withColumn("__idx", F.row_number().over(Window.orderBy("shingle")) - 1)
+        )
+        tagged = (
+            sh_f.join(F.broadcast(vidx), "shingle")
+            .groupBy(id_col)
+            .agg(F.collect_list("__idx").alias("__idxs"))
+            .select(F.col(id_col).cast("long").alias("id"), "__idxs")
+            .withColumn(
+                "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+            )
+        )
+        pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+        return tagged.join(
+            F.broadcast(pair_df), F.col("blk") == F.col(role)
+        ).select("ba", "bb", "id", "__idxs")
+
+    a_side, b_side = _side("ba"), _side("bb")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_small", T.LongType()),
+            T.StructField("doc_big", T.LongType()),
+            T.StructField("common", T.LongType()),
+            T.StructField("containment", T.DoubleType()),
+        ]
+    )
+
+    def block_common(key, a_pdf, b_pdf):
+        ba, bb = key
+        empty = pd.DataFrame(
+            {"doc_small": [], "doc_big": [], "common": [], "containment": []}
+        ).astype(
+            {
+                "doc_small": "int64",
+                "doc_big": "int64",
+                "common": "int64",
+                "containment": "float64",
+            }
+        )
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+
+        def densify(pdf):
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            m = np.zeros((len(pdf), vsize), dtype=np.float64)
+            for r, ix in enumerate(pdf["__idxs"]):
+                m[r, np.asarray(ix, dtype=np.int64)] = 1.0
+            return ids, m
+
+        a_ids, A = densify(a_pdf)
+        b_ids, B = densify(b_pdf)
+        C = A @ B.T
+        sza, szb = A.sum(axis=1), B.sum(axis=1)
+        cont = C / np.minimum(sza[:, None], szb[None, :])
+        mask = cont >= t
+        if ba == bb:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        ida, idb = a_ids[ai], b_ids[bi]
+        sa, sb = sza[ai], szb[bi]
+        # orientation parity with the inverted index: smaller set is the
+        # contained side; equal sizes break toward the lower id
+        a_small = (sa < sb) | ((sa == sb) & (ida < idb))
+        return pd.DataFrame(
+            {
+                "doc_small": np.where(a_small, ida, idb),
+                "doc_big": np.where(a_small, idb, ida),
+                "common": C[ai, bi].astype(np.int64),
+                "containment": cont[ai, bi],
+            }
+        )
+
+    return (
+        a_side.groupBy("ba", "bb")
+        .cogroup(b_side.groupBy("ba", "bb"))
+        .applyInPandas(block_common, out_schema)
+    )
+
+
+def ngram_containment_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_rows: int = 200_000,
+    max_vocab: int = 4096,
+) -> DataFrame:
+    """Containment with the same regime selection as
+    ``ngram_jaccard_pairs_auto``: two O(k) limit-probes pick **dense**
+    (small universe — every posting hot; the sf1 rehearsal measured the
+    inverted index at 239× the sf0.1 wall on 10× docs of a ~1k-bigram
+    universe) or **prefix** (Zipf universe at scale)."""
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    if arrs.limit(max_rows + 1).count() <= max_rows:
+        sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
+        if sh.limit(max_vocab + 1).count() <= max_vocab:
+            return ngram_containment_pairs_dense(
+                df, id_col, text_col, n, min_containment, max_rows, max_vocab
+            )
+    return ngram_containment_pairs_prefix(
+        df, id_col, text_col, n, min_containment
+    )
+
+
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """``ngram_containment_pairs`` with AllPairs/PPJoin-style prefix
+    filtering adapted to the ASYMMETRIC containment constraint — identical
+    output, a fraction of the candidates (sf1 rehearsal finding: the plain
+    inverted-index join ran 239× the sf0.1 wall at 10× the docs, because
+    candidate pairs grow with Σ|posting|², not with output size).
+
+    Adapted prefix principle: ``C(A,B) = |A∩B| / min(|A|,|B|) ≥ t`` forces
+    the SMALLER set S to share ≥ ``ceil(t·|S|)`` elements with the other
+    side, so S must hit it within S's first ``|S| - ceil(t·|S|) + 1``
+    shingles under any global total order (else the remaining
+    ``ceil(t·|S|) - 1`` shingles cannot reach the required overlap).
+    Rarest-first ordering keeps hot posting lists out of the prefixes.
+    Because only the smaller side's prefix is guaranteed to witness the
+    pair, prefixes join against the FULL posting index (not prefix ×
+    prefix as in the symmetric Jaccard case) — still bounded: a hot
+    shingle almost never appears in any prefix, so its full posting list
+    is never enumerated quadratically. Candidates are verified exactly
+    with one ``array_intersect`` per pair; the output contract matches
+    ``ngram_containment_pairs`` (doc_small, doc_big, common, containment).
+    """
+    t = float(min_containment)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("prefix filtering requires 0 < min_containment <= 1")
+    arrs = shingle_arrays(widen_for_fanout(df), id_col, text_col, n).persist()
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    wrk = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    wsz = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__rk", F.row_number().over(wrk))
+        .withColumn("__sz", F.count(F.lit(1)).over(wsz))
+    )
+    # -1e-9: same ceil float guard as the Jaccard prefix — overshooting
+    # the prefix is safe, undershooting breaks exactness
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("__sz") - F.ceil(F.col("__sz") * t - 1e-9) + 1
+    ).select(F.col(id_col), "shingle")
+    pp = prefix.select(F.col(id_col).alias("__dp"), "shingle")
+    ff = sh.select(F.col(id_col).alias("__df_id"), "shingle")
+    cand = (
+        pp.join(ff, "shingle")
+        .filter(F.col("__dp") != F.col("__df_id"))
+        .select(
+            F.least("__dp", "__df_id").alias("doc_a"),
+            F.greatest("__dp", "__df_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sh_a")
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sh_b")
+    )
+    smaller_first = F.size("__sh_a") <= F.size("__sh_b")
+    out = (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
+        )
+        .select(
+            F.when(smaller_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(smaller_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_big"),
+            "common",
+            (
+                F.col("common")
+                / F.least(
+                    F.size("__sh_a").cast("long"), F.size("__sh_b").cast("long")
+                )
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= t)
+    )
+    out = out.localCheckpoint(eager=True)
+    arrs.unpersist()
+    return out

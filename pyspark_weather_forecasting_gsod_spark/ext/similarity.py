@@ -536,6 +536,13 @@ def semantic_dedup(
         assigned = split_parts[0]
         for p in split_parts[1:]:
             assigned = assigned.unionByName(p)
+        # materialize between split rounds (sf1 rehearsal finding): the
+        # next depth's per-cell KMeans fits each re-execute this union's
+        # lineage — which itself chains every earlier round's KMeans
+        # transforms — so without truncation the re-execution work grows
+        # quadratically with depth (measured: a forced 8-cell split at
+        # 20k rows ran 25+ min; checkpointed it is seconds)
+        assigned = assigned.localCheckpoint(eager=True)
 
     out_schema = T.StructType(
         [

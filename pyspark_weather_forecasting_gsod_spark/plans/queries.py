@@ -3385,14 +3385,21 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs
-    (ext/dedup.py::ngram_containment_pairs), promoted to a declared
+    (ext/dedup.py::ngram_containment_pairs_prefix), promoted to a declared
     query over the full corpus: |A∩B|/|A|
     catches a document wholly quoted inside a larger one, which symmetric
-    Jaccard structurally misses (Broder's containment)."""
-    from ..ext.dedup import ngram_containment_pairs
+    Jaccard structurally misses (Broder's containment). Served by the
+    auto-router (ext/dedup.py::ngram_containment_pairs_auto — the
+    containment twin of the Jaccard regime trio, all pytest-identical):
+    the sf1 rehearsal measured the plain inverted index at 239x the sf0.1
+    wall on 10x docs of this ~1k-bigram universe (Σ|posting|² candidate
+    growth with every posting hot), the regime the dense block-BLAS path
+    exists for; a Zipf universe at scale routes to the asymmetric
+    smaller-side AllPairs prefix join instead."""
+    from ..ext.dedup import ngram_containment_pairs_auto
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_containment_pairs(
+    pairs = ngram_containment_pairs_auto(
         docs, "doc_id", "text", n=2, min_containment=0.5
     )
     return (

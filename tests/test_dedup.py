@@ -615,3 +615,44 @@ def test_remove_nodes_removing_representative_relabels(spark):
         (r.node, r.comp) for r in remove_nodes(labels, edges, removed).collect()
     )
     assert got == [(6, 6), (7, 6)]
+
+
+def test_containment_prefix_matches_inverted_index(spark, sf_dir):
+    """The asymmetric-prefix-filtered containment join must produce the
+    identical pair set as the plain inverted index (same contract as the
+    three exact Jaccard strategies) — sf1 rehearsal finding follow-up."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_dense,
+        ngram_containment_pairs_prefix,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def key(rows):
+        return {
+            (r.doc_small, r.doc_big, r.common, round(r.containment, 9))
+            for r in rows
+        }
+
+    for n, t in [(2, 0.5), (2, 0.8), (3, 0.3)]:
+        base = key(
+            ngram_containment_pairs(
+                docs, "doc_id", "text", n=n, min_containment=t
+            ).collect()
+        )
+        pref = key(
+            ngram_containment_pairs_prefix(
+                docs, "doc_id", "text", n=n, min_containment=t
+            ).collect()
+        )
+        dense = key(
+            ngram_containment_pairs_dense(
+                docs, "doc_id", "text", n=n, min_containment=t,
+                max_vocab=100_000,
+            ).collect()
+        )
+        assert base == pref, (n, t, len(base), len(pref))
+        assert base == dense, (n, t, len(base), len(dense))
+        assert base, "degenerate test: no pairs found"

@@ -90,14 +90,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     routes: dict[str, str] = {}
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+
     def timed(name: str, fn) -> None:
+        if only and name not in only:
+            return
+        print(f"[sf1] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             fn()
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — rehearsal records failures
             timings[name] = -1.0
-            routes[name] = f"ERROR: {type(exc).__name__}: {exc}"[:300]
+            routes[name] = (
+                routes.get(name, "") + f" ERROR: {type(exc).__name__}: {exc}"
+            )[:400].strip()
+        print(f"[sf1] {name} -> {timings[name]}s", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
 
     docs = load_table(spark, SF1, "documents")
@@ -160,17 +168,37 @@ def main() -> None:
     # --- router 3: semantic_dedup giant-cell guard ----------------------
     from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
 
-    # max_cell_rows below |corpus|/n_cells forces the split path at scale
+    # (a) max_cell_rows below |corpus|/n_cells forces the split path but
+    # leaves headroom above the replica-clump floor -> splits SUCCEED
+    split_rows = max(1000, n_emb // 13)
+    routes["semantic_dedup_split_path"] = (
+        f"n_emb={n_emb} n_cells=8 max_cell_rows={split_rows}"
+        " (forces recursive split; succeeds)"
+    )
     timed(
         "semantic_dedup_split_path",
         lambda: semantic_dedup(
-            emb, min_cosine=0.35, n_cells=8, max_cell_rows=max(400, n_emb // 40)
+            emb, min_cosine=0.35, n_cells=8, max_cell_rows=split_rows
         ).count(),
     )
-    routes["semantic_dedup_split_path"] = (
-        f"n_emb={n_emb} n_cells=8 max_cell_rows={max(400, n_emb // 40)}"
-        " (forces recursive split)"
-    )
+    # (b) max_cell_rows below what KMeans can achieve on this clumped
+    # corpus -> the giant-cell guard must RAISE (loud, named cell) instead
+    # of letting the |cell|^2 matmul OOM an executor; the raise is the
+    # PASS condition here
+    def guard_case():
+        try:
+            semantic_dedup(
+                emb, min_cosine=0.35, n_cells=8, max_cell_rows=n_emb // 40,
+                max_split_depth=1,
+            ).count()
+        except ValueError as exc:
+            routes["semantic_dedup_guard_fires"] = f"raised as designed: {exc}"[:300]
+            return
+        raise AssertionError(
+            "guard did not fire at max_cell_rows=" + str(n_emb // 40)  # noqa: ISC003
+        )
+
+    timed("semantic_dedup_guard_fires", guard_case)
 
     # --- bucketed/banded scale paths: declared doc/embedding queries ----
     from pyspark_weather_forecasting_gsod_spark.plans import queries
