@@ -1586,13 +1586,22 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. the representative to keep. Oracle: DuckDB recursive-CTE transitive
     closure over the identical edge set — checks the iterative DataFrame
     algorithm end-to-end against a declarative fixpoint."""
-    from ..ext.dedup import connected_components, ngram_jaccard_pairs, widen_for_fanout
+    from ..ext.dedup import (
+        connected_components,
+        ngram_jaccard_pairs_auto,
+        widen_for_fanout,
+    )
 
-    # widen the narrow scan: the inverted-index join's shingle hashing and
+    # widen the narrow scan: the pair join's shingle hashing and
     # bucket-pair counting are the CPU cost here, and this query makes one
-    # heavy pass (unlike the LSH pipeline's many small stages)
+    # heavy pass (unlike the LSH pipeline's many small stages). The AUTO
+    # router picks the pair strategy per regime (this corpus's ~1k-bigram
+    # universe routes dense; Zipf universes at scale route prefix) —
+    # all strategies pytest-identical, so the oracle is unchanged.
     docs = widen_for_fanout(_t(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=2, min_jaccard=0.5
+    )
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -1621,7 +1630,7 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.dedup import (
         connected_components,
         exact_cross_jaccard,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
         update_components,
         widen_for_fanout,
     )
@@ -1631,9 +1640,11 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    store_pairs = ngram_jaccard_pairs(store, "doc_id", "text", n=2, min_jaccard=0.5)
+    store_pairs = ngram_jaccard_pairs_auto(
+        store, "doc_id", "text", n=2, min_jaccard=0.5
+    )
     store_labels = connected_components(store_pairs, "doc_a", "doc_b")
-    batch_pairs = ngram_jaccard_pairs(
+    batch_pairs = ngram_jaccard_pairs_auto(
         batch, "doc_id", "text", n=2, min_jaccard=0.5
     ).select("doc_a", "doc_b")
     cross = exact_cross_jaccard(
@@ -1770,10 +1781,16 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-component state is one row per member, never the texts."""
     from pyspark.sql.window import Window
 
-    from ..ext.dedup import connected_components, ngram_jaccard_pairs, widen_for_fanout
+    from ..ext.dedup import (
+        connected_components,
+        ngram_jaccard_pairs_auto,
+        widen_for_fanout,
+    )
 
     docs = widen_for_fanout(_t(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=2, min_jaccard=0.5
+    )
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -1825,11 +1842,17 @@ def split_leakage_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prescribes — split by near-dup component instead of row id — is
     pytest-proven to zero the cross cell. Oracle: the shared CC CTE
     constant's edge set + the identical md5 split buckets."""
-    from ..ext.dedup import ngram_jaccard_pairs, split_leakage_audit, widen_for_fanout
+    from ..ext.dedup import (
+        ngram_jaccard_pairs_auto,
+        split_leakage_audit,
+        widen_for_fanout,
+    )
     from ..operators.sampling import hash_split
 
     docs = widen_for_fanout(_t(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5)
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=2, min_jaccard=0.5
+    )
     splits = hash_split(
         _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
