@@ -277,7 +277,8 @@ def ngram_jaccard_pairs_dense(
     spark = df.sparkSession
     arrs = shingle_arrays(df, id_col, text_col, n)
     # bounded-corpus guards: O(limit) probes, not full counts
-    if arrs.limit(max_rows + 1).count() > max_rows:
+    n_docs = arrs.limit(max_rows + 1).count()
+    if n_docs > max_rows:
         raise ValueError(
             f"dense jaccard is guarded at {max_rows} docs; use "
             "ngram_jaccard_pairs_prefix or a sampled audit subset"
@@ -291,7 +292,13 @@ def ngram_jaccard_pairs_dense(
             "(the universe is no longer 'small'); use "
             "ngram_jaccard_pairs_prefix"
         )
-    n_blocks = 8
+    # block count scales with the corpus so per-task memory stays bounded:
+    # the C = A @ B.T common-count matrix is (rows/B)² float64 per task, so
+    # a FIXED B=8 at the 200k-doc guard limit would allocate 25k² ≈ 5 GB.
+    # Capping block rows at ~4096 bounds C (and each densified side) at
+    # ~134 MB; block-pair task count grows as B²/2 (all independent) and
+    # shuffle as O(N·B) — the right trade for an exact all-pairs path.
+    n_blocks = max(8, -(-n_docs // 4096))
     block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
 
     def _side(role: str) -> DataFrame:
@@ -1532,7 +1539,8 @@ def ngram_containment_pairs_dense(
         raise ValueError("dense containment requires min_containment > 0")
     spark = df.sparkSession
     arrs = shingle_arrays(df, id_col, text_col, n)
-    if arrs.limit(max_rows + 1).count() > max_rows:
+    n_docs = arrs.limit(max_rows + 1).count()
+    if n_docs > max_rows:
         raise ValueError(
             f"dense containment is guarded at {max_rows} docs; use "
             "ngram_containment_pairs_prefix or a sampled audit subset"
@@ -1545,7 +1553,9 @@ def ngram_containment_pairs_dense(
             "(the universe is no longer 'small'); use "
             "ngram_containment_pairs_prefix"
         )
-    n_blocks = 8
+    # per-task memory bound via corpus-scaled block count — same rationale
+    # and cap as ngram_jaccard_pairs_dense (C matrix is (rows/B)² float64)
+    n_blocks = max(8, -(-n_docs // 4096))
     block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
 
     def _side(role: str) -> DataFrame:

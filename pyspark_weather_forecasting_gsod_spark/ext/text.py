@@ -455,3 +455,151 @@ def language_id_confusion(
             "precision_of_pred"
         ),
     )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 §3 —
+    Data Selection via Importance Resampling): score every RAW-corpus
+    document by how target-domain-like it is under two hashed-n-gram bag
+    models, ``log p_target(x) - log p_raw(x)``. This is the published,
+    cheap alternative to classifier-based domain filtering: both "models"
+    are bucket-count histograms, so training is word-count-shaped.
+
+    Features are word unigrams AND bigrams hashed into ``n_buckets``
+    md5-buckets (the paper's hashed n-gram parameterization; md5 keeps it
+    engine-portable like every other deterministic sampler here).
+    Per-bucket log-ratio with add-``k_smooth`` smoothing:
+
+        lam[b] = ln((c_t[b]+k)/(T_t+k·B)) - ln((c_r[b]+k)/(T_r+k·B))
+
+    and a document's log importance weight is sum_b c_x[b]·lam[b] over its
+    own feature counts.
+
+    Scale shape: two corpus-wide hash aggregates (bucket counts — B rows
+    each, broadcastable regardless of corpus size), then one per-doc
+    feature aggregate joined against the broadcast lam table. No
+    iteration, no Python, fully deterministic — which is what makes the
+    weights oracle-hashable. Returns one row per raw doc:
+    ``(id, n_feats, logratio)``.
+    """
+    from ..operators.sampling import hash_bucket
+
+    b = int(n_buckets)
+    k = float(k_smooth)
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+        uni = base.select("__id", F.explode("toks").alias("ng"))
+        bi = base.filter(F.size("toks") >= 2).select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat_ws(' ', element_at(toks, i), "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("ng"),
+        )
+        return uni.unionByName(bi).select(
+            "__id", hash_bucket(F.col("ng"), b, hex_chars=8).alias("bucket")
+        )
+
+    raw_f = feats(raw)
+    tgt_f = feats(target)
+    c_r = raw_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c_r")
+    )
+    c_t = tgt_f.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c_t")
+    )
+    # totals as 1-row frames (no driver collect); lam only needs buckets
+    # observed in the RAW side — every scored doc's features are there by
+    # construction, and both hash aggs are <= B rows
+    tot = (
+        c_r.agg(F.sum("c_r").alias("t_r"))
+        .crossJoin(c_t.agg(F.sum("c_t").alias("t_t")))
+    )
+    lam = (
+        c_r.join(c_t, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_t", F.lit(0.0)) + k)
+                    / (F.col("t_t") + k * b)
+                )
+                - F.log((F.col("c_r") + k) / (F.col("t_r") + k * b))
+            ).alias("lam"),
+        )
+    )
+    doc_counts = raw_f.groupBy("__id", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c_x")
+    )
+    scored = (
+        doc_counts.join(F.broadcast(lam), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("c_x").cast("long").alias("n_feats"),
+            F.sum(F.col("c_x") * F.col("lam")).alias("logratio"),
+        )
+    )
+    # one row per raw doc: token-free docs score 0 features, logratio NULL
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            "logratio",
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k_smooth: float = 0.5,
+    score_col: str = "gumbel_score",
+) -> DataFrame:
+    """DSIR's resampling step: draw ``k_docs`` documents from the raw
+    corpus with probability proportional to their importance weight
+    ``exp(logratio)`` — WITHOUT replacement, via the Gumbel-top-k trick
+    (perturb each log-weight with an independent Gumbel(0,1) and take the
+    k largest; equivalent to sequential ∝-weight draws). The Gumbel
+    uniform comes from the doc id's md5 (same engine-portable RNG
+    substitution as ``weighted_sample_k``), so the sample — not just the
+    weights — is deterministic and oracle-hashable. Working in log space
+    sidesteps the exp() overflow a literal A-Res ``u^(1/w)`` would hit on
+    large |logratio|.
+
+    Cost on top of ``dsir_logratio``: one map-only perturbation plus a
+    top-k (TakeOrderedAndProject — per-partition heaps, no global sort).
+    """
+    from ..operators.sampling import hash_bucket
+
+    big = 1 << 32
+    w = dsir_logratio(raw, target, id_col, text_col, n_buckets, k_smooth)
+    u = (
+        hash_bucket(F.concat(F.lit("dsir:"), F.col(id_col)), big, hex_chars=8)
+        + F.lit(0.5)
+    ) / F.lit(float(big))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.filter(F.col("logratio").isNotNull())
+        .withColumn(score_col, F.col("logratio") + gumbel)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .limit(k_docs)
+    )

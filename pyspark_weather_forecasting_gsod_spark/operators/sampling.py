@@ -226,3 +226,45 @@ def sampled_sum_estimate(
         (F.sum("v") / rate + 1.96 * se).alias("ci_high"),
         (n / rate).cast("long").alias("count_est"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 64,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded — the
+    data-ordering step every pre-training run needs (examples must arrive
+    in a fixed pseudo-random order, reproducible across re-runs and
+    engines) WITHOUT the global sort a naive ``ORDER BY rand()`` implies.
+
+    Each row gets ``shard = md5-bucket(seed||key)`` and ``pos`` = its rank
+    within the shard under the md5 hex ordering (a second, independent
+    digest — ``'o:'`` domain-separated so position is not a function of
+    shard). A trainer streams shard files in shard order (or round-robins
+    them across data-parallel workers); (shard, pos) is a total order.
+
+    Scale shape: assignment is map-only; ranking is a window partitioned
+    by shard — ``n_shards`` independent sorts that parallelize across the
+    cluster (pick n_shards ≥ cores; at 100 TB, thousands), never one
+    global ordering task. Changing ``seed`` is a fresh permutation for the
+    next epoch. Deterministic md5 keys keep the full output — order
+    included — oracle-hashable, the same doctrine as ``hash_split``."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = hash_bucket(
+        F.concat(F.lit(f"{seed}:"), F.col(key)), n_shards, hex_chars=8
+    )
+    order_key = F.md5(
+        F.concat(F.lit(f"{seed}:o:"), F.col(key)).cast("binary")
+    )
+    w = Window.partitionBy("shard").orderBy("__ok", key)
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("__ok", order_key)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ok")
+    )

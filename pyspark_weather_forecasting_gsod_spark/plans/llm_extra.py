@@ -936,3 +936,136 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
     )
+
+
+_DSIR_B = 1024
+_DSIR_TGT = "src0"
+
+
+def _dsir_ng_sql(rel: str) -> str:
+    """Unigram+bigram stream of a tokenized relation (doc_id, toks)."""
+    return f"""
+        SELECT doc_id, unnest(toks) AS ng FROM {rel}
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INT)] || ' ' ||
+                           toks[CAST(i AS INT) + 1])) AS ng
+        FROM {rel} WHERE len(toks) >= 2
+    """
+
+
+@query(
+    "dsir_select_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), raw_t AS (
+        SELECT doc_id, toks FROM t WHERE source <> '{_DSIR_TGT}'
+    ), tgt_t AS (
+        SELECT doc_id, toks FROM t WHERE source = '{_DSIR_TGT}'
+    ), raw_ng AS ({_dsir_ng_sql('raw_t')}
+    ), tgt_ng AS ({_dsir_ng_sql('tgt_t')}
+    ), raw_b AS (
+        SELECT doc_id, {_FOLD8.format(x='ng')} % {_DSIR_B} AS bucket
+        FROM raw_ng
+    ), tgt_b AS (
+        SELECT {_FOLD8.format(x='ng')} % {_DSIR_B} AS bucket FROM tgt_ng
+    ), c_r AS (
+        SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c_r
+        FROM raw_b GROUP BY bucket
+    ), c_t AS (
+        SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c_t
+        FROM tgt_b GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT SUM(c_r) FROM c_r) AS t_r,
+               (SELECT SUM(c_t) FROM c_t) AS t_t
+    ), lam AS (
+        SELECT r.bucket,
+               ln((COALESCE(ct.c_t, 0) + 0.5) / (tot.t_t + 0.5 * {_DSIR_B}))
+             - ln((r.c_r + 0.5) / (tot.t_r + 0.5 * {_DSIR_B})) AS lam
+        FROM c_r r LEFT JOIN c_t ct USING (bucket) CROSS JOIN tot
+    ), doc_counts AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c_x
+        FROM raw_b GROUP BY doc_id, bucket
+    ), scored AS (
+        SELECT doc_id,
+               CAST(SUM(c_x) AS BIGINT) AS n_feats,
+               SUM(c_x * lam) AS logratio
+        FROM doc_counts JOIN lam USING (bucket) GROUP BY doc_id
+    ), sel AS (
+        SELECT doc_id, n_feats, logratio,
+               logratio + (-ln(-ln(
+                   (({_FOLD8.format(x="'dsir:' || doc_id")}) + 0.5)
+                   / 4294967296.0))) AS score
+        FROM scored
+    )
+    SELECT doc_id, n_feats,
+           ROUND(logratio, 6) AS logratio_r,
+           ROUND(score, 6) AS score_r
+    FROM sel ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): treat one
+    source as the target domain, score every other document by the hashed
+    unigram+bigram bag-model log-ratio ``log p_tgt - log p_raw``
+    (ext/text.py::dsir_logratio), then importance-RESAMPLE 100 winners via
+    deterministic Gumbel-top-k (ext/text.py::dsir_select — the md5-uniform
+    substitution that makes even the sampling step oracle-hashable). The
+    oracle retrains both bucket models and replays the identical
+    perturbation in DuckDB.
+
+    Scale shape: two word-count-shaped hash aggregates for the models
+    (≤1024 rows each — broadcast), one per-doc feature agg, one
+    TakeOrderedAndProject top-k. No iteration, no Python, no collect."""
+    from ..ext.text import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != _DSIR_TGT)
+    tgt = docs.filter(F.col("source") == _DSIR_TGT)
+    out = dsir_select(
+        raw, tgt, k_docs=100, n_buckets=_DSIR_B, score_col="score"
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round("logratio", 6).alias("logratio_r"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+@query(
+    "shuffle_shards_docs",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(({_FOLD8.format(x="'ep0:' || doc_id")}) % 16 AS INT)
+                   AS shard,
+               md5('ep0:o:' || doc_id) AS ok
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle-and-shard
+    (operators/sampling.py::shuffle_shards): every document assigned an
+    md5 shard and a reproducible pseudo-random position WITHIN the shard —
+    the global-sort-free training-order permutation ((shard, pos) is a
+    total order; a new seed is a new epoch). The oracle replays the
+    identical two digests and per-shard ranking, so the ORDER itself is
+    hash-checked, not just membership.
+
+    Scale shape: map-only assignment + a by-shard window — n_shards
+    independent sorts, no single global ordering task, no RNG."""
+    from ..operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=16, seed="ep0").select(
+        "doc_id", "shard", "pos"
+    )

@@ -5017,6 +5017,8 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # window), re-verified green by the full local gate this round.
 _EXPORT_PRIORITY: list[str] = [
     # -- (a) code/oracle changed in r6
+    "dsir_select_docs",  # NEW: DSIR importance resampling (ext/text.py)
+    "shuffle_shards_docs",  # NEW: deterministic shuffle-and-shard
     "neardup_clusters_deletion",  # NEW: remove_nodes splits == full recompute
     "ohlc_bars_events",  # NULL semantics defined (filter pre-agg) + oracle
     "rolling_median_events",  # extracted rolling_frame_median operator

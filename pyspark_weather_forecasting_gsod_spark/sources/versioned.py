@@ -67,7 +67,9 @@ def write_version(df: DataFrame, table_dir: str, max_attempts: int = 16) -> int:
             ):
                 # Pre-protocol crashed partial (staged writes always carry
                 # _SUCCESS before rename): provably garbage, reclaim slot.
-                shutil.rmtree(target)
+                # ignore_errors: a concurrent writer may reclaim it first —
+                # then our rename simply loses the race and retries.
+                shutil.rmtree(target, ignore_errors=True)
             try:
                 os.rename(staging, target)
                 return v

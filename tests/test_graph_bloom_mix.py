@@ -977,3 +977,27 @@ def test_pagerank_on_is_materialized(spark):
     plan = ranks._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert ranks.count() == 3
+
+
+def test_shuffle_shards_total_order_and_determinism(spark):
+    """shuffle_shards yields a permutation: every row keeps exactly one
+    (shard, pos) slot, positions are contiguous 1..n within each shard,
+    the assignment is identical across runs, and a different seed gives a
+    genuinely different order (an epoch re-shuffle)."""
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = shuffle_shards(df, "k", n_shards=8, seed="e1").collect()
+    assert len(a) == 500 and len({(r["shard"], r["pos"]) for r in a}) == 500
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    b = shuffle_shards(df, "k", n_shards=8, seed="e1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = shuffle_shards(df, "k", n_shards=8, seed="e2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # not the identity order: the permutation actually shuffles
+    first_shard = sorted((r["pos"], r["k"]) for r in a if r["shard"] == 0)
+    assert [k for _, k in first_shard] != sorted(k for _, k in first_shard)

@@ -373,3 +373,55 @@ def test_nb_classifier_separable_corpus_is_exact(spark):
     docs = spark.createDataFrame(rows)
     out = nb_classify(docs, docs, "doc_id", label_col="lang", out_col="pred")
     assert out.filter("pred != lang").count() == 0
+
+
+def test_dsir_ranks_target_like_docs(spark):
+    """DSIR log-ratio must separate the two sublanguages: raw docs written
+    in the target domain's vocabulary score a HIGHER log importance weight
+    than raw docs from the other vocabulary; the Gumbel-top-k resample at
+    k = n_target_like then recovers (almost) exactly the target-like set
+    — here all of it, since the logratio gap dwarfs Gumbel noise."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import (
+        dsir_logratio,
+        dsir_select,
+    )
+
+    tgt_vocab = "alpha beta gamma delta epsilon "
+    other_vocab = "uno dos tres cuatro cinco "
+    target = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=tgt_vocab * 4) for i in range(10)]
+    )
+    raw = spark.createDataFrame(
+        [Row(doc_id=i, text=(tgt_vocab if i < 20 else other_vocab) * 4)
+         for i in range(60)]
+    )
+    w = dsir_logratio(raw, target).collect()
+    like = [r for r in w if r["doc_id"] < 20]
+    unlike = [r for r in w if r["doc_id"] >= 20]
+    assert len(w) == 60 and all(r["logratio"] is not None for r in w)
+    assert min(r["logratio"] for r in like) > max(
+        r["logratio"] for r in unlike
+    )
+    sel = dsir_select(raw, target, k_docs=20)
+    assert sorted(r["doc_id"] for r in sel.collect()) == list(range(20))
+
+
+def test_dsir_deterministic_and_without_replacement(spark):
+    """Two runs of the resample return the identical set (md5 Gumbel, no
+    RNG), and the sample never repeats a document."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import dsir_select
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i % 7} w{i % 5} gamma")
+         for i in range(50)]
+    )
+    target = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="alpha beta gamma w1 w2") for i in range(5)]
+    )
+    a = sorted(r["doc_id"] for r in dsir_select(docs, target, 15).collect())
+    b = sorted(r["doc_id"] for r in dsir_select(docs, target, 15).collect())
+    assert a == b and len(set(a)) == 15
