@@ -235,20 +235,28 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
-def ngram_jaccard_pairs_dense(
+
+def _integral_id_dtype(df: DataFrame, id_col: str) -> bool:
+    return dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+
+
+def _dense_pair_blocks(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    n: int = 3,
-    min_jaccard: float = 0.5,
-    max_rows: int = 200_000,
-    max_vocab: int = 4096,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_rows: int,
+    max_vocab: int,
+    kind: str,
+    n_docs: int | None = None,
+    vocab_checked: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via dense bitset intersection — the right plan
-    when the shingle UNIVERSE is small (every posting list hot, so both the
-    inverted-index join and prefix filtering degenerate to all-pairs work
-    with giant shuffles; measured: the bitset path is ~8× faster than the
-    inverted index on a ~900-bigram-universe corpus at sf0.1).
+    """Shared block-cogroup BLAS core behind ``ngram_jaccard_pairs_dense``
+    and ``ngram_containment_pairs_dense`` (r06 review: the two paths were
+    ~120 duplicated lines differing only in denominator and output
+    orientation — one core keeps the guards, blocking, vocab indexing, and
+    densify logic in one place).
 
     Each doc's distinct-shingle set becomes a |vocab|-dim binary row of a
     block matrix; common counts are ONE BLAS matmul (``A @ B.T``) per
@@ -260,38 +268,70 @@ def ngram_jaccard_pairs_dense(
     the SQL-expression formulation (BroadcastNestedLoopJoin) runs
     interpreted, one pair at a time.
 
-    Guards (``max_rows`` docs, ``max_vocab`` distinct shingles) raise with
-    a pointer to ``ngram_jaccard_pairs_prefix`` (Zipf vocab at scale) or a
-    sampled audit subset. Output is identical to ``ngram_jaccard_pairs``
-    (doc_a, doc_b, common, jaccard), pytest-verified.
+    ``n_docs``/``vocab_checked`` let the auto routers hand over their
+    already-run limit-probes instead of paying them a second time inside
+    this function (r06 review). The shingle→column index is built ONCE and
+    ``localCheckpoint``ed so both cogroup sides share it (previously each
+    side recomputed the full distinct-vocab pass).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    t = float(min_jaccard)
+    alt, (col_lo, col_hi, score_col) = {
+        "jaccard": (
+            "ngram_jaccard_pairs_prefix",
+            ("doc_a", "doc_b", "jaccard"),
+        ),
+        "containment": (
+            "ngram_containment_pairs_prefix",
+            ("doc_small", "doc_big", "containment"),
+        ),
+    }[kind]
+    t = float(threshold)
     if t <= 0.0:
         # at t=0 the dense path would emit zero-overlap pairs the inverted
-        # index never materializes — keep the two outputs identical
-        raise ValueError("dense jaccard requires min_jaccard > 0")
+        # index never materializes — keep the outputs identical
+        param = "min_jaccard" if kind == "jaccard" else "min_containment"
+        raise ValueError(f"dense {kind} requires {param} > 0")
+    if not _integral_id_dtype(df, id_col):
+        # ids are packed into int64 block matrices; a cast('long') on a
+        # string id yields NULLs that collapse every row into one block and
+        # crash densify in the Python worker (r06 review) — the inverted
+        # index and prefix paths handle any id type
+        raise ValueError(
+            f"dense {kind} requires an integral id column "
+            f"({id_col} is {dict(df.dtypes).get(id_col)}); use {alt}"
+        )
     spark = df.sparkSession
     arrs = shingle_arrays(df, id_col, text_col, n)
     # bounded-corpus guards: O(limit) probes, not full counts
-    n_docs = arrs.limit(max_rows + 1).count()
+    if n_docs is None:
+        n_docs = arrs.limit(max_rows + 1).count()
     if n_docs > max_rows:
         raise ValueError(
-            f"dense jaccard is guarded at {max_rows} docs; use "
-            "ngram_jaccard_pairs_prefix or a sampled audit subset"
+            f"dense {kind} is guarded at {max_rows} docs; use "
+            f"{alt} or a sampled audit subset"
         )
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    vocab = sh.select("shingle").distinct()
-    vsize = int(vocab.limit(max_vocab + 1).count())
-    if vsize > max_vocab:
-        raise ValueError(
-            f"dense jaccard is guarded at {max_vocab} distinct shingles "
-            "(the universe is no longer 'small'); use "
-            "ngram_jaccard_pairs_prefix"
-        )
+    if not vocab_checked:
+        probe = sh.select("shingle").distinct().limit(max_vocab + 1).count()
+        if probe > max_vocab:
+            raise ValueError(
+                f"dense {kind} is guarded at {max_vocab} distinct shingles "
+                f"(the universe is no longer 'small'); use {alt}"
+            )
+    # global shingle→column index: ≤ max_vocab rows, so the
+    # single-partition window, the checkpoint, and the broadcast are all
+    # bounded; lineage truncation lets both cogroup sides reuse it without
+    # an ambiguous-self-join complaint
+    vidx = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("__idx", F.row_number().over(Window.orderBy("shingle")) - 1)
+        .localCheckpoint(eager=True)
+    )
+    vsize = vidx.count()
     # block count scales with the corpus so per-task memory stays bounded:
     # the C = A @ B.T common-count matrix is (rows/B)² float64 per task, so
     # a FIXED B=8 at the 200k-doc guard limit would allocate 25k² ≈ 5 GB.
@@ -302,17 +342,10 @@ def ngram_jaccard_pairs_dense(
     block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
 
     def _side(role: str) -> DataFrame:
-        # fresh lineage per side: the cogroup below is otherwise a
+        # fresh shingle lineage per side: the cogroup below is otherwise a
         # self-join Spark flags as ambiguous
         arrs_f = shingle_arrays(df, id_col, text_col, n)
         sh_f = arrs_f.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        # global shingle→column index; ≤ max_vocab rows so the
-        # single-partition window and the broadcast are both bounded
-        vidx = (
-            sh_f.select("shingle")
-            .distinct()
-            .withColumn("__idx", F.row_number().over(Window.orderBy("shingle")) - 1)
-        )
         tagged = (
             sh_f.join(F.broadcast(vidx), "shingle")
             .groupBy(id_col)
@@ -330,26 +363,22 @@ def ngram_jaccard_pairs_dense(
     a_side, b_side = _side("ba"), _side("bb")
     out_schema = T.StructType(
         [
-            T.StructField("doc_a", T.LongType()),
-            T.StructField("doc_b", T.LongType()),
+            T.StructField(col_lo, T.LongType()),
+            T.StructField(col_hi, T.LongType()),
             T.StructField("common", T.LongType()),
-            T.StructField("jaccard", T.DoubleType()),
+            T.StructField(score_col, T.DoubleType()),
         ]
+    )
+    empty = pd.DataFrame(
+        {col_lo: [], col_hi: [], "common": [], score_col: []}
+    ).astype(
+        {col_lo: "int64", col_hi: "int64", "common": "int64", score_col: "float64"}
     )
 
     def block_common(key, a_pdf, b_pdf):
         ba, bb = key
         if a_pdf.empty or b_pdf.empty:
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "common": [], "jaccard": []}
-            ).astype(
-                {
-                    "doc_a": "int64",
-                    "doc_b": "int64",
-                    "common": "int64",
-                    "jaccard": "float64",
-                }
-            )
+            return empty
 
         def densify(pdf):
             ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -362,19 +391,29 @@ def ngram_jaccard_pairs_dense(
         b_ids, B = densify(b_pdf)
         C = A @ B.T  # exact integer intersection counts in float64
         sza, szb = A.sum(axis=1), B.sum(axis=1)
-        jac = C / (sza[:, None] + szb[None, :] - C)
-        mask = jac >= t
+        if kind == "jaccard":
+            score = C / (sza[:, None] + szb[None, :] - C)
+        else:
+            score = C / np.minimum(sza[:, None], szb[None, :])
+        mask = score >= t
         if ba == bb:
             mask &= a_ids[:, None] < b_ids[None, :]
         ai, bi = np.nonzero(mask)
         ida, idb = a_ids[ai], b_ids[bi]
-        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        if kind == "jaccard":
+            lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        else:
+            # orientation parity with the inverted index: smaller set is
+            # the contained side; equal sizes break toward the lower id
+            sa, sb = sza[ai], szb[bi]
+            a_small = (sa < sb) | ((sa == sb) & (ida < idb))
+            lo, hi = np.where(a_small, ida, idb), np.where(a_small, idb, ida)
         return pd.DataFrame(
             {
-                "doc_a": lo,
-                "doc_b": hi,
+                col_lo: lo,
+                col_hi: hi,
                 "common": C[ai, bi].astype(np.int64),
-                "jaccard": jac[ai, bi],
+                score_col: score[ai, bi],
             }
         )
 
@@ -382,6 +421,37 @@ def ngram_jaccard_pairs_dense(
         a_side.groupBy("ba", "bb")
         .cogroup(b_side.groupBy("ba", "bb"))
         .applyInPandas(block_common, out_schema)
+    )
+
+
+def ngram_jaccard_pairs_dense(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_rows: int = 200_000,
+    max_vocab: int = 4096,
+    _n_docs: int | None = None,
+    _vocab_checked: bool = False,
+) -> DataFrame:
+    """Exact n-gram Jaccard via dense bitset intersection — the right plan
+    when the shingle UNIVERSE is small (every posting list hot, so both the
+    inverted-index join and prefix filtering degenerate to all-pairs work
+    with giant shuffles; measured: the bitset path is ~8× faster than the
+    inverted index on a ~900-bigram-universe corpus at sf0.1).
+
+    Thin wrapper over ``_dense_pair_blocks`` (block-cogroup BLAS; see that
+    docstring for the decomposition, guards, and memory bounds). Requires
+    an integral id column (ids are packed into int64 matrices); guards at
+    ``max_rows`` docs / ``max_vocab`` distinct shingles with a pointer to
+    ``ngram_jaccard_pairs_prefix`` (Zipf vocab at scale) or a sampled
+    audit subset. Output is identical to ``ngram_jaccard_pairs``
+    (doc_a, doc_b, common, jaccard), pytest-verified.
+    """
+    return _dense_pair_blocks(
+        df, id_col, text_col, n, min_jaccard, max_rows, max_vocab,
+        "jaccard", _n_docs, _vocab_checked,
     )
 
 
@@ -399,24 +469,30 @@ def ngram_jaccard_pairs_auto(
     pytest-verified identical), choosing the cost regime by two bounded
     probes:
 
-    * corpus ≤ ``max_rows`` AND shingle universe ≤ ``max_vocab`` →
-      **dense** (block-cogroup BLAS; every posting is hot in a small
-      universe, so inverted indexes degenerate — measured 6.7× here);
+    * integral id AND corpus ≤ ``max_rows`` AND shingle universe ≤
+      ``max_vocab`` → **dense** (block-cogroup BLAS; every posting is hot
+      in a small universe, so inverted indexes degenerate — measured 6.7×
+      here); the id-type precondition exists because dense packs ids into
+      int64 matrices (r06 review);
     * otherwise → **prefix** (AllPairs filtering; on a Zipf vocabulary the
-      rare-shingle prefixes keep hot postings out of the candidate join).
+      rare-shingle prefixes keep hot postings out of the candidate join —
+      and it handles any id type).
 
-    Both probes are ``limit(k+1).count()`` — O(k) work, never a full scan.
-    The plain inverted index remains available by name for corpora known
-    to have uniformly short posting lists.
+    Both probes are ``limit(k+1).count()`` — O(k) work, never a full scan —
+    and are handed to the dense path so it does not re-run them. The plain
+    inverted index remains available by name for corpora known to have
+    uniformly short posting lists.
     """
-    arrs = shingle_arrays(df, id_col, text_col, n)
-    small_corpus = arrs.limit(max_rows + 1).count() <= max_rows
-    if small_corpus:
-        sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
-        if sh.limit(max_vocab + 1).count() <= max_vocab:
-            return ngram_jaccard_pairs_dense(
-                df, id_col, text_col, n, min_jaccard, max_rows, max_vocab
-            )
+    if _integral_id_dtype(df, id_col):
+        arrs = shingle_arrays(df, id_col, text_col, n)
+        n_docs = arrs.limit(max_rows + 1).count()
+        if n_docs <= max_rows:
+            sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
+            if sh.limit(max_vocab + 1).count() <= max_vocab:
+                return ngram_jaccard_pairs_dense(
+                    df, id_col, text_col, n, min_jaccard, max_rows,
+                    max_vocab, _n_docs=n_docs, _vocab_checked=True,
+                )
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, min_jaccard)
 
 
@@ -1151,23 +1227,32 @@ def update_components(
     over a graph whose size is O(|new edges|) — independent of the
     accumulated corpus. Returns the full updated (node, comp) table."""
     if validate_labels:
-        # bounded: 512 comp ids anti-joined against self-labeled nodes
-        bad = (
-            labels.select(F.col(comp_col).alias("__c")).distinct().limit(512)
-            .join(
-                labels.filter(F.col(node_col) == F.col(comp_col)).select(
-                    F.col(comp_col).alias("__c")
-                ),
-                "__c",
-                "left_anti",
-            )
-            .limit(3)
+        # bounded sample: limit BEFORE distinct, so the scan short-circuits
+        # after 512 rows (distinct-then-limit would run the full hash
+        # aggregate over every label row first — r06 review); the
+        # self-label check is then ONE map-only isin-filtered pass, no
+        # shuffle, no join
+        sample = {
+            r["__c"]
+            for r in labels.select(F.col(comp_col).alias("__c"))
+            .limit(512)
+            .distinct()
             .collect()
-        )
+        }
+        found = {
+            r["__n"]
+            for r in labels.filter(
+                F.col(node_col).isin(list(sample))
+                & (F.col(comp_col) == F.col(node_col))
+            )
+            .select(F.col(node_col).alias("__n"))
+            .collect()
+        }
+        bad = sorted(sample - found)[:3]
         if bad:
             raise ValueError(
                 f"update_components: labels violate the min-member-id "
-                f"invariant — comp ids {[r['__c'] for r in bad]} have no node "
+                f"invariant — comp ids {bad} have no node "
                 f"labeled with itself. Labels must come from "
                 f"connected_components/update_components (pass "
                 f"validate_labels=False only if you have proven the "
@@ -1523,122 +1608,20 @@ def ngram_containment_pairs_dense(
     min_containment: float = 0.8,
     max_rows: int = 200_000,
     max_vocab: int = 4096,
+    _n_docs: int | None = None,
+    _vocab_checked: bool = False,
 ) -> DataFrame:
     """``ngram_containment_pairs`` via dense bitset intersection — the
-    small-shingle-universe regime (same block-cogroup BLAS decomposition,
-    guards, and rationale as ``ngram_jaccard_pairs_dense``; the common
-    matrix is identical, only the denominator changes to ``min(|A|,|B|)``).
-    Output contract matches the inverted index (doc_small, doc_big,
-    common, containment), pytest-verified identical."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    t = float(min_containment)
-    if t <= 0.0:
-        raise ValueError("dense containment requires min_containment > 0")
-    spark = df.sparkSession
-    arrs = shingle_arrays(df, id_col, text_col, n)
-    n_docs = arrs.limit(max_rows + 1).count()
-    if n_docs > max_rows:
-        raise ValueError(
-            f"dense containment is guarded at {max_rows} docs; use "
-            "ngram_containment_pairs_prefix or a sampled audit subset"
-        )
-    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    vsize = int(sh.select("shingle").distinct().limit(max_vocab + 1).count())
-    if vsize > max_vocab:
-        raise ValueError(
-            f"dense containment is guarded at {max_vocab} distinct shingles "
-            "(the universe is no longer 'small'); use "
-            "ngram_containment_pairs_prefix"
-        )
-    # per-task memory bound via corpus-scaled block count — same rationale
-    # and cap as ngram_jaccard_pairs_dense (C matrix is (rows/B)² float64)
-    n_blocks = max(8, -(-n_docs // 4096))
-    block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-
-    def _side(role: str) -> DataFrame:
-        arrs_f = shingle_arrays(df, id_col, text_col, n)
-        sh_f = arrs_f.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        vidx = (
-            sh_f.select("shingle")
-            .distinct()
-            .withColumn("__idx", F.row_number().over(Window.orderBy("shingle")) - 1)
-        )
-        tagged = (
-            sh_f.join(F.broadcast(vidx), "shingle")
-            .groupBy(id_col)
-            .agg(F.collect_list("__idx").alias("__idxs"))
-            .select(F.col(id_col).cast("long").alias("id"), "__idxs")
-            .withColumn(
-                "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-            )
-        )
-        pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
-        return tagged.join(
-            F.broadcast(pair_df), F.col("blk") == F.col(role)
-        ).select("ba", "bb", "id", "__idxs")
-
-    a_side, b_side = _side("ba"), _side("bb")
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_small", T.LongType()),
-            T.StructField("doc_big", T.LongType()),
-            T.StructField("common", T.LongType()),
-            T.StructField("containment", T.DoubleType()),
-        ]
-    )
-
-    def block_common(key, a_pdf, b_pdf):
-        ba, bb = key
-        empty = pd.DataFrame(
-            {"doc_small": [], "doc_big": [], "common": [], "containment": []}
-        ).astype(
-            {
-                "doc_small": "int64",
-                "doc_big": "int64",
-                "common": "int64",
-                "containment": "float64",
-            }
-        )
-        if a_pdf.empty or b_pdf.empty:
-            return empty
-
-        def densify(pdf):
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            m = np.zeros((len(pdf), vsize), dtype=np.float64)
-            for r, ix in enumerate(pdf["__idxs"]):
-                m[r, np.asarray(ix, dtype=np.int64)] = 1.0
-            return ids, m
-
-        a_ids, A = densify(a_pdf)
-        b_ids, B = densify(b_pdf)
-        C = A @ B.T
-        sza, szb = A.sum(axis=1), B.sum(axis=1)
-        cont = C / np.minimum(sza[:, None], szb[None, :])
-        mask = cont >= t
-        if ba == bb:
-            mask &= a_ids[:, None] < b_ids[None, :]
-        ai, bi = np.nonzero(mask)
-        ida, idb = a_ids[ai], b_ids[bi]
-        sa, sb = sza[ai], szb[bi]
-        # orientation parity with the inverted index: smaller set is the
-        # contained side; equal sizes break toward the lower id
-        a_small = (sa < sb) | ((sa == sb) & (ida < idb))
-        return pd.DataFrame(
-            {
-                "doc_small": np.where(a_small, ida, idb),
-                "doc_big": np.where(a_small, idb, ida),
-                "common": C[ai, bi].astype(np.int64),
-                "containment": cont[ai, bi],
-            }
-        )
-
-    return (
-        a_side.groupBy("ba", "bb")
-        .cogroup(b_side.groupBy("ba", "bb"))
-        .applyInPandas(block_common, out_schema)
+    small-shingle-universe regime. Thin wrapper over
+    ``_dense_pair_blocks`` (same block-cogroup BLAS decomposition, guards,
+    integral-id precondition, and rationale as
+    ``ngram_jaccard_pairs_dense``; the common-count matrix is identical,
+    only the denominator changes to ``min(|A|,|B|)``). Output contract
+    matches the inverted index (doc_small, doc_big, common, containment),
+    pytest-verified identical."""
+    return _dense_pair_blocks(
+        df, id_col, text_col, n, min_containment, max_rows, max_vocab,
+        "containment", _n_docs, _vocab_checked,
     )
 
 
@@ -1652,17 +1635,22 @@ def ngram_containment_pairs_auto(
     max_vocab: int = 4096,
 ) -> DataFrame:
     """Containment with the same regime selection as
-    ``ngram_jaccard_pairs_auto``: two O(k) limit-probes pick **dense**
-    (small universe — every posting hot; the sf1 rehearsal measured the
-    inverted index at 239× the sf0.1 wall on 10× docs of a ~1k-bigram
-    universe) or **prefix** (Zipf universe at scale)."""
-    arrs = shingle_arrays(df, id_col, text_col, n)
-    if arrs.limit(max_rows + 1).count() <= max_rows:
-        sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
-        if sh.limit(max_vocab + 1).count() <= max_vocab:
-            return ngram_containment_pairs_dense(
-                df, id_col, text_col, n, min_containment, max_rows, max_vocab
-            )
+    ``ngram_jaccard_pairs_auto``: integral-id precondition plus two O(k)
+    limit-probes pick **dense** (small universe — every posting hot; the
+    sf1 rehearsal measured the inverted index at 239× the sf0.1 wall on
+    10× docs of a ~1k-bigram universe) or **prefix** (Zipf universe at
+    scale, any id type). Probe results are handed to the dense path so it
+    does not re-run them (r06 review)."""
+    if _integral_id_dtype(df, id_col):
+        arrs = shingle_arrays(df, id_col, text_col, n)
+        n_docs = arrs.limit(max_rows + 1).count()
+        if n_docs <= max_rows:
+            sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
+            if sh.limit(max_vocab + 1).count() <= max_vocab:
+                return ngram_containment_pairs_dense(
+                    df, id_col, text_col, n, min_containment, max_rows,
+                    max_vocab, _n_docs=n_docs, _vocab_checked=True,
+                )
     return ngram_containment_pairs_prefix(
         df, id_col, text_col, n, min_containment
     )

@@ -495,7 +495,13 @@ def dsir_logratio(
     k = float(k_smooth)
 
     def feats(df: DataFrame) -> DataFrame:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        # array_remove '': split(trim('')) is [''] — without it an
+        # empty/whitespace-only doc would get ONE garbage ''-unigram
+        # feature and a real importance weight, breaking the documented
+        # "token-free docs score 0 features, logratio NULL" contract
+        # (r06 review); with it such docs take the NULL path and can
+        # never win a dsir_select slot
+        toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
         base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
         uni = base.select("__id", F.explode("toks").alias("ng"))
         bi = base.filter(F.size("toks") >= 2).select(

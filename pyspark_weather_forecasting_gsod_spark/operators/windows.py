@@ -169,6 +169,11 @@ def rolling_frame_median(
     single shuffle + in-partition sort as any frame aggregate, matching
     DuckDB/Postgres windowed ``median`` interpolation semantics.
 
+    NULL semantics: NULL values never enter the frame (``collect_list``
+    skips them — the null-skipping every SQL aggregate shares), and a
+    frame whose values are ALL NULL yields a NULL median rather than a
+    runtime error (r06 review fix: the unguarded middle index was 0).
+
     Per-row memory is frame-bounded; per-GROUP the window sorts the whole
     group on one executor — ``max_group_rows`` pre-flights that skew
     (operators/guards.py — r05 VERDICT hardening)."""
@@ -180,7 +185,13 @@ def rolling_frame_median(
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    # n == 0 (every value in the frame NULL → collect_list gathered
+    # nothing) must yield NULL, not element_at(arr, 0) — which throws
+    # INVALID_INDEX_OF_ZERO in any ANSI mode. CaseWhen evaluates only the
+    # matched branch per row, so the guard is crash-proof.
+    med = F.when(n == 0, F.lit(None).cast("double")).when(
+        n % 2 == 1, lo
+    ).otherwise((lo + hi) / 2)
     if digits is not None:
         med = F.round(med, digits)
     return df.withColumn(out_col, med)

@@ -959,7 +959,11 @@ def _dsir_ng_sql(rel: str) -> str:
     "dsir_select_docs",
     f"""
     WITH t AS (
-        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        -- list_filter '' mirrors the engine's array_remove: an
+        -- empty/whitespace doc must yield ZERO features, not one '' token
+        SELECT doc_id, source,
+               list_filter({_TOKS}, x -> x <> '') AS toks
+        FROM documents
     ), raw_t AS (
         SELECT doc_id, toks FROM t WHERE source <> '{_DSIR_TGT}'
     ), tgt_t AS (

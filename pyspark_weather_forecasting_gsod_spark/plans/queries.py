@@ -5068,12 +5068,13 @@ _EXPORT_PRIORITY: list[str] = [
     "string_functions",
     "tfidf_doc_norms",
     "tfidf_exact_norms",
-    "top_terms",
-    "zorder_keys",
-    # (window cap is 50: 14 changed + 36 backlog. Every query displaced
-    # from the r05 window holds a green r05 driver row; the ml_* rows-only
-    # entries from the backlog footnote are pytest-gated and keep their
-    # r02 rows-only rows — a driver re-run adds no hash evidence for them.)
+    # (window cap is 50: 16 changed + 34 backlog. top_terms and zorder_keys
+    # ceded the last two backlog slots to the two NEW queries — both are
+    # among the 16 queries the r05 judge independently re-ran ALL-OK, so
+    # they already hold third-party-fresh evidence. Every other query
+    # displaced from the r05 window holds a green r05 driver row; the ml_*
+    # rows-only entries from the backlog footnote are pytest-gated and keep
+    # their r02 rows-only rows — a driver re-run adds no hash evidence.)
 ]
 
 

@@ -46,11 +46,16 @@ def write_version(df: DataFrame, table_dir: str, max_attempts: int = 16) -> int:
     slot. Two concurrent writers that race for the same N cannot corrupt
     each other: POSIX rename onto an existing non-empty directory fails,
     so the loser recomputes the (now advanced) latest version and retries
-    on the next slot. Under this protocol a ``v=N`` directory either has
-    ``_SUCCESS`` (Spark writes it into the staging dir before the rename)
-    or is garbage from a pre-protocol crashed writer — never a live
-    writer — so an uncommitted target is safe to reclaim before the
-    rename attempt."""
+    on the next slot.
+
+    The commit path is CREATE-ONLY: it never deletes anything under
+    ``table_dir``, so no delete can race a concurrent writer's rename
+    (the r06 TOCTOU: check-then-rmtree could land AFTER another writer
+    committed onto the same slot and silently destroy it). A garbage
+    ``v=N`` left by a pre-protocol crashed writer simply burns that slot
+    number — the next version is ``max(all v=N dirs, committed or not)
+    + 1``, committed history may have gaps, and :func:`vacuum` sweeps
+    the stale uncommitted directory under its TTL."""
     import shutil
     import uuid
 
@@ -59,23 +64,19 @@ def write_version(df: DataFrame, table_dir: str, max_attempts: int = 16) -> int:
     df.write.mode("errorifexists").parquet(staging)
     try:
         for _ in range(max_attempts):
-            versions = list_versions(table_dir)
-            v = (versions[-1] + 1) if versions else 1
+            slots = [
+                int(m.group(1))
+                for m in (_V_RE.match(n) for n in os.listdir(table_dir))
+                if m
+            ]
+            v = (max(slots) + 1) if slots else 1
             target = os.path.join(table_dir, f"v={v}")
-            if os.path.isdir(target) and not os.path.exists(
-                os.path.join(target, "_SUCCESS")
-            ):
-                # Pre-protocol crashed partial (staged writes always carry
-                # _SUCCESS before rename): provably garbage, reclaim slot.
-                # ignore_errors: a concurrent writer may reclaim it first —
-                # then our rename simply loses the race and retries.
-                shutil.rmtree(target, ignore_errors=True)
             try:
                 os.rename(staging, target)
                 return v
             except OSError:
                 # Lost the race for slot N — a concurrent writer committed
-                # it between list_versions and rename. Recompute and retry.
+                # it between the listing and rename. Recompute and retry.
                 continue
         raise RuntimeError(
             f"write_version: could not claim a version slot under "
@@ -139,10 +140,14 @@ def vacuum(
     """Drop all but the newest ``keep_last`` committed versions (history
     retention). Returns the versions removed. Readers pinned to a dropped
     version fail loudly on their next read — the retention contract every
-    table format documents. Also sweeps ``_staging-*`` directories left
-    by crashed writers once they are older than ``staging_ttl_sec``
-    (default 24 h — comfortably past any live write's duration, the same
-    retention-vs-in-flight trade Delta's VACUUM documents)."""
+    table format documents. Also sweeps crashed-writer debris once it is
+    older than ``staging_ttl_sec`` (default 24 h — comfortably past any
+    live write's duration, the same retention-vs-in-flight trade Delta's
+    VACUUM documents): ``_staging-*`` directories, and uncommitted
+    ``v=N`` directories (no ``_SUCCESS``) — under the staging protocol a
+    ``v=N`` appears only via atomic rename of a fully-written staging
+    dir, so an uncommitted one is pre-protocol garbage whose slot
+    ``write_version`` deliberately skips rather than reclaims."""
     import shutil
     import time
 
@@ -156,11 +161,13 @@ def vacuum(
         now = time.time()
         for name in os.listdir(table_dir):
             p = os.path.join(table_dir, name)
-            if (
-                name.startswith("_staging-")
-                and os.path.isdir(p)
-                and now - os.path.getmtime(p) > staging_ttl_sec
-            ):
+            if not os.path.isdir(p) or now - os.path.getmtime(p) <= staging_ttl_sec:
+                continue
+            is_stale_staging = name.startswith("_staging-")
+            is_stale_uncommitted = _V_RE.match(name) and not os.path.exists(
+                os.path.join(p, "_SUCCESS")
+            )
+            if is_stale_staging or is_stale_uncommitted:
                 shutil.rmtree(p, ignore_errors=True)
     return drop
 

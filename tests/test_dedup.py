@@ -656,3 +656,47 @@ def test_containment_prefix_matches_inverted_index(spark, sf_dir):
         assert base == pref, (n, t, len(base), len(pref))
         assert base == dense, (n, t, len(base), len(dense))
         assert base, "degenerate test: no pairs found"
+
+
+def test_dense_paths_require_integral_ids_and_auto_routes_strings(spark):
+    """r06 review fix: the dense BLAS paths pack ids into int64 matrices;
+    a string id used to be cast('long') into NULLs that collapsed every
+    row into one block and crashed densify. Dense must now refuse
+    non-integral ids up front, and the auto routers must send string-id
+    corpora down the prefix path (which handles any id type) and still
+    return the correct pairs."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_containment_pairs_auto,
+        ngram_containment_pairs_dense,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_dense,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=f"doc-{i:03d}", text=("red blue green yellow " * 3)
+                + ("purple " if i % 2 else "orange "))
+            for i in range(8)
+        ]
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        ngram_jaccard_pairs_dense(docs, "doc_id", n=2)
+    with _pytest.raises(ValueError, match="integral id"):
+        ngram_containment_pairs_dense(docs, "doc_id", n=2)
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
+
+    want = key(ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.5).collect())
+    got = key(ngram_jaccard_pairs_auto(docs, "doc_id", "text", n=2, min_jaccard=0.5).collect())
+    assert got == want and want
+    # containment auto on string ids: must not crash, must emit the
+    # wholly-contained even/odd sibling pairs
+    cont = ngram_containment_pairs_auto(
+        docs, "doc_id", "text", n=2, min_containment=0.8
+    ).collect()
+    assert cont and all(isinstance(r.doc_small, str) for r in cont)

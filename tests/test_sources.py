@@ -239,15 +239,16 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
 
 def test_versioned_table_recovers_from_crashed_write(spark, tmp_path):
     """A partial v=N directory without _SUCCESS (crashed writer) must not
-    wedge the table: the next write detects the provably-uncommitted
-    staging dir, removes it, and commits into the slot (r04 ADVICE)."""
+    wedge the table: the commit path is create-only (r06 — a reclaim
+    rmtree could race a concurrent writer's committed rename), so the
+    garbage slot is SKIPPED, the write lands on the next number, and
+    vacuum later sweeps the stale directory under its TTL."""
     import os
-
-    from pyspark.sql import functions as F
 
     from pyspark_weather_forecasting_gsod_spark.sources.versioned import (
         list_versions,
         read_version,
+        vacuum,
         write_version,
     )
 
@@ -260,10 +261,18 @@ def test_versioned_table_recovers_from_crashed_write(spark, tmp_path):
         f.write(b"partial garbage")
     assert list_versions(d) == [1]
     v = write_version(spark.range(7).select("id"), d)
-    assert v == 2 and list_versions(d) == [1, 2]
-    assert read_version(spark, d, 2).count() == 7
+    assert v == 3 and list_versions(d) == [1, 3]
+    assert read_version(spark, d, 3).count() == 7
+    # the garbage dir survives the commit (create-only path)...
+    assert os.path.isdir(stale)
+    # ...and vacuum sweeps it once past the TTL (keep_last high enough
+    # that no committed version is dropped by this call)
+    os.utime(stale, (1_000_000.0, 1_000_000.0))
+    vacuum(d, keep_last=10)
+    assert not os.path.isdir(stale)
+    assert list_versions(d) == [1, 3]
     # a COMMITTED version is still protected by errorifexists semantics
-    assert write_version(spark.range(3).select("id"), d) == 3
+    assert write_version(spark.range(3).select("id"), d) == 4
 
 
 def test_versioned_table_time_travel_and_diff(spark, tmp_path):

@@ -425,3 +425,37 @@ def test_dsir_deterministic_and_without_replacement(spark):
     a = sorted(r["doc_id"] for r in dsir_select(docs, target, 15).collect())
     b = sorted(r["doc_id"] for r in dsir_select(docs, target, 15).collect())
     assert a == b and len(set(a)) == 15
+
+
+def test_dsir_empty_and_whitespace_docs_score_no_features(spark):
+    """r06 review fix: split(trim('')) is [''], so empty/whitespace-only
+    raw docs used to get ONE garbage ''-unigram feature and a real
+    importance weight. They must take the documented (n_feats=0,
+    logratio NULL) path and never win a dsir_select slot."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.text import (
+        dsir_logratio,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="alpha beta gamma ") for i in range(5)]
+    )
+    raw = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=""),
+            Row(doc_id=1, text="   \t  "),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="alpha beta gamma alpha"),
+            Row(doc_id=4, text="uno dos tres"),
+        ]
+    )
+    w = {r["doc_id"]: r for r in dsir_logratio(raw, target).collect()}
+    assert len(w) == 5
+    for junk in (0, 1, 2):
+        assert w[junk]["n_feats"] == 0 and w[junk]["logratio"] is None
+    assert w[3]["n_feats"] > 0 and w[3]["logratio"] is not None
+    # the resample draws only from scorable docs, even when k exceeds them
+    sel = sorted(r["doc_id"] for r in dsir_select(raw, target, 5).collect())
+    assert sel == [3, 4]

@@ -173,3 +173,26 @@ def test_ewma_max_group_rows_guard(spark):
     with pytest.raises(ValueError, match="ewma"):
         ewma(df, "v", group_by="g", order_by="seq", max_group_rows=5)
     assert "ewma" in ewma(df, "v", group_by="g", order_by="seq").columns
+
+
+def test_rolling_frame_median_all_null_frame_yields_null(spark):
+    """r06 review fix: a frame whose values are ALL NULL used to compute
+    element_at(arr, 0) and die with INVALID_INDEX_OF_ZERO; it must yield
+    NULL. Mixed frames still skip NULLs like any SQL aggregate."""
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import (
+        rolling_frame_median,
+    )
+
+    vals = [None, None, None, None, 8.0, 2.0]
+    df = spark.createDataFrame(
+        [Row(g="a", seq=i, v=v) for i, v in enumerate(vals)]
+    )
+    got = {
+        r.seq: r.rolling_median
+        for r in rolling_frame_median(
+            df, "v", group_by="g", order_by="seq", before=1, after=1
+        ).collect()
+    }
+    # frames: [_,_] [_,_,_] [_,_,_] [_,_,8] [_,8,2] [8,2]
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] == 8.0 and got[4] == 5.0 and got[5] == 5.0
