@@ -240,6 +240,16 @@ def main() -> None:
             "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY"),
             "cpus": cpus,
             "data": "derived 10x sf0.1 (deterministic near-dup replicas)",
+            "reading_the_walls": (
+                "replication makes every doc part of a 10-member near-dup "
+                "clump, so TRUE pair count grows ~45x (10 choose 2 per "
+                "clump), not 10x — pair-emitting queries (minhash_neardup, "
+                "simhash_fingerprints, ngram_containment_docs) scale with "
+                "that output size plus their in-query recall companions; "
+                "superlinear wall vs sf0.1 here reflects the planted pair "
+                "density, not candidate-generation blow-up (the banded/"
+                "bucketed candidate sets stay output-proportional)"
+            ),
         },
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
