@@ -252,6 +252,10 @@ def main() -> None:
             ),
         },
     }
+    if only:
+        # subset run (debug/repro): don't clobber the full-suite record
+        print(json.dumps(payload, separators=(",", ":")))
+        return
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         f.write(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
