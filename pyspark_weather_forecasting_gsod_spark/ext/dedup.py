@@ -236,8 +236,17 @@ def ngram_jaccard_pairs_prefix(
 
 
 
+def _id_dtype(df: DataFrame, id_col: str) -> str | None:
+    # case-insensitive lookup, matching Spark's default column resolution
+    lc = id_col.lower()
+    for name, dt in df.dtypes:
+        if name.lower() == lc:
+            return dt
+    return None
+
+
 def _integral_id_dtype(df: DataFrame, id_col: str) -> bool:
-    return dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+    return _id_dtype(df, id_col) in ("tinyint", "smallint", "int", "bigint")
 
 
 def _dense_pair_blocks(
@@ -301,7 +310,7 @@ def _dense_pair_blocks(
         # index and prefix paths handle any id type
         raise ValueError(
             f"dense {kind} requires an integral id column "
-            f"({id_col} is {dict(df.dtypes).get(id_col)}); use {alt}"
+            f"({id_col} is {_id_dtype(df, id_col)}); use {alt}"
         )
     spark = df.sparkSession
     arrs = shingle_arrays(df, id_col, text_col, n)
@@ -1210,8 +1219,12 @@ def update_components(
     external or hand-built labeling that violates this silently returns
     components that differ from a full recompute (the contraction proof
     below needs reps to be minima). ``validate_labels=True`` (default)
-    spot-checks the invariant on a bounded sample: up to 512 distinct comp
-    ids must each exist as a node labeled with itself, else this raises.
+    checks the invariant for exactly the comp ids this call relies on —
+    the labels of nodes incident to the new edges — each of which must
+    exist as a node labeled with itself, else this raises. (Untouched
+    components pass through unchanged, so their labels cannot make THIS
+    update wrong; r06 review replaced a fixed-512 sample that was either
+    unbounded or partition-biased with this exact, batch-bounded check.)
 
     Correctness rests on component contraction: every old component
     collapses to its representative (already the min member id), each new
@@ -1227,33 +1240,38 @@ def update_components(
     over a graph whose size is O(|new edges|) — independent of the
     accumulated corpus. Returns the full updated (node, comp) table."""
     if validate_labels:
-        # bounded sample: limit BEFORE distinct, so the scan short-circuits
-        # after 512 rows (distinct-then-limit would run the full hash
-        # aggregate over every label row first — r06 review); the
-        # self-label check is then ONE map-only isin-filtered pass, no
-        # shuffle, no join
-        sample = {
-            r["__c"]
-            for r in labels.select(F.col(comp_col).alias("__c"))
-            .limit(512)
-            .distinct()
-            .collect()
-        }
-        found = {
-            r["__n"]
-            for r in labels.filter(
-                F.col(node_col).isin(list(sample))
-                & (F.col(comp_col) == F.col(node_col))
+        # exact, batch-bounded precondition check: the contraction proof
+        # relies only on the comp ids of nodes INCIDENT to the new edges,
+        # so validate precisely those (≤ 2·|batch| distinct ids — the
+        # function's own cost envelope). One join against the batch's
+        # endpoints + one map-only self-label pass over labels; AQE
+        # broadcasts the small sides. A NULL comp on a touched node (a
+        # corrupt labeling) never anti-matches, so it is reported too.
+        ends = new_edges.select(F.col(src).alias("__n")).unionByName(
+            new_edges.select(F.col(dst).alias("__n"))
+        )
+        touched = (
+            ends.join(
+                labels.select(
+                    F.col(node_col).alias("__n"), F.col(comp_col).alias("__c")
+                ),
+                "__n",
             )
-            .select(F.col(node_col).alias("__n"))
-            .collect()
-        }
-        bad = sorted(sample - found)[:3]
+            .select("__c")
+            .distinct()
+        )
+        selfl = labels.filter(F.col(node_col) == F.col(comp_col)).select(
+            F.col(comp_col).alias("__c")
+        )
+        bad = [
+            r["__c"]
+            for r in touched.join(selfl, "__c", "left_anti").limit(3).collect()
+        ]
         if bad:
             raise ValueError(
                 f"update_components: labels violate the min-member-id "
-                f"invariant — comp ids {bad} have no node "
-                f"labeled with itself. Labels must come from "
+                f"invariant — comp ids {bad} (touched by this batch) have "
+                f"no node labeled with itself. Labels must come from "
                 f"connected_components/update_components (pass "
                 f"validate_labels=False only if you have proven the "
                 f"invariant externally)."

@@ -189,7 +189,10 @@ def rolling_frame_median(
     # nothing) must yield NULL, not element_at(arr, 0) — which throws
     # INVALID_INDEX_OF_ZERO in any ANSI mode. CaseWhen evaluates only the
     # matched branch per row, so the guard is crash-proof.
-    med = F.when(n == 0, F.lit(None).cast("double")).when(
+    # untyped NULL: CaseWhen coerces NullType to the other branches' type,
+    # so a decimal value column keeps its decimal output (a double-cast
+    # NULL here would silently coerce the whole expression to double)
+    med = F.when(n == 0, F.lit(None)).when(
         n % 2 == 1, lo
     ).otherwise((lo + hi) / 2)
     if digits is not None:

@@ -161,7 +161,12 @@ def vacuum(
         now = time.time()
         for name in os.listdir(table_dir):
             p = os.path.join(table_dir, name)
-            if not os.path.isdir(p) or now - os.path.getmtime(p) <= staging_ttl_sec:
+            try:
+                if not os.path.isdir(p) or now - os.path.getmtime(p) <= staging_ttl_sec:
+                    continue
+            except OSError:
+                # a concurrent vacuum/writer removed it between listdir and
+                # stat — nothing left to sweep
                 continue
             is_stale_staging = name.startswith("_staging-")
             is_stale_uncommitted = _V_RE.match(name) and not os.path.exists(

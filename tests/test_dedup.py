@@ -700,3 +700,27 @@ def test_dense_paths_require_integral_ids_and_auto_routes_strings(spark):
         docs, "doc_id", "text", n=2, min_containment=0.8
     ).collect()
     assert cont and all(isinstance(r.doc_small, str) for r in cont)
+
+
+def test_update_components_validates_touched_comps_exactly(spark):
+    """r06 review: validation is exact over the comps the batch touches
+    (the only ones the contraction proof relies on) — a broken label on
+    an UNTOUCHED component no longer trips the check (it passes through
+    unchanged), while a touched NULL comp is reported, not a TypeError."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import update_components
+
+    # comp 99 invalid but UNTOUCHED by the batch; comp 10 valid + touched
+    labels = spark.createDataFrame(
+        [(1, 99), (2, 99), (10, 10), (11, 10)], ["node", "comp"]
+    )
+    out = update_components(labels, spark.createDataFrame([(11, 12)], ["doc_a", "doc_b"]))
+    got = {(r.node, r.comp) for r in out.collect()}
+    assert (12, 10) in got and (1, 99) in got  # merge landed; untouched rows pass through
+    # a NULL comp on a touched node must raise the designed error
+    nulled = spark.createDataFrame(
+        [(1, None), (2, 2)], "node long, comp long"
+    )
+    with pytest.raises(ValueError, match="min-member-id"):
+        update_components(nulled, spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]))
