@@ -196,3 +196,25 @@ def test_rolling_frame_median_all_null_frame_yields_null(spark):
     # frames: [_,_] [_,_,_] [_,_,_] [_,_,8] [_,8,2] [8,2]
     assert got[0] is None and got[1] is None and got[2] is None
     assert got[3] == 8.0 and got[4] == 5.0 and got[5] == 5.0
+
+
+def test_ewma_null_values_skip_frame_and_all_null_yields_null(spark):
+    """Pin ewma's NULL semantics (companion to the rolling-median r06
+    fix): NULL values never enter the collect_list frame, and a frame
+    with no non-NULL values yields NULL — no crash, no zero."""
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import ewma
+
+    vals = [None, None, 4.0, None, 8.0]
+    df = spark.createDataFrame(
+        [Row(g="a", seq=i, v=v) for i, v in enumerate(vals)]
+    )
+    got = {
+        r.seq: r.ewma
+        for r in ewma(
+            df, "v", group_by="g", order_by="seq", alpha=0.5, lookback=2
+        ).collect()
+    }
+    # frames (lookback 2): [_,_]->NULL, [_,_]->NULL, [_,4]->4.0,
+    # [4,_]->4.0 (only non-null survives), [_,8]->8.0
+    assert got[0] is None and got[1] is None
+    assert got[2] == 4.0 and got[3] == 4.0 and got[4] == 8.0
