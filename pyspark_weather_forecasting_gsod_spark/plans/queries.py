@@ -2826,7 +2826,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.event_windows import sliding_agg
     import uuid
 
-    from ..streaming.stream import _await_or_raise
+    from ..streaming.stream import _await_or_raise, _drain_memory_sink
 
     tune(spark)
     agg = sliding_agg(read_events_stream(spark, sf_dir))
@@ -2836,7 +2836,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete").trigger(availableNow=True).start()
     )
     _await_or_raise(q, 120, "streaming sliding windows")
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 @query(
@@ -2955,7 +2955,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming.event_windows import session_agg
-    from ..streaming.stream import _await_or_raise, read_events_stream
+    from ..streaming.stream import (
+        _await_or_raise,
+        _drain_memory_sink,
+        read_events_stream,
+    )
 
     tune(spark)
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
@@ -2966,7 +2970,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append").trigger(availableNow=True).start()
     )
     _await_or_raise(q, 120, "streaming session windows")
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 @query(

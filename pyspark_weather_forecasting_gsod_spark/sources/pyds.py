@@ -129,7 +129,6 @@ def run_python_source_stream(
     then holds the aggregate over the whole stream, which must equal the
     batch aggregate over the same generator (the SQL oracle).
     """
-    import time
     import uuid
 
     from pyspark.sql import functions as F
@@ -154,22 +153,10 @@ def run_python_source_stream(
         .trigger(processingTime="0 seconds")
         .start()
     )
-    try:
-        deadline = time.time() + timeout_sec
-        while time.time() < deadline:
-            p = q.lastProgress
-            if p and p.get("sources"):
-                end = p["sources"][0].get("endOffset")
-                if isinstance(end, str):
-                    # offsets surface as a dict repr ({'pos': N}) or JSON
-                    import ast
+    # shared poll: raises the stream's own exception on failure instead of
+    # masking it as a timeout, and stops the query either way (lazy import:
+    # sources must not import streaming at module load)
+    from ..streaming.stream import _drain_memory_sink, _poll_until_offset
 
-                    end = ast.literal_eval(end)
-                if end and int(end.get("pos", 0)) >= n_rows:
-                    break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(f"stream did not reach offset {n_rows}")
-    finally:
-        q.stop()
-    return spark.table(name)
+    _poll_until_offset(q, n_rows, timeout_sec, name)
+    return _drain_memory_sink(spark, name)

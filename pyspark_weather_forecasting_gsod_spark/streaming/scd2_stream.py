@@ -26,7 +26,6 @@ cross-batch events would need a watermarked reorder buffer upstream.
 
 from __future__ import annotations
 
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,9 +78,15 @@ def run_streaming_scd2(
         .option("n_users", str(n_users))
         .load()
     )
-    state: dict = {"dim": None, "batches": 0}
+    state: dict = {"dim": None, "batches": 0, "applied": set()}
 
     def _advance(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a redelivered batch must not
+        # advance the dimension twice (the rederive is not idempotent —
+        # replayed events could close and reopen versions; r06 review)
+        if batch_id in state["applied"]:
+            return
+        state["applied"].add(batch_id)
         b = batch_df.select(
             "user_id",
             "event_id",
@@ -113,23 +118,9 @@ def run_streaming_scd2(
         .queryName(f"scd2_stream_{uuid.uuid4().hex[:8]}")
         .start()
     )
-    try:
-        deadline = time.time() + timeout_sec
-        while time.time() < deadline:
-            p = q.lastProgress
-            if p and p.get("sources"):
-                end = p["sources"][0].get("endOffset")
-                if isinstance(end, str):
-                    import ast
+    from .stream import _poll_until_offset
 
-                    end = ast.literal_eval(end)
-                if end and int(end.get("pos", 0)) >= n_rows:
-                    break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(f"scd2 stream did not reach offset {n_rows}")
-    finally:
-        q.stop()
+    _poll_until_offset(q, n_rows, timeout_sec, "scd2 stream")
     if state["batches"] < 2:
         raise AssertionError(
             "streaming_scd2 must exercise multiple micro-batches "

@@ -3,9 +3,9 @@
 The Spark-native escape hatch for operators Structured Streaming's built-in
 aggregations can't express: per-key arbitrary state carried across
 micro-batches, updated with Arrow-batched pandas code. Demonstrated here as
-running per-user event totals — state is a (count, sum) pair per user that
-survives across batches; each batch emits the updated totals for the keys it
-touched.
+running per-user event totals — state is a (count, sum, non-null count)
+triple per user that survives across batches; each batch emits the updated
+totals for the keys it touched.
 
 At scale: state lives in the state store (RocksDB provider in production),
 partitioned by key; a watermark + ``GroupStateTimeout`` bounds state size
@@ -14,19 +14,19 @@ for keys that go quiet.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .stream import _await_or_raise, read_events_stream
+from .stream import read_events_stream, run_update_mode, take_latest_per_key
 
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
         T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_vals", T.LongType()),
     ]
 )
 
@@ -42,12 +42,48 @@ OUTPUT_SCHEMA = T.StructType(
 def _update_totals(key, pdfs: Iterator, state: GroupState) -> Iterator:
     import pandas as pd
 
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s, k = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        c = int(pdf["value"].count())
+        if c:
+            # pandas .sum() over an all-NaN series returns 0.0 — guarding
+            # on the non-null count keeps SQL semantics: SUM of no values
+            # is NULL, not 0 (r06 review)
+            k += c
+            s += float(pdf["value"].sum())
+    state.update((n, s, k))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s if k else None],
+        }
+    )
+
+
+def user_totals_from_stream(
+    spark: SparkSession, stream: DataFrame, timeout_sec: int = 120
+) -> DataFrame:
+    """Core runner over ANY (user_id, value) stream — the multi-batch
+    pytest injects a maxFilesPerTrigger=1 multi-file source here so the
+    ``state.exists`` restore path genuinely executes across batches."""
+    from pyspark.sql import functions as F
+
+    out = stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    t = run_update_mode(spark, out, timeout_sec, "stateful")
+    # update mode appends one row per key per batch; the running count is
+    # strictly monotonic, so it orders each key's emissions reliably
+    latest = take_latest_per_key(t, "user_id", "n_events")
+    return latest.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    )
 
 
 def streaming_user_totals(
@@ -58,33 +94,8 @@ def streaming_user_totals(
 
     With a single AvailableNow batch the emitted totals equal the batch
     ``groupBy(user_id).count/sum`` — which is exactly what the oracle
-    checks; multi-batch incremental behavior is exercised in pytest with
-    ``maxFilesPerTrigger``."""
-    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
-    out = stream.groupBy("user_id").applyInPandasWithState(
-        _update_totals,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    _await_or_raise(q, timeout_sec, "stateful user totals")
-    # update mode appends one row per key per batch: keep each key's LATEST
-    # state. The running count is strictly monotonic across batches, so it
-    # is its own reliable ordering (row order of a re-read memory table is
-    # not batch order).
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    t = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        t.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    checks; the cross-batch state-restore path is exercised by the
+    multi-file pytest through ``user_totals_from_stream``."""
+    return user_totals_from_stream(
+        spark, read_events_stream(spark, sf_dir), timeout_sec
     )

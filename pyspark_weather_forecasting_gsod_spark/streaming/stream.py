@@ -36,6 +36,89 @@ def _await_or_raise(q, timeout_sec: int, what: str) -> None:
         raise TimeoutError(f"{what} did not terminate within {timeout_sec}s")
 
 
+def _poll_until_offset(q, n_rows: int, timeout_sec: int, what: str) -> None:
+    """Poll a continuous-trigger query until its source offset reaches
+    ``n_rows``, then stop it. The single shared loop behind every
+    poll-driven runner (Python stream sources don't support AvailableNow;
+    r06 review deduplicated three drifting copies). Raises the query's OWN
+    exception the moment the stream dies — a failed stream must not be
+    masked as a TimeoutError after the full wait — and TimeoutError only
+    for a genuinely stalled healthy stream."""
+    import ast
+    import time
+
+    try:
+        deadline = time.time() + timeout_sec
+        while time.time() < deadline:
+            if not q.isActive:
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    f"{what}: query terminated before reaching offset {n_rows}"
+                )
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    # offsets surface as a dict repr ({'pos': N}) or JSON
+                    end = ast.literal_eval(end)
+                if end and int(end.get("pos", 0)) >= n_rows:
+                    return
+            time.sleep(0.2)
+        raise TimeoutError(
+            f"{what} did not reach offset {n_rows} within {timeout_sec}s"
+        )
+    finally:
+        q.stop()
+
+
+def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink table and DROP its temp view. Memory-sink
+    rows live in the driver for the session lifetime and every runner uses
+    a fresh uuid-named sink, so without this each bench/pytest execution
+    would accumulate another result set forever (r06 review). The
+    localCheckpoint copies the (bounded, already-collected-size) result to
+    executor storage before the view goes away."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def run_update_mode(
+    spark: SparkSession, out: DataFrame, timeout_sec: int, what: str
+) -> DataFrame:
+    """Run an update-mode stateful stream into a memory sink (AvailableNow)
+    and return the RAW emissions — one row per key per micro-batch that
+    touched it. Shared by the stateful totals and top-k runners (r06
+    review: the start/await/drain block was duplicated)."""
+    name = f"{what}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_sec, name)
+    return _drain_memory_sink(spark, name)
+
+
+def take_latest_per_key(t: DataFrame, key_col: str, counter_col: str) -> DataFrame:
+    """Keep each key's LATEST update-mode emission. ``counter_col`` must be
+    strictly monotonic across a key's emissions (a running count), so it is
+    its own reliable ordering — row order of a re-read memory table is not
+    batch order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(counter_col).desc())
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -82,7 +165,7 @@ def run_streaming_tumbling_append(
         .start()
     )
     _await_or_raise(q, timeout_sec, name)
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def streaming_dedup_within_watermark(
@@ -108,7 +191,7 @@ def streaming_dedup_within_watermark(
         .start()
     )
     _await_or_raise(q, timeout_sec, name)
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def run_streaming_tumbling(
@@ -131,7 +214,7 @@ def run_streaming_tumbling(
         .start()
     )
     _await_or_raise(q, timeout_sec, name)
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def run_streaming_stream_join(
@@ -188,7 +271,7 @@ def run_streaming_stream_join(
         .start()
     )
     _await_or_raise(q, timeout_sec, name)
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def run_streaming_upsert(
@@ -263,7 +346,7 @@ def run_streaming_static_join(
         .start()
     )
     _await_or_raise(q, timeout_sec, name)
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def run_streaming_sketch_merge(
@@ -283,8 +366,10 @@ def run_streaming_sketch_merge(
     so micro-batch boundaries provably cannot change the sketch.
 
     At 100 TB the merge target would be a keyed sink table (see
-    ``run_streaming_upsert``); the accumulation is associative and
-    idempotent per epoch either way."""
+    ``run_streaming_upsert``); the accumulation is associative, and the
+    applied-batch-id guard makes it idempotent per epoch — foreachBatch is
+    at-least-once, so a redelivered micro-batch must not merge its partial
+    twice (r06 review: the unguarded add double-counted on replay)."""
     from ..operators.sketches import histogram_table
     from ..sources.pyds import register
 
@@ -296,9 +381,13 @@ def run_streaming_sketch_merge(
         .load()
     )
     merged: dict[int, int] = {}
+    applied: set[int] = set()
     n_batches = [0]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:  # at-least-once redelivery: already merged
+            return
+        applied.add(batch_id)
         partial = histogram_table(batch_df, "value", 0.0, 100.0, 50).collect()
         if partial:
             n_batches[0] += 1
@@ -315,24 +404,7 @@ def run_streaming_sketch_merge(
         .trigger(processingTime="0 seconds")
         .start()
     )
-    import ast
-    import time
-
-    try:
-        deadline = time.time() + timeout_sec
-        while time.time() < deadline:
-            p = q.lastProgress
-            if p and p.get("sources"):
-                end = p["sources"][0].get("endOffset")
-                if isinstance(end, str):
-                    end = ast.literal_eval(end)
-                if end and int(end.get("pos", 0)) >= n_rows:
-                    break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(f"sketch-merge stream did not reach offset {n_rows}")
-    finally:
-        q.stop()
+    _poll_until_offset(q, n_rows, timeout_sec, name)
     if n_batches[0] < 2:
         raise AssertionError(
             f"expected a multi-batch replay, saw {n_batches[0]} non-empty batches"

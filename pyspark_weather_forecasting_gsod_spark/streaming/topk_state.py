@@ -20,7 +20,6 @@ rank.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .stream import _await_or_raise, read_events_stream
+from .stream import read_events_stream, run_update_mode, take_latest_per_key
 
 K = 3
 
@@ -161,24 +160,9 @@ def streaming_user_topk(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    name = f"topk_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, timeout_sec, "stateful user top-k")
     # update mode appends one row per key per batch; n_seen is strictly
     # monotonic, so the max-n_seen row IS each key's final state.
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    t = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
-    return (
-        t.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select("user_id", "n_seen", "top1", "top2", "top3")
+    t = run_update_mode(spark, out, timeout_sec, "topk")
+    return take_latest_per_key(t, "user_id", "n_seen").select(
+        "user_id", "n_seen", "top1", "top2", "top3"
     )

@@ -308,3 +308,78 @@ def test_streaming_scd2_batch_boundary_independent(spark):
         for (vf1, vt1, _), (vf2, _, _) in zip(vers, vers[1:]):
             assert vt1 == vf2  # each close is the next open
         assert vers[-1][1] is None
+
+
+def test_stateful_totals_restore_state_across_real_batches(spark, tmp_path):
+    """r06 review: the state.exists restore branch and the latest-emission
+    epilogue were never executed — the single-file events source always
+    runs ONE data batch. Here a 3-file source with maxFilesPerTrigger=1
+    forces 3 micro-batches, so per-user state genuinely carries across
+    batches; the final totals must equal the batch aggregate, and at least
+    one user must have emitted more than one update row."""
+    from pyspark_weather_forecasting_gsod_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _update_totals,
+        user_totals_from_stream,
+    )
+    from pyspark_weather_forecasting_gsod_spark.streaming.stream import (
+        run_update_mode,
+        take_latest_per_key,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = [
+        Row(user_id=int(i % 5), value=(None if i % 7 == 0 else float(i)))
+        for i in range(60)
+    ]
+    # user 99: every value NULL — SUM semantics must stay NULL, not 0.0
+    rows += [Row(user_id=99, value=None), Row(user_id=99, value=None)]
+    batch_df = spark.createDataFrame(rows, "user_id long, value double")
+    src_dir = str(tmp_path / "ev")
+    batch_df.repartition(3).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # raw emissions: prove multiple batches touched the same keys
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    raw = run_update_mode(spark, out, 120, "stateful_mb")
+    per_key = {r["user_id"]: r["n"] for r in
+               raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(per_key.values()) >= 2, per_key
+
+    latest = take_latest_per_key(raw, "user_id", "n_events")
+    got = {
+        r["user_id"]: (r["n_events"], None if r["sum_value"] is None
+                       else round(r["sum_value"], 4))
+        for r in latest.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], None if r["s"] is None else round(r["s"], 4))
+        for r in batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        ).collect()
+    }
+    assert got == want
+    assert got[99] == (2, None)  # all-NULL user: SUM is NULL, count is 2
+
+    # the public core runner agrees on the same multi-batch source
+    stream2 = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    core = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in user_totals_from_stream(spark, stream2).collect()
+    }
+    assert core[99] == (2, None) and len(core) == len(want)
