@@ -23,13 +23,25 @@ from pyspark.sql import functions as F
 
 def _row_hash(df: DataFrame, keys: list[str]) -> F.Column:
     """Order-stable md5 over every non-key column, null-safe (NULL and
-    'null' must differ: each value is length-prefixed before concat)."""
+    'null' must differ: each value is length-prefixed before concat).
+    Complex types (array/map/struct) render via ``to_json`` — an
+    injective encoding — because ``cast('string')`` is not: ["a, b"] and
+    ["a", "b"] both render '[a, b]', which would classify a real update
+    as unchanged (r06 review)."""
+    dtypes = dict(df.dtypes)
     vals = [c for c in df.columns if c not in keys]
+
+    def _canon(c: str) -> F.Column:
+        dt = dtypes[c]
+        if dt.startswith(("array", "map", "struct")):
+            return F.to_json(F.col(c))
+        return F.col(c).cast("string")
+
     parts = [
         F.concat_ws(
             ":",
-            F.length(F.coalesce(F.col(c).cast("string"), F.lit(""))),
-            F.coalesce(F.col(c).cast("string"), F.lit(" ")),
+            F.length(F.coalesce(_canon(c), F.lit(""))),
+            F.coalesce(_canon(c), F.lit(" ")),
         )
         for c in sorted(vals)
     ]
@@ -39,9 +51,11 @@ def _row_hash(df: DataFrame, keys: list[str]) -> F.Column:
 def snapshot_diff(
     old: DataFrame, new: DataFrame, keys: list[str], include_old: bool = False
 ) -> DataFrame:
-    """Keyed diff of two snapshots → rows of ``new`` (or ``old`` for
-    deletes) plus a ``change_op`` column in {'I','U','D'}; unchanged rows
-    are dropped. One full-outer hash join on ``keys``.
+    """Keyed diff of two snapshots → rows of ``new`` plus a ``change_op``
+    column in {'I','U','D'}; unchanged rows are dropped. One full-outer
+    hash join on ``keys``. D rows carry the (coalesced) key with NULL
+    value columns — the slim transport deliberately omits the deleted
+    payload; pass ``include_old=True`` when a consumer needs it.
 
     ``include_old=True`` additionally carries each pre-change value as
     ``__old_<col>`` (NULL for inserts). This widens the shuffle — the slim
@@ -89,6 +103,10 @@ def apply_changeset(old: DataFrame, changes: DataFrame, keys: list[str]) -> Data
     cond = [old[k].eqNullSafe(touched[f"__ck_{k}"]) for k in keys]
     kept = old.join(touched, cond, "left_anti")
     upserts = changes.filter(F.col("change_op") != "D").drop("change_op")
+    # an include_old=True changeset carries __old_<col> helper columns the
+    # target table does not have — drop them or the union raises (r06
+    # review: one shared diff must feed both this and incremental_agg_update)
+    upserts = upserts.drop(*[c for c in upserts.columns if c.startswith("__old_")])
     return kept.unionByName(upserts)
 
 
@@ -123,6 +141,22 @@ def incremental_agg_update(
     maintainable under deletes without keeping per-group heaps — recompute
     those groups instead.
     """
+    # fail fast on a diff built without include_old=True: the __old_
+    # fallbacks below would substitute NEW values (U) or NULL (D) for the
+    # retractions and the maintained aggregate would silently drift from a
+    # recompute (r06 review). A referenced column missing its __old_ twin
+    # is legitimate only when it is a diff KEY — in which case the diff
+    # carries __old_ twins for the other value columns.
+    needs_old = set(group_by) | set(sum_cols.values())
+    missing = sorted(
+        x for x in needs_old if f"__old_{x}" not in diff.columns
+    )
+    if missing and not any(c.startswith("__old_") for c in diff.columns):
+        raise ValueError(
+            f"incremental_agg_update: diff carries no __old_* columns — "
+            f"build it with snapshot_diff(..., include_old=True); columns "
+            f"{missing} would otherwise contribute wrong retraction values"
+        )
     new_side = diff.filter(F.col("change_op").isin("I", "U")).select(
         *[F.col(g).alias(f"__g_{g}") for g in group_by],
         F.lit(1).alias("__sign"),
@@ -183,7 +217,25 @@ def scd2_init(
 ) -> DataFrame:
     """Bootstrap a type-2 slowly-changing dimension from the first
     snapshot: every row open (``valid_to`` NULL, current) as of
-    ``effective_from`` (a timestamp literal)."""
+    ``effective_from`` (a timestamp literal). ``keys`` must uniquely
+    identify snapshot rows — duplicate keys would seed two open rows per
+    entity and every later ``scd2_apply`` diff would misclassify them, so
+    this validates up front (one bounded-count aggregate; r06 review: the
+    parameter was previously accepted but never used)."""
+    dup = (
+        snapshot.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        bad = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"scd2_init: snapshot keys {keys} are not unique (e.g. {bad} "
+            f"appears {dup[0]['__n']} times) — an SCD2 dimension needs one "
+            f"open row per entity"
+        )
     return snapshot.select(
         *snapshot.columns,
         F.lit(effective_from).cast("timestamp").alias(valid_from),

@@ -36,7 +36,17 @@ def write_bucketed(
         # their warehouse directories survive — clean both
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        # the managed-table directory is stored LOWERCASED, and a
+        # db-qualified name lives under '<db>.db/<table>' (r06 review: a
+        # mixed-case name missed the real directory and saveAsTable then
+        # failed with LOCATION_ALREADY_EXISTS)
+        parts = table.lower().split(".")
+        rel = (
+            os.path.join(f"{parts[0]}.db", parts[1])
+            if len(parts) == 2
+            else parts[0]
+        )
+        shutil.rmtree(os.path.join(wh, rel), ignore_errors=True)
 
     cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     writer = df.write.mode(mode).bucketBy(num_buckets, *cols)

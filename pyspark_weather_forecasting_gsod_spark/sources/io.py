@@ -162,7 +162,12 @@ def normalize_events_ts(df: DataFrame, ts_is_int64: bool) -> DataFrame:
     native NTZ timestamp → reinterpret as UTC instant (session tz is pinned
     UTC, so wall clock == instant, matching DuckDB's naive reader)."""
     if ts_is_int64:
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # floor division, not `div` (which truncates toward zero): a
+        # pre-epoch ns value like -1500 must floor to -2 µs to match
+        # DuckDB's reader (r06 review; pmod is always non-negative)
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+        )
     return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 

@@ -4,15 +4,24 @@ Plain parquet has no transactional MERGE (that's Delta/Iceberg territory —
 not available in this environment), so this implements the portable
 rewrite-merge: union existing + incoming, keep the winning row per key
 (incoming beats existing; ties inside each side broken by a version column),
-write to a staging directory, then swap. At scale the same logic runs
-per-partition (``partition_by``) so only partitions containing updated keys
-rewrite — the classic hive-style upsert.
+write to a writer-private staging directory, then swap via two renames.
+
+Concurrency contract: SINGLE WRITER per target (the same contract every
+hive-style rewrite-merge has). The uuid staging directory means a second
+writer can no longer corrupt the first's staging output (r06 review: a
+shared ``.__staging`` path let overwrite-mode writes delete each other
+mid-write), but two concurrent merges still last-write-win on the final
+swap — serialize writers, or use sources/versioned.py when history and
+concurrent commits matter. Readers racing the swap can hit the brief
+window between the two renames in which the target is absent; the
+versioned table is the isolation-correct alternative there too.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,8 +57,18 @@ def merge_upsert(
         .drop("__rn", "__src")
     )
 
-    staging = target_path.rstrip("/") + ".__staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # writer-private staging (errorifexists: a name collision is a bug,
+    # not something to overwrite), then swap: move the old table aside,
+    # rename staging in, drop the old data. Each rename is atomic; a crash
+    # between them leaves the merged data intact in the staging/trash dirs
+    # rather than silently losing the table to a rmtree-then-rename gap.
+    base = target_path.rstrip("/")
+    staging = f"{base}.__staging-{uuid.uuid4().hex}"
+    merged.write.mode("errorifexists").parquet(staging)
     if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(staging, target_path)
+        trash = f"{base}.__trash-{uuid.uuid4().hex}"
+        os.rename(target_path, trash)
+        os.rename(staging, target_path)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        os.rename(staging, target_path)

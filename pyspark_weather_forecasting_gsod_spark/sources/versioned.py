@@ -156,7 +156,8 @@ def vacuum(
     versions = list_versions(table_dir)
     drop = versions[:-keep_last]
     for v in drop:
-        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+        # ignore_errors: a concurrent vacuum may have removed it already
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
     if os.path.isdir(table_dir):
         now = time.time()
         for name in os.listdir(table_dir):

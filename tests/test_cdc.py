@@ -325,3 +325,82 @@ def test_scd2_snapshot_feed_versions_every_epoch(spark, tmp_path):
         r for r in final.collect() if r["k"] == 2 and not r["is_current"]
     ]
     assert len(closed2) == 1 and closed2[0]["attr"] == "b"
+
+
+def test_row_hash_complex_types_are_injective(spark):
+    """r06 review: cast('string') is not injective for arrays — ["a, b"]
+    vs ["a", "b"] rendered identically, so a real update was classified
+    unchanged. Complex columns hash via to_json now."""
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, ["a, b"])], "k long, v array<string>")
+    new = spark.createDataFrame([(1, ["a", "b"])], "k long, v array<string>")
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert len(got) == 1 and got[0]["change_op"] == "U"
+    # identical complex values still classify unchanged (no diff rows)
+    assert snapshot_diff(old, old, ["k"]).count() == 0
+
+
+def test_apply_changeset_accepts_include_old_diff(spark):
+    """r06 review: an include_old=True changeset used to crash the union
+    (the target lacks the __old_* helper columns)."""
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 11.0), (3, 30.0)], "k long, v double")
+    diff = snapshot_diff(old, new, ["k"], include_old=True)
+    got = {(r.k, r.v) for r in apply_changeset(old, diff, ["k"]).collect()}
+    assert got == {(1, 11.0), (3, 30.0)}
+
+
+def test_incremental_agg_update_rejects_diff_without_old_values(spark):
+    """r06 review: a diff built without include_old=True used to
+    silently corrupt the maintained aggregate (retractions fell back to
+    NEW values / NULL); it must raise instead."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import (
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a", 10.0)], "k long, g string, v double")
+    new = spark.createDataFrame([(1, "a", 99.0)], "k long, g string, v double")
+    agg = spark.createDataFrame([("a", 1, 10.0)], "g string, n_rows long, sv double")
+    diff = snapshot_diff(old, new, ["k"])  # include_old omitted
+    with pytest.raises(ValueError, match="include_old=True"):
+        incremental_agg_update(agg, diff, ["g"], {"sv": "v"})
+
+
+def test_scd2_init_rejects_duplicate_keys(spark):
+    """r06 review: the keys parameter was accepted but never used; it now
+    validates entity uniqueness up front."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.cdc import scd2_init
+
+    snap = spark.createDataFrame([(1, "x"), (1, "y")], "k long, attr string")
+    with pytest.raises(ValueError, match="not unique"):
+        scd2_init(snap, ["k"], "2024-01-01 00:00:00")
+
+
+def test_merge_upsert_concurrent_staging_paths_are_private(spark, tmp_path):
+    """r06 review: a shared .__staging path let a second writer's
+    overwrite delete the first's output mid-write; staging is now
+    uuid-private and the swap preserves the table through a crash window
+    (old data moves aside before the new rename lands)."""
+    import os
+
+    from pyspark_weather_forecasting_gsod_spark.sources.merge import merge_upsert
+
+    target = str(tmp_path / "t")
+    merge_upsert(spark, target, spark.createDataFrame([(1, 1.0)], "k long, v double"), ["k"])
+    merge_upsert(spark, target, spark.createDataFrame([(1, 2.0), (2, 5.0)], "k long, v double"), ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 2.0), (2, 5.0)}
+    # no staging/trash debris left behind
+    debris = [n for n in os.listdir(tmp_path) if "__staging" in n or "__trash" in n]
+    assert debris == []
