@@ -28,11 +28,15 @@ def sampled_feature_pandas(
     df: DataFrame, features_col: str = "features", max_rows: int = 10_000, seed: int = 42
 ):
     """Bounded driver export for explainability tooling: seeded sample →
-    Arrow ``toPandas`` (reference pulls the full matrix, ipynb:1829)."""
+    hard ``limit`` → Arrow ``toPandas`` (reference pulls the full matrix,
+    ipynb:1829). The limit is the actual bound — a Bernoulli fraction has
+    binomial variance, so sample() alone routinely exceeds max_rows (r06
+    review); the fraction's 10% headroom keeps the limit from biasing
+    toward early partitions more than a seeded sample already does."""
     n = df.count()
-    frac = min(1.0, max_rows / max(n, 1))
+    frac = min(1.0, 1.1 * max_rows / max(n, 1))
     sampled = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
-    return sampled.select(features_col).toPandas()
+    return sampled.limit(max_rows).select(features_col).toPandas()
 
 
 def shap_values(model_path: str, features_pdf) -> object:

@@ -152,11 +152,23 @@ def kfold_cv_regression(
     The featurized frame is cached once; each fold is one filter + fit +
     evaluate over it (k passes over cached partitions — at 100 TB you run
     this on the sampled dev slice, not the full corpus, like every CV).
-    Returns one dict of metrics per fold plus fold sizes."""
+    Returns one dict of metrics per fold plus fold sizes.
+
+    NULL keys fold on a sentinel, landing together in one deterministic
+    fold (r06 review: a NULL bucket failed BOTH fold filters, silently
+    dropping those rows from train AND test of every fold). Honesty note
+    on leakage: folds split the PRE-FEATURIZED frame, so any fit
+    statistics the upstream featurizer computed (scaler stddevs, indexer
+    vocabularies) saw the test rows; for strictly leak-free estimates fit
+    the feature pipeline inside each fold on its train split."""
     from ..operators.sampling import hash_bucket
     from pyspark.sql import functions as F
 
-    fold = hash_bucket(F.col(key_col), k, hex_chars=4)
+    fold = hash_bucket(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("__null_key__")),
+        k,
+        hex_chars=4,
+    )
     tagged = feat.withColumn("__fold", fold).persist()
     out = []
     try:
@@ -186,11 +198,17 @@ def kfold_cv_classification(
     """Classification twin of ``kfold_cv_regression``: same deterministic
     md5-bucket folds, GBT classifier per fold (the M8 capability), one
     metrics dict per fold. Fold membership is a pure function of the row
-    key — reproducible across runs and partitionings."""
+    key — reproducible across runs and partitionings. Same NULL-key
+    sentinel and pre-featurized-frame leakage caveat as the regression
+    twin."""
     from ..operators.sampling import hash_bucket
     from pyspark.sql import functions as F
 
-    fold = hash_bucket(F.col(key_col), k, hex_chars=4)
+    fold = hash_bucket(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("__null_key__")),
+        k,
+        hex_chars=4,
+    )
     tagged = feat.withColumn("__fold", fold).persist()
     out = []
     try:

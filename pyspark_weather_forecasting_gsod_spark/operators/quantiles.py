@@ -84,7 +84,9 @@ def quantile_bins(
     Deterministic: boundaries are exact percentiles, the fold is pure
     arithmetic, so (unlike MLlib's approx-quantile-backed discretizer)
     the binning is reproducible and engine-portable. Ties at a boundary
-    go to the lower bin (strict ``>``).
+    go to the lower bin (strict ``>``). NULL values get a NULL bin —
+    without the guard, ``IF(NULL > b, 1, 0)`` is 0 for every boundary and
+    NULLs silently polluted bin 0 (r06 review).
 
     Scale note: exact ``percentile`` buffers the column in one aggregate
     task — fine to ~10M rows; beyond that derive the boundaries from
@@ -100,7 +102,8 @@ def quantile_bins(
         ).alias("__bounds")
     )
     assign = F.expr(
-        f"aggregate(__bounds, 0, (acc, b) -> acc + IF({value_col} > b, 1, 0))"
+        f"IF({value_col} IS NULL, NULL, "
+        f"aggregate(__bounds, 0, (acc, b) -> acc + IF({value_col} > b, 1, 0)))"
     )
     return (
         df.crossJoin(F.broadcast(bounds))

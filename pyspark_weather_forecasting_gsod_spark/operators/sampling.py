@@ -38,8 +38,15 @@ def hash_split(
     train_pct: int = 80,
     out_col: str = "split",
 ) -> DataFrame:
-    """Tag each row 'train'/'test' by its key's hash bucket."""
-    bucket = hash_bucket(F.col(key))
+    """Tag each row 'train'/'test' by its key's hash bucket. NULL keys
+    hash on a sentinel, so they land together on ONE deterministic side —
+    without it the NULL comparison fell through ``when`` and the test set
+    was silently enriched with exactly the NULL-key population (r06
+    review); a NULL-key cohort is rarely a random slice, so keeping it
+    un-split (and deterministic) is the honest behavior."""
+    bucket = hash_bucket(
+        F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+    )
     return df.withColumn(
         out_col, F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
     )
@@ -211,20 +218,29 @@ def sampled_sum_estimate(
     and partitionings — which makes even the APPROXIMATE answer
     oracle-hashable, something no RNG-sampled estimator can offer. At
     100 TB this reads ``rate`` of the data (with a sample table
-    materialized once, it is also the always-on dashboard path)."""
+    materialized once, it is also the always-on dashboard path).
+
+    The REALIZED inclusion probability is quantized to whole buckets:
+    ``p = max(1, round(rate·buckets)) / buckets`` — and the estimator
+    scales by p, not by the requested rate (r06 review: scaling by a
+    non-realizable rate biased the estimate by up to 2×, and rates below
+    1/buckets silently produced an empty sample; now at least one bucket
+    always qualifies and the scale factor matches the filter exactly)."""
+    k = max(1, round(rate * buckets))
+    p = k / buckets
     b = hash_bucket(F.col(key), buckets, hex_chars=8)
-    s = df.filter(b < rate * buckets).select(F.col(value_col).alias("v"))
+    s = df.filter(b < k).select(F.col(value_col).alias("v"))
     n = F.count(F.lit(1)).cast("long")
     # Bernoulli-sampling variance of the scaled sum: Var = (1-p)/p² · Σv²
     # (NOT n·var(v)/p² — central variance drops the count-variation term
     # through mean², understating the CI by >2× on positive-valued sums)
-    se = F.sqrt(F.lit(1.0 - rate) * F.sum(F.col("v") * F.col("v"))) / rate
+    se = F.sqrt(F.lit(1.0 - p) * F.sum(F.col("v") * F.col("v"))) / p
     return s.agg(
         n.alias("n_sampled"),
-        (F.sum("v") / rate).alias("sum_est"),
-        (F.sum("v") / rate - 1.96 * se).alias("ci_low"),
-        (F.sum("v") / rate + 1.96 * se).alias("ci_high"),
-        (n / rate).cast("long").alias("count_est"),
+        (F.sum("v") / p).alias("sum_est"),
+        (F.sum("v") / p - 1.96 * se).alias("ci_low"),
+        (F.sum("v") / p + 1.96 * se).alias("ci_high"),
+        (n / p).cast("long").alias("count_est"),
     )
 
 

@@ -92,7 +92,19 @@ def cms_table(
 
     Unlike a sampled or randomized sketch, every cell value is exact and
     deterministic, so the whole estimation pipeline is oracle-hashable.
+    ``weight_col`` must be an integral type — a silent cast('long') on
+    fractional weights truncated 0.9 to 0 and falsified the 'exact sum'
+    guarantee (r06 review); widen the sketch to double cells if fractional
+    weights are ever needed.
     """
+    if weight_col is not None:
+        dt = dict(df.dtypes).get(weight_col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"cms_table: weight_col must be integral ({weight_col} is "
+                f"{dt}); cast explicitly or scale fractional weights to "
+                f"integers first"
+            )
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = F.array(
         *[
@@ -243,16 +255,11 @@ def histogram_table(
 
     One scan, one map-side-combined hash agg on ≤ bins keys. Values
     outside [lo, hi) clamp into the edge bins (min/max guards belong
-    upstream); NULLs are dropped.
+    upstream); NULLs are dropped. Thin wrapper over
+    ``grouped_histogram_table`` with no group columns (r06 review: the
+    bin-clamp expression existed twice and could drift).
     """
-    w = (hi - lo) / bins
-    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(b.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("bin_count"))
-    )
+    return grouped_histogram_table(df, [], value_col, lo, hi, bins)
 
 
 def histogram_quantiles(
@@ -266,39 +273,11 @@ def histogram_quantiles(
     cumulative histogram to the bin containing rank q·n and interpolate
     linearly inside it — worst-case error one bin width, deterministic.
     Input is ≤ bins rows, so every step here is sketch-table-sized; the
-    base data is never touched again. Returns (q, quantile_est)."""
-    from pyspark.sql.window import Window
-
-    w = (hi - lo) / bins
-    cum = hist.withColumn(
-        "cum",
-        F.sum("bin_count").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).withColumn("total", F.sum("bin_count").over(Window.partitionBy()))
-    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
-    rank = F.col("total") * F.col("q")
-    # per q: the first bin whose cumulative count reaches rank q·n — one
-    # pass over the (≤ bins × |qs|)-row cross of sketch table and quantile
-    # list, finished by a rank-1 window (WindowGroupLimit)
-    hit = cum.crossJoin(F.broadcast(qdf)).filter(F.col("cum") >= rank)
-    first = Window.partitionBy("q").orderBy("bin")
-    return (
-        hit.withColumn("__rn", F.row_number().over(first))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "q",
-            (
-                F.lit(lo)
-                + (
-                    F.col("bin")
-                    + (rank - (F.col("cum") - F.col("bin_count")))
-                    / F.col("bin_count")
-                )
-                * F.lit(w)
-            ).alias("quantile_est"),
-        )
-    )
+    base data is never touched again. Returns (q, quantile_est). Thin
+    wrapper over ``grouped_histogram_quantiles`` with no group columns
+    (r06 review: the cumulative-walk/interpolation formula existed twice
+    and could drift)."""
+    return grouped_histogram_quantiles(hist, [], qs, lo, hi, bins)
 
 
 def cms_join_size_estimate(

@@ -31,8 +31,10 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` ≤ ``left_ts`` within the same ``key`` (at-or-before; ties
-    at identical timestamps match). Right payload columns arrive as
-    ``<col><suffix>``; unmatched left rows get NULLs (left-outer asof).
+    at identical timestamps match; multiple right rows sharing a timestamp
+    resolve deterministically by payload hash). Right payload columns
+    arrive as ``<col><suffix>``; unmatched left rows get NULLs (left-outer
+    asof).
     """
     payload = F.struct(*[F.col(c) for c in right_cols])
     r2 = right.select(
@@ -40,6 +42,11 @@ def asof_join(
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__src"),
         payload.alias("__payload"),
+        # tie-break between right rows sharing (key, ts): payload hash —
+        # (__t, __src) alone is not a total order over duplicated right
+        # timestamps, so `last()` would pick whichever sorted last under
+        # the partition layout (r06 review: nondeterminism)
+        F.xxhash64(payload).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key],
     )
     l2 = left.select(
@@ -47,6 +54,7 @@ def asof_join(
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__src"),
         F.lit(None).cast(r2.schema["__payload"].dataType).alias("__payload"),
+        F.lit(0).cast("long").alias("__tie"),
         *[F.col(c) for c in left.columns if c != key],
     )
     unioned = r2.unionByName(l2)
@@ -54,7 +62,7 @@ def asof_join(
     # timestamps match, exactly like ASOF JOIN's `l.t >= r.t`
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t"), F.col("__src"))
+        .orderBy(F.col("__t"), F.col("__src"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(
@@ -78,6 +86,14 @@ def range_join_within(
     within ``tolerance_sec`` of each other — as an equi-join on coarse time
     buckets (3 candidates per row) plus the exact filter, never a
     nested-loop theta join."""
+    if tolerance_sec <= 0:
+        # tol 0 would put `div 0` (NULL) in every bucket expression and
+        # silently return nothing (r06 review); exact-timestamp matching
+        # is a plain equi-join, not a range join
+        raise ValueError(
+            "range_join_within requires tolerance_sec > 0; for exact "
+            "timestamp matches use an equi-join on (key, ts)"
+        )
     tol_us = tolerance_sec * 1_000_000
     lb = F.unix_micros(F.col(left_ts))
     rb = F.unix_micros(F.col(right_ts))

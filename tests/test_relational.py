@@ -168,3 +168,86 @@ def test_cap_per_group_hash_and_quality_modes(spark):
 
     with pytest.raises(ValueError, match="__cap_rn"):
         cap_per_group(df.withColumn("__cap_rn", F.lit(1)), "g", 5, id_col="id")
+
+
+def test_r06_null_and_edge_guards(spark):
+    """r06 review fixes across operator files, pinned in one place:
+    quantile_bins gives NULL values a NULL bin (not bin 0); hash_split
+    routes NULL keys to one deterministic side (not silently all-test);
+    sampled_sum_estimate scales by the REALIZED bucket-quantized rate;
+    range_join_within refuses tolerance 0 (div-by-zero → empty result);
+    cms_table refuses fractional weights (silent truncation); k-fold CV
+    keeps NULL-key rows (they fold together instead of vanishing)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import quantile_bins
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import (
+        hash_split,
+        sampled_sum_estimate,
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import cms_table
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        range_join_within,
+    )
+
+    # quantile_bins: NULL value -> NULL bin
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)] + [(99, None)], "id long, v double"
+    )
+    bins = {r.id: r.bin for r in quantile_bins(df, "v", n_bins=4).collect()}
+    assert bins[99] is None and bins[1] == 0 and bins[20] == 3
+
+    # hash_split: NULL keys all land on ONE side, deterministically
+    ndf = spark.createDataFrame(
+        [(None,)] * 10 + [(str(i),) for i in range(50)], "k string"
+    )
+    split = hash_split(ndf, "k")
+    null_sides = (
+        split.filter("k IS NULL").select("split").distinct().collect()
+    )
+    assert len(null_sides) == 1
+    again = hash_split(ndf, "k").filter("k IS NULL").select("split").distinct().collect()
+    assert null_sides == again
+
+    # sampled_sum_estimate: sub-1/buckets rate no longer yields an empty
+    # sample; the scale matches the realized one-bucket probability
+    small = spark.createDataFrame(
+        [(str(i), 1.0) for i in range(2000)], "k string, v double"
+    )
+    est = sampled_sum_estimate(small, "k", "v", rate=1e-7, buckets=100).first()
+    assert est["n_sampled"] > 0  # one bucket (p=1/100) always qualifies
+    assert est["count_est"] == est["n_sampled"] * 100
+
+    # range_join_within: tolerance 0 raises instead of returning empty
+    ev = spark.createDataFrame(
+        [Row(k=1, ts=__import__("datetime").datetime(2024, 1, 1))]
+    )
+    with pytest.raises(ValueError, match="tolerance_sec > 0"):
+        range_join_within(ev, ev, "k", "ts", "ts", 0, [])
+
+    # cms_table: fractional weights refused, integral accepted
+    wdf = spark.createDataFrame([("a", 0.9), ("b", 1.5)], "k string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        cms_table(wdf, "k", weight_col="w")
+    idf = spark.createDataFrame([("a", 2), ("b", 3)], "k string, w int")
+    total = sum(r["cell_count"] for r in cms_table(idf, "k", depth=1, width=4, weight_col="w").collect())
+    assert total == 5
+
+
+def test_kfold_cv_keeps_null_key_rows(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ml.features import assemble_features
+    from pyspark_weather_forecasting_gsod_spark.ml.models import kfold_cv_regression
+
+    df = spark.createDataFrame(
+        [(str(i) if i % 4 else None, float(i), float(2 * i)) for i in range(1, 81)],
+        "k string, x double, y double",
+    )
+    feat = df.select("k", "y", F.array("x").cast("array<double>").alias("arr"))
+    from pyspark.ml.functions import array_to_vector
+
+    feat = feat.withColumn("features", array_to_vector("arr"))
+    metrics = kfold_cv_regression(feat, "y", "k", k=4)
+    assert sum(m["n_test"] for m in metrics) == 80  # no silently dropped rows
