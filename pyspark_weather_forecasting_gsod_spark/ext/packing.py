@@ -47,7 +47,10 @@ def pack_sequences(
     One shuffle (hash on ``shard``) + per-partition sort; everything else is
     a projection, so the plan is a single exchange regardless of corpus size.
     """
-    shard = (F.col(id_col) % F.lit(shards)).cast("long").alias("shard")
+    # pmod, not %: the sign-preserving % maps negative ids (e.g.
+    # xxhash64-derived) to negative shards outside [0, shards), which a
+    # worker-to-shard mapping would silently never read (r06 review)
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -61,17 +64,21 @@ def pack_sequences(
     )
 
 
-def packing_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+def packing_stats(
+    packed: DataFrame, budget: int = 2048, token_col: str = "n_tokens"
+) -> DataFrame:
     """Per-(shard, seq) packing report: docs per sequence and fill ratio.
 
     ``fill`` can exceed 1.0 when a document spills past the chunk boundary
     (its tokens belong to later chunks); the *average* fill converging to
-    ~1.0 is the packing-efficiency acceptance signal.
-    """
+    ~1.0 is the packing-efficiency acceptance signal. ``token_col`` and
+    ``budget`` must match the values given to ``pack_sequences`` (r06
+    review: the column name was hardcoded, so a non-default ``token_col``
+    crashed — or silently summed a stale column)."""
     return packed.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("seq_tokens"),
-        F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill"),
+        F.sum(token_col).alias("seq_tokens"),
+        F.round(F.sum(token_col) / F.lit(budget), 4).alias("fill"),
     )
 
 
@@ -100,8 +107,14 @@ def chunk_windows(
     """
     if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
         raise ValueError("need 0 < stride <= chunk_size")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+    # drop empty tokens (split(trim('')) is ['']) and token-free docs:
+    # an empty/whitespace doc used to emit a phantom chunk with
+    # n_chunk_tokens=1, and a NULL doc a row of NULLs (r06 review);
+    # size(NULL) is -1, so the filter removes NULL-text docs too
+    toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
     # starts 1 + k·stride for k = 0..K with K = ⌈max(0, n - chunk)/stride⌉:
     # the last window is the first whose end reaches the final token (it
     # may be shorter than chunk_size — slice clamps at the end)

@@ -40,6 +40,15 @@ from pyspark.sql import functions as F
 #: distinguishes "t h e </w>" from the prefix "t h e" of "t h e m </w>".
 EOW = "▁"
 
+#: word separator: whitespace PLUS the EOW char itself. A corpus word
+#: containing U+2581 (common in ML-adjacent text — tokenizer dumps, model
+#: cards) would otherwise smuggle a fake word boundary into the symbol
+#: stream, corrupting merges and the lossless-roundtrip property (r06
+#: review). Treating it as a separator is exactly SentencePiece's own
+#: convention (it REPLACES whitespace with U+2581), so text that already
+#: contains it is pre-tokenized content whose boundaries we honor.
+WORD_SEP = r"[\s▁]+"
+
 
 def _merge_fold(arr_sql: str, a: str, b: str) -> str:
     """SQL expression applying merge rule (a, b) -> a||b to a symbol array
@@ -72,7 +81,7 @@ def word_symbol_table(
     pre-split into its initial character symbols plus the ``EOW`` marker.
     Everything after this operates on |vocab| rows."""
     words = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        F.explode(F.split(F.trim(F.col(text_col)), WORD_SEP)).alias("word")
     ).filter(F.col("word") != "")
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
     syms = F.expr(f"concat(split(word, ''), array('{EOW}'))")
@@ -191,7 +200,7 @@ def bpe_encode(
         inner = _merge_fold(inner, rule[0], rule[1])
     encode = (
         f"flatten(transform("
-        f"filter(split(trim({text_col}), '\\\\s+'), w -> w != ''), "
+        f"filter(split(trim({text_col}), '[\\\\s▁]+'), w -> w != ''), "
         f"w -> {inner}))"
     )
     return df.withColumn(out_col, F.expr(encode)).withColumn(
@@ -234,7 +243,7 @@ def bpe_encode_by_dict(
         inner = _merge_fold(inner, rule[0], rule[1])
     words = (
         df.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(F.trim(F.col(text_col)), WORD_SEP)).alias("word")
         )
         .filter(F.col("word") != "")
         .distinct()
@@ -242,7 +251,7 @@ def bpe_encode_by_dict(
     )
     exploded = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+        F.posexplode(F.split(F.trim(F.col(text_col)), WORD_SEP)).alias(
             "__pos", "word"
         ),
     ).filter(F.col("word") != "")
@@ -257,17 +266,17 @@ def bpe_encode_by_dict(
         )
         .withColumn("n_bpe_tokens", F.size(out_col))
     )
-    # empty/whitespace-only docs produce no words: keep them with empty
-    # token arrays so the output is one row per input row, like bpe_encode
+    # contract parity with bpe_encode (r06 review): ALL original columns
+    # pass through (a pipeline swapping encoders must not lose labels/
+    # metadata); empty/whitespace docs get an empty token array; NULL text
+    # gets NULL tokens (bpe_encode's expression propagates the NULL), and
+    # n_bpe_tokens is recomputed as size(out_col) so both encoders agree
+    # on every row class.
+    tokens = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col(out_col), F.expr("CAST(array() AS ARRAY<STRING>)"))
+    )
     return (
-        df.select(id_col, text_col)
-        .join(assembled, id_col, "left")
-        .select(
-            id_col,
-            text_col,
-            F.coalesce(
-                out_col, F.expr("CAST(array() AS ARRAY<STRING>)")
-            ).alias(out_col),
-            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
-        )
+        df.join(assembled.select(id_col, out_col), id_col, "left")
+        .withColumn(out_col, tokens)
+        .withColumn("n_bpe_tokens", F.size(out_col))
     )

@@ -28,8 +28,22 @@ def salted_join(
     ``other`` (the non-skewed side) is exploded ``num_salts``× — keep it the
     smaller side. ``salt_src`` picks the salting expression (default: a hash
     of the whole row via ``xxhash64`` over all columns — deterministic, no
-    rand() partition sensitivity). Result equals the plain join exactly.
+    rand() partition sensitivity). Result equals the plain join exactly —
+    for the INNER/LEFT family only, which is why other join types are
+    rejected: a replicated right row whose salt matches no left row would
+    survive a right/full outer join as a spurious null-padded duplicate
+    (r06 review: verified num_salts-1 fabricated rows per unmatched right
+    row). To salt a right join, swap the inputs and use how='left'.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit one spurious null-padded "
+            f"row per unmatched (right row, salt) replica; only the "
+            f"inner/left join family preserves plain-join semantics under "
+            f"right-side replication — swap the inputs for a right join"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = (
         F.pmod(salt_src, F.lit(num_salts))

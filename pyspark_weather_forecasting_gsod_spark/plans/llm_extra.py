@@ -897,8 +897,13 @@ _STRIDE = 24
 @query(
     "doc_chunk_windows",
     f"""
-    WITH t AS (
-        SELECT doc_id, {_TOKS} AS toks FROM documents
+    WITH t0 AS (
+        -- list_filter '' + len>0 mirror the engine: empty/whitespace/NULL
+        -- docs emit NO chunks (phantom ''-token chunks otherwise)
+        SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+        FROM documents
+    ), t AS (
+        SELECT doc_id, toks FROM t0 WHERE len(toks) > 0
     ), c AS (
         SELECT doc_id, CAST(k AS INT) AS chunk_id,
                CAST(1 + k * {_STRIDE} AS INT) AS chunk_start,

@@ -55,6 +55,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate silently IGNORES every builder config when a session
+    # already exists — a notebook/test that built one first would get
+    # local-time date parts and an unreadable NANOS events table (r06
+    # review). Re-assert the runtime-settable confs on whatever came back;
+    # the static ones (driver memory, UI) genuinely can't change
+    # post-start, which is fine — they don't affect results.
+    tune(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a pre-existing session: not settable
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

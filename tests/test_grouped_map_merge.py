@@ -118,3 +118,50 @@ def test_property_imputation_never_modifies_non_null(spark):
             assert all(v is not None for _, v in after_all)
 
     check()
+
+
+def test_r06_packing_skew_session_guards(spark):
+    """r06 review fixes: pack_sequences uses pmod (negative ids stayed in
+    [0, shards)); packing_stats takes token_col; chunk_windows emits no
+    phantom chunks for empty/NULL docs; salted_join rejects outer joins
+    that would fabricate null-padded rows."""
+    import pytest
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.packing import (
+        chunk_windows,
+        pack_sequences,
+        packing_stats,
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.skew import salted_join
+
+    # pmod shard on negative ids
+    df = spark.createDataFrame(
+        [Row(doc_id=-5, n_toks=10), Row(doc_id=7, n_toks=20)]
+    )
+    packed = pack_sequences(df, "doc_id", "n_toks", budget=16, shards=4)
+    shards = {r.doc_id: r.shard for r in packed.collect()}
+    assert shards[-5] == 3 and shards[7] == 3  # pmod(-5,4)=3, 7%4=3
+    # packing_stats honors token_col
+    stats = packing_stats(packed, budget=16, token_col="n_toks").collect()
+    assert sum(r.n_docs for r in stats) == 2
+
+    # chunk_windows: junk docs emit nothing; real docs still chunk
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="  "),
+         Row(doc_id=3, text=None), Row(doc_id=4, text="")]
+    )
+    chunks = chunk_windows(docs, chunk_size=3, stride=2).collect()
+    assert {r.doc_id for r in chunks} == {1}
+    assert all(r.n_chunk_tokens > 0 for r in chunks)
+
+    # salted_join: outer joins rejected, left family still exact
+    left = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k long, l string")
+    right = spark.createDataFrame([(1, "r1"), (3, "r3")], "k long, r string")
+    want = {(r.k, r.l, r.r) for r in left.join(right, "k", "left").collect()}
+    got = {(r.k, r.l, r.r) for r in salted_join(left, right, "k", 4, how="left").collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="spurious"):
+        salted_join(left, right, "k", 4, how="full")
+    with pytest.raises(ValueError, match="spurious"):
+        salted_join(left, right, "k", 4, how="right")

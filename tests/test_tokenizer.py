@@ -136,3 +136,40 @@ def test_dict_encode_equals_fold_encode(spark, sf_dir):
         for r in bpe_encode_by_dict(docs, merges, "doc_id").collect()
     }
     assert fold == via_dict
+
+
+def test_dict_encode_contract_parity_with_fold_encode(spark):
+    """r06 review: bpe_encode_by_dict must preserve ALL input columns and
+    agree with bpe_encode on NULL/empty/whitespace text, and a corpus word
+    containing the EOW char (U+2581) must not smuggle a fake boundary."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.tokenizer import (
+        bpe_encode,
+        bpe_encode_by_dict,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low low lower", label="a"),
+            Row(doc_id=2, text="", label="b"),
+            Row(doc_id=3, text="   ", label="c"),
+            Row(doc_id=4, text=None, label="d"),
+            Row(doc_id=5, text="foo▁bar low", label="e"),
+        ]
+    )
+    merges = bpe_train(docs, num_merges=3)
+    a = bpe_encode(docs, merges)
+    b = bpe_encode_by_dict(docs, merges, "doc_id")
+    assert set(a.columns) == set(b.columns)  # label survives both paths
+    rows_a = {r.doc_id: (r.bpe_tokens, r.label) for r in a.collect()}
+    rows_b = {r.doc_id: (r.bpe_tokens, r.label) for r in b.collect()}
+    assert rows_a == rows_b
+    assert rows_a[4][0] is None  # NULL text -> NULL tokens in BOTH
+    assert rows_a[2][0] == [] and rows_a[3][0] == []
+    # U+2581 acts as a separator: 'foo▁bar' contributes words foo and bar,
+    # and no learned symbol ever contains a mid-word EOW
+    toks5 = rows_a[5][0]
+    joined = "".join(toks5)
+    assert "foo▁" in joined and "bar▁" in joined  # two words, two EOWs
