@@ -203,9 +203,12 @@ def bpe_encode(
         f"filter(split(trim({text_col}), '[\\\\s▁]+'), w -> w != ''), "
         f"w -> {inner}))"
     )
-    return df.withColumn(out_col, F.expr(encode)).withColumn(
-        "n_bpe_tokens", F.size(out_col)
-    )
+    # NULL text → NULL tokens → NULL count: F.size(NULL) is -1 under the
+    # legacy default, which would subtract from token-count SUMs (r06
+    # review); NULL counts are skipped by aggregates, which is the honest
+    # behavior for a row with no text
+    n = F.when(F.col(out_col).isNull(), F.lit(None)).otherwise(F.size(out_col))
+    return df.withColumn(out_col, F.expr(encode)).withColumn("n_bpe_tokens", n)
 
 
 def merges_as_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
@@ -278,5 +281,10 @@ def bpe_encode_by_dict(
     return (
         df.join(assembled.select(id_col, out_col), id_col, "left")
         .withColumn(out_col, tokens)
-        .withColumn("n_bpe_tokens", F.size(out_col))
+        .withColumn(
+            "n_bpe_tokens",
+            F.when(F.col(out_col).isNull(), F.lit(None)).otherwise(
+                F.size(out_col)
+            ),
+        )
     )

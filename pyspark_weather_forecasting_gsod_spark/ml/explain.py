@@ -34,8 +34,17 @@ def sampled_feature_pandas(
     review); the fraction's 10% headroom keeps the limit from biasing
     toward early partitions more than a seeded sample already does."""
     n = df.count()
-    frac = min(1.0, 1.1 * max_rows / max(n, 1))
-    sampled = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+    if n > max_rows:
+        # always sample when over the cap: in the window where the
+        # 1.1-inflated fraction clamps to 1.0, fall back to the exact
+        # ratio — otherwise the export degraded to a scan-order prefix
+        # with no randomness at all (r06 review)
+        frac = 1.1 * max_rows / n
+        if frac >= 1.0:
+            frac = max_rows / n
+        sampled = df.sample(fraction=frac, seed=seed)
+    else:
+        sampled = df
     return sampled.limit(max_rows).select(features_col).toPandas()
 
 

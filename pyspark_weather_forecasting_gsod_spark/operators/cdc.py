@@ -27,14 +27,23 @@ def _row_hash(df: DataFrame, keys: list[str]) -> F.Column:
     Complex types (array/map/struct) render via ``to_json`` — an
     injective encoding — because ``cast('string')`` is not: ["a, b"] and
     ["a", "b"] both render '[a, b]', which would classify a real update
-    as unchanged (r06 review)."""
+    as unchanged (r06 review). Top-level MAP columns serialize as their
+    key-sorted entry array (maps have no canonical entry order, so raw
+    to_json would hash equal maps differently and emit spurious updates
+    every run), and null fields are kept (ignoreNullFields would collapse
+    map('k'->null) with map()). Maps NESTED inside arrays/structs keep
+    to_json's stored order — don't diff on those without canonicalizing
+    upstream."""
     dtypes = dict(df.dtypes)
     vals = [c for c in df.columns if c not in keys]
+    opts = {"ignoreNullFields": "false"}
 
     def _canon(c: str) -> F.Column:
         dt = dtypes[c]
-        if dt.startswith(("array", "map", "struct")):
-            return F.to_json(F.col(c))
+        if dt.startswith("map"):
+            return F.to_json(F.array_sort(F.map_entries(F.col(c))), opts)
+        if dt.startswith(("array", "struct")):
+            return F.to_json(F.col(c), opts)
         return F.col(c).cast("string")
 
     parts = [

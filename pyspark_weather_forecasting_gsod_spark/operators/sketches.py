@@ -98,7 +98,11 @@ def cms_table(
     weights are ever needed.
     """
     if weight_col is not None:
-        dt = dict(df.dtypes).get(weight_col)
+        # case-insensitive lookup, matching Spark's column resolution
+        dt = next(
+            (d for nm, d in df.dtypes if nm.lower() == weight_col.lower()),
+            None,
+        )
         if dt not in ("tinyint", "smallint", "int", "bigint"):
             raise ValueError(
                 f"cms_table: weight_col must be integral ({weight_col} is "

@@ -40,8 +40,15 @@ def get_spark(
     ~2-3x total executor cores (AQE coalesces the excess at runtime).
     """
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # remember whether the caller actually expressed a parallelism intent:
+    # on a PRE-EXISTING session an unrequested default must not clobber a
+    # deliberately configured shuffle width (r06 review)
+    explicit_shuffle = (
+        shuffle_partitions is not None or "SPARK_GRAFT_CPUS" in os.environ
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pre_existing = SparkSession.getActiveSession() is not None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -62,7 +69,8 @@ def get_spark(
     # the static ones (driver memory, UI) genuinely can't change
     # post-start, which is fine — they don't affect results.
     tune(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not pre_existing or explicit_shuffle:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         try:
             spark.conf.set(k, v)

@@ -36,16 +36,18 @@ def write_bucketed(
         # their warehouse directories survive — clean both
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        # the managed-table directory is stored LOWERCASED, and a
-        # db-qualified name lives under '<db>.db/<table>' (r06 review: a
-        # mixed-case name missed the real directory and saveAsTable then
-        # failed with LOCATION_ALREADY_EXISTS)
-        parts = table.lower().split(".")
-        rel = (
-            os.path.join(f"{parts[0]}.db", parts[1])
-            if len(parts) == 2
-            else parts[0]
-        )
+        # the managed-table directory is stored LOWERCASED; a db-qualified
+        # name lives under '<db>.db/<table>' EXCEPT the default database,
+        # whose tables sit directly under the warehouse root; a 3-part
+        # name's catalog prefix is not a directory (r06 review: mixed-case
+        # and default-db names missed the real directory — saveAsTable
+        # then failed with LOCATION_ALREADY_EXISTS — and a 3-part name
+        # could rmtree an unrelated '<catalog>' path)
+        parts = table.lower().split(".")[-2:]
+        if len(parts) == 2 and parts[0] != "default":
+            rel = os.path.join(f"{parts[0]}.db", parts[1])
+        else:
+            rel = parts[-1]
         shutil.rmtree(os.path.join(wh, rel), ignore_errors=True)
 
     cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)

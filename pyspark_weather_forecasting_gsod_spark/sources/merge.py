@@ -64,7 +64,13 @@ def merge_upsert(
     # rather than silently losing the table to a rmtree-then-rename gap.
     base = target_path.rstrip("/")
     staging = f"{base}.__staging-{uuid.uuid4().hex}"
-    merged.write.mode("errorifexists").parquet(staging)
+    try:
+        merged.write.mode("errorifexists").parquet(staging)
+    except Exception:
+        # a failed write must not leak a uniquely-named orphan per attempt
+        # (nothing sweeps these siblings of the target — r06 review)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     if os.path.exists(target_path):
         trash = f"{base}.__trash-{uuid.uuid4().hex}"
         os.rename(target_path, trash)
