@@ -63,6 +63,12 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w_expr.alias("__w")
     )
+    if weight_col:
+        # PageRank weights are transition propensities: non-positive edges
+        # carry no mass (and a src whose weights summed to 0 would divide
+        # by zero under ANSI mode — r06 review); dropping them here makes
+        # such a src an ordinary dangling node
+        e = e.filter(F.col("__w") > 0)
     if not assume_distinct:
         # multi-edges would double-count contributions; callers that built
         # the edge list with their own DISTINCT skip this pass (weighted
@@ -79,6 +85,12 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        raise ValueError(
+            "pagerank: the (positive-weight) edge list is empty — no graph "
+            "to rank"
+        )
     # weighted: contributions split ∝ edge weight (out-"degree" = Σ weights)
     outdeg = e.groupBy("__src").agg(
         (F.sum("__w") if weight_col else F.count(F.lit(1)).cast("double")).alias("__deg")
@@ -192,11 +204,15 @@ def build_graph(
             if weight_col
             else e.distinct()
         )
+    # the collapse + degree agg feed BOTH the edge write and the nodes
+    # write — persist so the most expensive pass runs once, not twice
+    # (r06 review), released before return
+    e = e.persist()
     outdeg = e.groupBy("__src").agg(
         (F.sum("__w") if weight_col else F.count(F.lit(1)).cast("double")).alias(
             "__deg"
         )
-    )
+    ).persist()
     edge_deg = e.join(outdeg, "__src")
     # sorted-within-bucket so the per-iteration merge join skips its sort
     # on the edge side as well as its exchange
@@ -215,17 +231,15 @@ def build_graph(
         )
         .select("node", F.coalesce("__deg", F.lit(0.0)).alias("out_degree"))
     )
-    # same stale-location cleanup as write_bucketed: the in-memory catalog
-    # forgets tables across sessions but their warehouse dirs survive
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    # shared cleanup (r06 review: the inlined copy missed the lowercased /
+    # db-qualified warehouse paths write_bucketed's helper handles)
+    from ..sources.bucketing import drop_managed_table
 
     spark = edges.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}_nodes")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, f"{table}_nodes"), ignore_errors=True)
+    drop_managed_table(spark, f"{table}_nodes")
     nodes.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_nodes")
+    e.unpersist()
+    outdeg.unpersist()
 
 
 def pagerank_on(
@@ -249,6 +263,11 @@ def pagerank_on(
     edge_deg = spark.table(table)
     nodes_t = spark.table(f"{table}_nodes")
     n = nodes_t.count()
+    if n == 0:
+        raise ValueError(
+            f"pagerank_on: graph table {table!r} holds no nodes — it was "
+            f"built from an empty edge list"
+        )
     nodes = nodes_t.select(F.col("node").alias(node_col))
     ranks = _power_loop(
         nodes, n, edge_deg, iterations, damping, node_col, rank_col,

@@ -110,7 +110,13 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            # a silently-short slice would decode partial samples without
+            # error (r06 review) — refuse, like decode_bmp does
+            raise ValueError(f"WAV {cid!r} chunk truncated")
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -215,6 +221,15 @@ WAV_DECODE_SCHEMA = T.StructType(
 )
 
 
+def _nonnull(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
+    """Shared pre-filter for every Arrow-batched wrapper: a single NULL
+    payload/text row would otherwise crash the whole task 4 retries deep
+    inside pandas (``bytes(None)``/``None.encode`` — r06 review). Rows
+    with nothing to decode produce no feature row, the same contract as
+    ``chunk_windows`` on NULL text."""
+    return df.select(id_col, value_col).filter(F.col(value_col).isNotNull())
+
+
 def decode_bmp_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -239,7 +254,7 @@ def decode_bmp_features(
                 out["mean_pixel"].append(d["mean_pixel"])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(process, BMP_DECODE_SCHEMA)
+    return _nonnull(df, id_col, payload_col).mapInPandas(process, BMP_DECODE_SCHEMA)
 
 
 def decode_wav_features(
@@ -264,7 +279,7 @@ def decode_wav_features(
                 out["mean_abs"].append(d["mean_abs"])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(process, WAV_DECODE_SCHEMA)
+    return _nonnull(df, id_col, payload_col).mapInPandas(process, WAV_DECODE_SCHEMA)
 
 
 def attach_media_payload(
@@ -301,7 +316,7 @@ def attach_media_payload(
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return df.select(id_col, text_col).mapInPandas(process, schema)
+    return _nonnull(df, id_col, text_col).mapInPandas(process, schema)
 
 
 def _fake_feature(payload: bytes, dim: int = 4) -> list[float]:
@@ -348,7 +363,7 @@ def decode_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, DECODE_OUTPUT_SCHEMA)
+    return _nonnull(df, id_col, payload_col).mapInPandas(process, DECODE_OUTPUT_SCHEMA)
 
 
 FRAME_OUTPUT_SCHEMA = T.StructType(
@@ -399,7 +414,7 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame_digest": digs}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, FRAME_OUTPUT_SCHEMA)
+    return _nonnull(df, id_col, payload_col).mapInPandas(process, FRAME_OUTPUT_SCHEMA)
 
 
 RESIZE_OUTPUT_SCHEMA = T.StructType(
@@ -447,7 +462,7 @@ def resize_payload(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, RESIZE_OUTPUT_SCHEMA)
+    return _nonnull(df, id_col, payload_col).mapInPandas(process, RESIZE_OUTPUT_SCHEMA)
 
 
 def dhash_bmp(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
@@ -521,7 +536,7 @@ def bmp_dhash_features(
                 }
             )
 
-    return mm.select(id_col, payload_col).mapInPandas(
+    return _nonnull(mm, id_col, payload_col).mapInPandas(
         process, f"{id_col} long, {out_col} long"
     )
 
@@ -539,14 +554,32 @@ def ahash_wav(payload: bytes, hash_bits: int = 64) -> int:
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, data = 12, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
-        if cid == b"data":
-            data = payload[pos + 8 : pos + 8 + csize]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"WAV {cid!r} chunk truncated")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
         pos += 8 + csize + (csize & 1)
-    if data is None:
-        raise ValueError("WAV missing data chunk")
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, _rate, _brate, _balign, bits = fmt
+    # fingerprinting non-PCM16 bytes as int16 pairs yields deterministic
+    # garbage, and interleaved stereo never matches its own mono downmix —
+    # refuse, per this module's decoder contract (r06 review)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if channels != 1:
+        raise ValueError(
+            f"ahash_wav fingerprints mono streams only ({channels} channels)"
+            " — downmix before hashing"
+        )
     n = len(data) // 2
     samples = struct.unpack(f"<{n}h", data[: n * 2])
     segs = hash_bits + 1
@@ -583,6 +616,6 @@ def wav_ahash_features(
                 }
             )
 
-    return mm.select(id_col, payload_col).mapInPandas(
+    return _nonnull(mm, id_col, payload_col).mapInPandas(
         process, f"{id_col} long, {out_col} long"
     )

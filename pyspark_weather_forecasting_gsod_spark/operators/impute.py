@@ -33,6 +33,15 @@ def _order_cols(order_by: Sequence[str]):
     return [F.col(c) for c in order_by]
 
 
+def _ordered_out(cols: list[str], out_col: str, filled) -> list:
+    """Projection preserving the INPUT column order: the filled expression
+    replaces ``out_col`` in place when overwriting, else appends (r06
+    review: emitting the imputed column last silently reordered the schema,
+    misaligning positional consumers like union/insertInto)."""
+    if out_col in cols:
+        return [filled.alias(out_col) if c == out_col else F.col(c) for c in cols]
+    return [F.col(c) for c in cols] + [filled.alias(out_col)]
+
 def impute_with_group_median(
     df: DataFrame,
     column: str,
@@ -70,9 +79,8 @@ def impute_with_group_median(
     joined = df.join(group_med, on=group_cols, how="left").join(
         F.broadcast(global_med)
     )
-    filled = F.coalesce(F.col(column), F.col(med_col), F.col(gmed_col)).alias(out_col)
-    keep = [c for c in df.columns if c != out_col]
-    return joined.select(*keep, filled)
+    filled = F.coalesce(F.col(column), F.col(med_col), F.col(gmed_col))
+    return joined.select(*_ordered_out(df.columns, out_col, filled))
 
 
 def proximity_mean_impute(
@@ -185,13 +193,9 @@ def fixed_proximity_impute(
     frame_mean = F.avg(column).over(w)
     gmed = df.agg(F.median(column).alias("__gmed"))
     filled = df.withColumn("__frame", F.when(F.col(column).isNull(), frame_mean))
-    keep = [c for c in df.columns if c != out_col]
-    return (
-        filled.join(F.broadcast(gmed))
-        .select(
-            *keep,
-            F.coalesce(F.col(column), F.col("__frame"), F.col("__gmed")).alias(out_col),
-        )
+    out_expr = F.coalesce(F.col(column), F.col("__frame"), F.col("__gmed"))
+    return filled.join(F.broadcast(gmed)).select(
+        *_ordered_out(df.columns, out_col, out_expr)
     )
 
 
@@ -280,10 +284,9 @@ def seasonal_median_impute(
     if fallback is not None:
         return fallback(merged)
     gmed = df.agg(F.median(column).alias("__gmed"))
-    keep = [c for c in merged.columns if c != out_col]
-    return (
-        merged.join(F.broadcast(gmed))
-        .select(*keep, F.coalesce(F.col(out_col), F.col("__gmed")).alias(out_col))
+    out_expr = F.coalesce(F.col(out_col), F.col("__gmed"))
+    return merged.join(F.broadcast(gmed)).select(
+        *_ordered_out(merged.columns, out_col, out_expr)
     )
 
 
@@ -322,8 +325,9 @@ def forward_fill(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last(column, ignorenulls=True).over(w)
-    keep = [c for c in df.columns if c != out_col]
-    return df.select(*keep, F.coalesce(F.col(column), carried).alias(out_col))
+    return df.select(
+        *_ordered_out(df.columns, out_col, F.coalesce(F.col(column), carried))
+    )
 
 
 def linear_interpolate(
@@ -374,8 +378,7 @@ def linear_interpolate(
         )
         .otherwise(F.coalesce(prev_v, next_v))
     )
-    keep = [c for c in df.columns if c != out_col]
-    return df.select(*keep, filled.alias(out_col))
+    return df.select(*_ordered_out(df.columns, out_col, filled))
 
 
 def zero_impute(df: DataFrame, columns: dict[str, float]) -> DataFrame:

@@ -86,32 +86,31 @@ def grouped_linear_trend(
     """Per-group ordinary-least-squares trend line in ONE aggregate pass —
     the "millions of tiny regressions" shape (per-station temperature
     trends, per-user drift): closed-form OLS from the five sufficient
-    statistics (n, Σx, Σy, Σxy, Σx²), so a hash aggregate replaces fitting
-    millions of MLlib models. Returns (group, n, slope, intercept, r2);
-    groups with < 2 points or zero x-variance yield NULL slope.
+    statistics, so a hash aggregate replaces fitting millions of MLlib
+    models. Returns (group, n, slope, intercept, r2); groups with < 2
+    points or zero x-variance yield NULL slope.
 
-    Sufficient statistics are re-aggregable — per-shard partials sum into
-    the global fit, the same mergeability story as the sketch family."""
-    n = F.count(F.lit(1)).cast("double")
-    sx, sy = F.sum(x_col), F.sum(y_col)
-    sxy = F.sum(F.col(x_col) * F.col(y_col))
-    sxx = F.sum(F.col(x_col) * F.col(x_col))
+    Computed from CENTERED moments (``covar_samp``/``var_samp`` — Spark's
+    merge-stable update formulas) rather than raw Σx/Σx² sums: the raw
+    form's ``n·Σx² − (Σx)²`` cancels catastrophically for large-magnitude
+    x like epoch seconds, losing ~7 of double's 16 digits on a month of
+    hourly data (r06 review). The centered aggregates remain partial-
+    mergeable, so the per-shard rollup story is unchanged."""
     agg = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).groupBy(*group_cols).agg(
-        n.alias("__n"),
-        sx.alias("__sx"),
-        sy.alias("__sy"),
-        sxy.alias("__sxy"),
-        sxx.alias("__sxx"),
+        F.count(F.lit(1)).alias("__n"),
+        F.covar_samp(x_col, y_col).alias("__cov"),
+        F.var_samp(x_col).alias("__varx"),
+        F.avg(x_col).alias("__mx"),
+        F.avg(y_col).alias("__my"),
         F.corr(x_col, y_col).alias("__r"),
     )
-    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     slope = F.when(
-        (F.col("__n") >= 2) & (denom != 0),
-        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+        (F.col("__n") >= 2) & (F.col("__varx") != 0),
+        F.col("__cov") / F.col("__varx"),
     )
-    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    intercept = F.col("__my") - slope * F.col("__mx")
     return agg.select(
         *group_cols,
         F.col("__n").cast("long").alias("n"),

@@ -115,30 +115,51 @@ def expectation_report(df: DataFrame, expectations: dict[str, Column]) -> DataFr
     pipeline asserts before publishing a 100 TB table, priced at a single
     conditional-aggregate pass like ``missing_census``, not a scan per
     rule."""
+    if not expectations:
+        # stack(0, ...) is malformed SQL — an empty rulebook is an empty
+        # report, not a parse error (r06 review)
+        return df.sparkSession.createDataFrame(
+            [], "constraint string, n_violations long, n_rows long"
+        )
+    names = list(expectations)
+    # positional internal aliases + literal name columns: constraint names
+    # never touch SQL text, so quotes/backticks in a name can neither break
+    # the parse nor inject expressions (r06 review: the old selectExpr
+    # interpolated names unescaped)
     aggs = [
         F.sum(
-            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
-        ).cast("long").alias(name)
-        for name, cond in expectations.items()
+            F.when(~F.coalesce(expectations[n], F.lit(False)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"__e{i}")
+        for i, n in enumerate(names)
     ]
     wide = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
-    stack = ", ".join(f"'{n}', `{n}`" for n in expectations)
-    return wide.selectExpr(
-        f"stack({len(expectations)}, {stack}) as (constraint, n_violations)",
-        "__n as n_rows",
+    pairs: list[Column] = []
+    for i, n in enumerate(names):
+        pairs += [F.lit(n), F.col(f"__e{i}")]
+    return wide.select(
+        F.stack(F.lit(len(names)), *pairs).alias("constraint", "n_violations"),
+        F.col("__n").alias("n_rows"),
     )
 
 
 def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
     """(n_violations, n_rows) where a violation is any ROW beyond the
-    first for its key — one hash aggregate on the key."""
-    n = df.count()
-    dup = (
+    first for its key — ONE hash aggregate on the key; n_rows is the sum
+    of the same per-key counts, so the whole report is one lazy scan
+    (r06 review: a separate eager df.count() scanned twice and froze a
+    stale row count into the returned plan)."""
+    return (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .agg(
+            F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
+        )
     )
-    return dup.select("n_violations", F.lit(n).cast("long").alias("n_rows"))
 
 
 def foreign_key_violations(
@@ -148,13 +169,16 @@ def foreign_key_violations(
     no parent — a left-anti join on the key (broadcast when the parent is
     dimension-sized; NULL FKs are not violations, use a separate not-null
     expectation for that policy)."""
-    n = child.count()
     orphans = (
         child.filter(F.col(fk).isNotNull())
         .join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
     )
-    return orphans.select("n_violations", F.lit(n).cast("long").alias("n_rows"))
+    # lazy scalar attach instead of an eager count(): both numbers come
+    # from the same evaluation point, so re-running the returned plan
+    # after data changes cannot report an inconsistent pair (r06 review)
+    totals = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return orphans.crossJoin(F.broadcast(totals))
 
 
 def cusum_drift(

@@ -13,6 +13,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its surviving warehouse directory — the
+    default in-memory catalog forgets tables across sessions but their
+    directories survive, wedging the next ``saveAsTable`` with
+    LOCATION_ALREADY_EXISTS.
+
+    Path resolution (r06 review): the directory name is LOWERCASED; a
+    db-qualified name lives under ``<db>.db/<table>`` EXCEPT the default
+    database, whose tables sit directly under the warehouse root; a
+    3-part name's catalog prefix is not a directory. Shared by
+    ``write_bucketed`` and ``ext.graph.build_graph``."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    parts = table.lower().split(".")[-2:]
+    if len(parts) == 2 and parts[0] != "default":
+        rel = os.path.join(f"{parts[0]}.db", parts[1])
+    else:
+        rel = parts[-1]
+    shutil.rmtree(os.path.join(wh, rel), ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -32,23 +57,7 @@ def write_bucketed(
 
     spark = df.sparkSession
     if mode == "overwrite":
-        # the default in-memory catalog forgets tables across sessions but
-        # their warehouse directories survive — clean both
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        # the managed-table directory is stored LOWERCASED; a db-qualified
-        # name lives under '<db>.db/<table>' EXCEPT the default database,
-        # whose tables sit directly under the warehouse root; a 3-part
-        # name's catalog prefix is not a directory (r06 review: mixed-case
-        # and default-db names missed the real directory — saveAsTable
-        # then failed with LOCATION_ALREADY_EXISTS — and a 3-part name
-        # could rmtree an unrelated '<catalog>' path)
-        parts = table.lower().split(".")[-2:]
-        if len(parts) == 2 and parts[0] != "default":
-            rel = os.path.join(f"{parts[0]}.db", parts[1])
-        else:
-            rel = parts[-1]
-        shutil.rmtree(os.path.join(wh, rel), ignore_errors=True)
+        drop_managed_table(spark, table)
 
     cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     writer = df.write.mode(mode).bucketBy(num_buckets, *cols)

@@ -207,3 +207,65 @@ def test_cusum_drift_max_group_rows_guard(spark):
     ok = cusum_drift(df, "g", "seq", "v", target=10.0, max_group_rows=50)
     assert ok.count() == 2
     assert cusum_drift(df, "g", "seq", "v", target=10.0).count() == 2
+
+
+def test_r06_quality_graph_multimodal_impute_guards(spark):
+    """r06 review batch: expectation_report survives hostile constraint
+    names and an empty rulebook; imputers preserve input column order;
+    pagerank raises cleanly on an empty graph; multimodal wrappers skip
+    NULL payloads instead of crashing the task."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.graph import pagerank
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp,
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.impute import (
+        impute_with_group_median,
+    )
+    from pyspark_weather_forecasting_gsod_spark.operators.quality import (
+        expectation_report,
+        unique_key_violations,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", temp=1.0), Row(g="a", temp=None), Row(g="b", temp=-5.0)]
+    )
+    # hostile names: quotes and backticks never reach SQL text
+    rep = {
+        r["constraint"]: r["n_violations"]
+        for r in expectation_report(
+            df, {"temp's `range`": F.col("temp") >= 0}
+        ).collect()
+    }
+    assert rep == {"temp's `range`": 2}  # NULL counts as violation
+    empty = expectation_report(df, {})
+    assert empty.count() == 0 and empty.columns == [
+        "constraint", "n_violations", "n_rows",
+    ]
+    # one-pass unique report
+    ukv = unique_key_violations(df, ["g"]).first()
+    assert (ukv["n_violations"], ukv["n_rows"]) == (1, 3)
+
+    # imputed column keeps its schema position
+    wide = spark.createDataFrame(
+        [Row(stn=1, temp=None, dewp=9.0), Row(stn=1, temp=4.0, dewp=8.0)]
+    )
+    out = impute_with_group_median(wide, "temp", "stn")
+    assert out.columns == ["stn", "temp", "dewp"]
+
+    # empty graph raises a named error, not ZeroDivisionError
+    edges = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(edges)
+
+    # NULL payload rows are skipped, not task-fatal
+    mm = spark.createDataFrame(
+        [(1, bytearray(synthesize_bmp(bytes(range(16))))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = decode_bmp_features(mm).collect()
+    assert [r["doc_id"] for r in got] == [1]
