@@ -30,8 +30,13 @@ CJK_CLASS = f"{chr(0x4E00)}-{chr(0x9FFF)}"
 
 
 def tokens(text_col: str) -> Column:
-    """Whitespace tokenization as an array column (JVM-side)."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokenization as an array column (JVM-side). Empty
+    tokens are removed: ``split(trim(''))`` is ``['']``, which would give
+    empty/whitespace-only docs one phantom token — counted by
+    token_count, scored by quality_features, and admitted as a '' vocab
+    type by nb_classify/bigram_lm_nll (r06 review; the DuckDB oracle
+    macro ``_TOKS`` applies the same filter). NULL text stays NULL."""
+    return F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
 
 
 def _in_list_sql(words: tuple[str, ...]) -> str:

@@ -1019,7 +1019,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search, multimodal columns, event-time windows, streaming.
 # ===========================================================================
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+# list_filter '' mirrors the engine's ext.text.tokens(): split(trim(''))
+# is [''] in both engines, so an empty/whitespace doc would otherwise
+# carry one phantom token through every token-counting oracle
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 
 @query(
