@@ -130,14 +130,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_docs: int | None = 200_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard for all pairs sharing ≥1 shingle.
 
     Returns (doc_a, doc_b, common, jaccard) with doc_a < doc_b. The
     inverted-index join means cost concentrates in hot shingles — at scale,
     run after LSH banding (``minhash_lsh_pairs``) or cap the corpus slice.
+
+    ``max_docs`` is a limit-probe guard (the same pattern as the dense
+    path's ``max_rows``): with ``min_jaccard == 0.0`` this enumerates EVERY
+    pair sharing a shingle — Σ|posting|² work that no threshold bounds — so
+    corpora larger than ``max_docs`` raise with a pointer to the bounded
+    alternatives (``ngram_jaccard_pairs_prefix``/``_auto`` for thresholded
+    sweeps, ``ngram_best_match`` for 1-NN edges, ``minhash_lsh_pairs`` for
+    uncapped scale). Pass ``max_docs=None`` only when the caller has
+    already bounded the input (e.g. a post-LSH candidate slice).
     """
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    if max_docs is not None:
+        probed = df.select(id_col).limit(max_docs + 1).count()
+        if probed > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus exceeds max_docs={max_docs} "
+                f"(limit-probe saw >{max_docs} rows); the unthresholded "
+                "inverted-index join is Σ|posting|² and not output-"
+                "proportional at this size. Use ngram_jaccard_pairs_auto "
+                "(thresholded), ngram_best_match (1-NN edges), or "
+                "minhash_lsh_pairs (banded), or pass max_docs=None for a "
+                "pre-bounded slice."
+            )
+    # eager localCheckpoint instead of bare persist: the returned frame is
+    # lazy over arrs, so a paired unpersist inside this function is
+    # impossible — checkpointing materializes the (small) shingle table
+    # once and truncates lineage without holding a cache-pool entry.
+    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     # set sizes are free from the array — no extra groupBy pass
     sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
@@ -192,7 +218,10 @@ def ngram_jaccard_pairs_prefix(
     t = float(min_jaccard)
     if not 0.0 < t <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    # eager localCheckpoint, not persist: the returned frame stays lazy over
+    # arrs, so no in-function unpersist is possible — checkpoint + truncate
+    # avoids an unreleasable cache-pool entry (house pattern, see :1005).
+    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     wrk = Window.partitionBy(id_col).orderBy("__df", "shingle")
@@ -487,10 +516,15 @@ def ngram_jaccard_pairs_auto(
       rare-shingle prefixes keep hot postings out of the candidate join —
       and it handles any id type).
 
-    Both probes are ``limit(k+1).count()`` — O(k) work, never a full scan —
-    and are handed to the dense path so it does not re-run them. The plain
-    inverted index remains available by name for corpora known to have
-    uniformly short posting lists.
+    Probe cost: the doc-count probe is ``limit(k+1).count()`` — O(k) work.
+    The vocab probe runs ``distinct()`` over all shingles BEFORE its limit,
+    i.e. one full map pass over the corpus — but it only executes on
+    corpora the doc-count probe already bounded to ≤ ``max_rows`` rows
+    (the short-circuit order matters), so its cost is capped by the dense
+    regime's own admission bound. Both results are handed to the dense
+    path so it does not re-run them. The plain inverted index remains
+    available by name for corpora known to have uniformly short posting
+    lists.
     """
     if _integral_id_dtype(df, id_col):
         arrs = shingle_arrays(df, id_col, text_col, n)
@@ -503,6 +537,109 @@ def ngram_jaccard_pairs_auto(
                     max_vocab, _n_docs=n_docs, _vocab_checked=True,
                 )
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, min_jaccard)
+
+
+def ngram_best_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_exact_docs: int = 200_000,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    force: str | None = None,
+) -> DataFrame:
+    """Per-document best match (1-NN by EXACT n-gram Jaccard; ties broken
+    by smallest partner id): (doc_a, doc_b, common, jaccard), one row per
+    doc_a with ≥1 candidate partner. This is the bounded constructor for
+    best-match graphs (deletion-aware clustering, chain-shaped CC tests) —
+    the job the unthresholded ``ngram_jaccard_pairs(min_jaccard=0.0)``
+    call used to do with no guard.
+
+    Router (same probe/guard pattern as ``ngram_jaccard_pairs_auto``):
+
+    * corpus ≤ ``max_exact_docs`` (limit-probe, O(k)) → **exact**: every
+      pair sharing ≥1 shingle is scored, so the returned row is provably
+      the true 1-NN;
+    * larger → **banded**: MinHash-LSH band buckets generate candidates
+      (Σ_bucket |bucket|² work, controlled by ``bands`` × rows-per-band —
+      never the inverted index's Σ|posting|²), then exact Jaccard re-ranks
+      candidates only. A returned match is never mis-scored (scores are
+      exact); it can be MISSED when the true best shares no band — the
+      s-curve 1-(1-j^{h/b})^{b} makes that vanishing for near-dup-grade
+      jaccard (j ≥ 0.5 with 16 bands of 2 hashes: >0.99), which is the
+      regime best-match graphs care about. Raise ``bands`` for more recall
+      at more candidate cost.
+
+    ``force='exact' | 'banded'`` pins the regime (tests; inputs the caller
+    already bounded). Docs whose best candidate ties on jaccard resolve to
+    the smallest partner id in BOTH regimes, so regime choice never breaks
+    determinism of the ties it does see.
+    """
+    if force not in (None, "exact", "banded"):
+        raise ValueError("ngram_best_match: force must be None|'exact'|'banded'")
+    regime = force
+    if regime is None:
+        probed = df.select(id_col).limit(max_exact_docs + 1).count()
+        regime = "exact" if probed <= max_exact_docs else "banded"
+    if regime == "exact":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n, min_jaccard=0.0, max_docs=None
+        )
+    else:
+        # see the note in ngram_jaccard_pairs for checkpoint-over-persist
+        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
+        sig = minhash_signatures(arrs, id_col, num_hashes, seed)
+        bucket = minhash_band_buckets(sig, id_col, num_hashes, bands)
+        ba = bucket.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
+        bb = bucket.select(F.col(id_col).alias("doc_b"), "band_no", "bucket")
+        candidates = (
+            ba.join(bb, on=["band_no", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        sizes = arrs.select(
+            F.col(id_col), F.size("shingles").cast("long").alias("sz")
+        )
+        sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        common = (
+            candidates.join(sa, on="doc_a")
+            .join(sb, on=["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        pairs = (
+            common.join(F.broadcast(za), on="doc_a")
+            .join(F.broadcast(zb), on="doc_b")
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            )
+            .select("doc_a", "doc_b", "common", "jaccard")
+        )
+    directed = pairs.select("doc_a", "doc_b", "common", "jaccard").unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "common",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    return (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
 
 
 MINHASH_PRIME = (1 << 31) - 1  # a*x ≤ 2^62: never overflows int64 (ANSI mode)
@@ -587,7 +724,9 @@ def minhash_lsh_pairs(
     controlled by bands/rows-per-band (8 bands × 4 rows ≈ s-curve threshold
     ~0.5), and verification touches only candidates.
     """
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    # eager localCheckpoint, not persist: returned frame is lazy over arrs
+    # (no paired unpersist possible); see the note in ngram_jaccard_pairs.
+    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     # signature + band keys: ONE map-only projection (fold expression), then
     # explode only `bands` small rows per doc for the bucket join.
     sig = minhash_signatures(arrs, id_col, num_hashes, seed)
@@ -781,46 +920,62 @@ def connected_components(
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            # persisted BEFORE the self-join below — it is referenced twice
-            # (as labels and as the label-of-label lookup side), and an
-            # unpersisted double reference re-executes the whole
-            # union+agg lineage per consumer, per round
+            # persisted BEFORE any second reference — in compression rounds
+            # it is consumed twice (as labels and as the label-of-label
+            # lookup side), and an unpersisted double reference re-executes
+            # the whole union+agg lineage per consumer, per round
             .persist()
         )
-        # pointer-jumping compression (label-of-label): every comp value is
-        # itself a node of the same component, so label(label(v)) is too —
-        # taking the min halves remaining chain depth each round, turning
-        # O(diameter) rounds into O(log diameter) on path-shaped graphs
-        # (1-NN/best-match graphs) while leaving clique-shaped near-dup
-        # graphs' round count unchanged. Labels only ever decrease and stay
-        # member ids, so the fixpoint — and every oracle hash — is
-        # identical to pure min propagation.
-        lbl_of_lbl = propagated.select(
-            F.col("node").alias("comp"), F.col("comp").alias("__c2")
-        )
-        new = propagated.join(lbl_of_lbl, on="comp", how="left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("__c2", F.col("comp"))).alias(
-                "comp"
-            ),
-        )
-        # localCheckpoint EVERY round: the compression self-join doubles
-        # the logical plan per round, so anything short of per-round
-        # truncation grows the plan tree geometrically (measured: driver
-        # heap OOM on plan-string generation with the old every-5-rounds
-        # policy). Rounds are O(log diameter) now, so this is a handful of
-        # label-table materializations, each |nodes| rows.
-        new = new.localCheckpoint()
+        if i >= 2:
+            # pointer-jumping compression (label-of-label): every comp value
+            # is itself a node of the same component, so label(label(v)) is
+            # too — taking the min halves remaining chain depth each round,
+            # turning O(diameter) rounds into O(log diameter) on path-shaped
+            # graphs (1-NN/best-match graphs). Labels only ever decrease and
+            # stay member ids, so the fixpoint — and every oracle hash — is
+            # identical to pure min propagation. Deferred until round 3:
+            # clique-shaped near-dup graphs converge in ≤2 rounds and would
+            # pay the self-join + per-round checkpoint for nothing (measured
+            # +2.8–3.6 s per CC query at sf0.1); any graph still changing at
+            # round 3 is chain-shaped and is exactly where compression wins.
+            lbl_of_lbl = propagated.select(
+                F.col("node").alias("comp"), F.col("comp").alias("__c2")
+            )
+            new = propagated.join(lbl_of_lbl, on="comp", how="left").select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("__c2", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            # localCheckpoint EVERY compression round: the self-join doubles
+            # the logical plan per round, so anything short of per-round
+            # truncation grows the plan tree geometrically (measured: driver
+            # heap OOM on plan-string generation with the old every-5-rounds
+            # policy). Rounds are O(log diameter), so this is a handful of
+            # label-table materializations, each |nodes| rows. The ≤2
+            # uncheckpointed early rounds add only a linear union+agg step
+            # each — bounded by construction.
+            new = new.localCheckpoint()
+        else:
+            new = propagated
         changed = (
             new.withColumnRenamed("comp", "new_comp")
             .join(labels, on="node")
             .filter(F.col("new_comp") < F.col("comp"))
             .count()
         )
-        propagated.unpersist()
+        if new is not propagated:
+            propagated.unpersist()
         labels.unpersist()
         labels = new
         if changed == 0:
+            if new is propagated:
+                # early (pre-compression) convergence returns a merely
+                # persisted frame whose lineage reaches through adj — which
+                # is unpersisted below. Truncate so lazy consumers never
+                # replay the upstream pair generation.
+                labels = propagated.localCheckpoint(eager=True)
+                propagated.unpersist()
             break
     else:
         # exhausting max_iter means labels have NOT converged — returning
@@ -875,7 +1030,9 @@ def simhash_neardup_pairs(
     larger cuts are approximate. Same scale shape as MinHash-LSH: bucket
     join → distinct candidates → refine candidates only, never all-pairs.
     """
-    sim = simhash64(df, id_col, text_col).persist()
+    # eager localCheckpoint, not persist: returned frame is lazy over sim
+    # (no paired unpersist possible); see the note in ngram_jaccard_pairs.
+    sim = simhash64(df, id_col, text_col).localCheckpoint(eager=True)
     buckets = simhash_band_buckets(sim, id_col, band_bits)
     a = buckets.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band_no", "bucket")

@@ -1526,7 +1526,10 @@ def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-Jaccard near-dup pairs on a 1/10 corpus slice (the
-    inverted-index exact path; minhash_neardup is the uncapped scale path)."""
+    inverted-index exact path; minhash_neardup is the uncapped scale path).
+    The unthresholded call is now limit-probe-guarded (``max_docs``,
+    r06 VERDICT #2): past 200k docs it raises with a pointer to the
+    banded/prefix alternatives instead of running Σ|posting|² work."""
     from ..ext.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
@@ -1715,12 +1718,14 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     components' surviving internal edges; the oracle is the recursive-CTE
     closure over the post-deletion edge set, so a hash match proves
     deletion == full recompute, splits and relabeled representatives
-    included."""
-    from pyspark.sql.window import Window
-
+    included. Edge construction goes through ``ngram_best_match`` — the
+    ROUTED 1-NN path (r06 VERDICT #2): at gate scale the probe picks the
+    exact regime (provable 1-NN, hash == oracle); past ``max_exact_docs``
+    it cuts over to LSH-banded candidates + exact re-rank instead of the
+    unguarded Σ|posting|² inverted-index enumeration."""
     from ..ext.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        ngram_best_match,
         remove_nodes,
         widen_for_fanout,
     )
@@ -1728,18 +1733,7 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_for_fanout(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
-    directed = pairs.select("doc_a", "doc_b", "jaccard").unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"),
-            F.col("doc_a").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
-    best = directed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
+    best = ngram_best_match(docs, "doc_id", "text", n=2)
     edges = (
         best.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -1747,8 +1741,8 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # consumed by BOTH the full clustering and remove_nodes' semi-joins:
-        # materialize once so the 10M-candidate-pair enumeration (sf0.1)
-        # doesn't replay per consumer
+        # materialize once so the candidate-pair enumeration doesn't replay
+        # per consumer
         .localCheckpoint(eager=True)
     )
     labels = connected_components(edges)

@@ -724,3 +724,73 @@ def test_update_components_validates_touched_comps_exactly(spark):
     )
     with pytest.raises(ValueError, match="min-member-id"):
         update_components(nulled, spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]))
+
+
+def test_ngram_jaccard_pairs_max_docs_guard_fires(spark):
+    """r06 VERDICT #2: the unthresholded inverted-index path must refuse
+    corpora past the limit-probe bound instead of running Σ|posting|²
+    work; max_docs=None keeps the pre-bounded-slice escape hatch."""
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="max_docs"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_docs=2).collect()
+    # escape hatch: explicit None skips the probe entirely
+    assert ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_docs=None
+    ).count() > 0
+
+
+def test_ngram_best_match_exact_semantics(spark):
+    """Exact regime: true 1-NN per doc, jaccard-desc / partner-id-asc
+    tie-break, docs sharing no shingle absent."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import ngram_best_match
+
+    best = {
+        r.doc_a: (r.doc_b, r.jaccard)
+        for r in ngram_best_match(
+            _docs(spark), "doc_id", "text", n=3, force="exact"
+        ).collect()
+    }
+    assert best[1] == (2, 1.0)       # exact dup wins
+    assert best[2] == (1, 1.0)       # symmetric, smallest-id tie-break
+    assert abs(best[3][1] - 5 / 7) < 1e-12 and best[3][0] in (1, 2)
+    assert best[3][0] == 1           # tie between 1 and 2 → smallest id
+    assert 4 not in best and 5 not in best  # isolated / too short
+
+
+def test_ngram_best_match_router_and_banded_parity(spark, sf_dir):
+    """The router picks exact under max_exact_docs and banded above it;
+    on the sf fixture the banded regime (LSH candidates + exact re-rank)
+    reproduces the exact 1-NN for every doc it returns, with ≥90% recall
+    of the exact assignment (planted near-dups are high-jaccard, where
+    the s-curve is ~1)."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import ngram_best_match
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
+    exact = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9))
+        for r in ngram_best_match(docs, "doc_id", "text", n=2, force="exact").collect()
+    }
+    # max_exact_docs=1 forces the probe over the cutover → banded regime
+    banded = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9))
+        for r in ngram_best_match(
+            docs, "doc_id", "text", n=2, max_exact_docs=1
+        ).collect()
+    }
+    assert exact, "degenerate test: exact 1-NN found nothing"
+    # the banded contract is near-dup-grade recall: docs whose TRUE best
+    # match is j ≥ 0.5 must be reproduced ≥90% (s-curve ~0.99 there); a
+    # doc whose best partner is j≈0.08 is invisible to banding by design
+    strong = {d: v for d, v in exact.items() if v[1] >= 0.5}
+    assert strong, "degenerate test: no near-dup-grade best matches planted"
+    agree = sum(1 for d, v in strong.items() if banded.get(d) == v)
+    assert agree / len(strong) >= 0.9, (agree, len(strong))
+    for d, (b, j) in banded.items():
+        assert j <= exact[d][1] + 1e-9  # banded can miss, never overshoot
+    import pytest
+
+    with pytest.raises(ValueError, match="force"):
+        ngram_best_match(docs, "doc_id", force="bogus")
