@@ -230,13 +230,34 @@ def _nonnull(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
     return df.select(id_col, value_col).filter(F.col(value_col).isNotNull())
 
 
+def _check_on_error(on_error: str) -> bool:
+    """Validate the wrappers' shared ``on_error`` knob → True iff 'skip'.
+
+    The strict scalar decoders (``decode_bmp``/``decode_wav``/``dhash_bmp``
+    /``ahash_wav``) raise on malformed payloads by contract — correct for a
+    single clip, but inside ``mapInPandas`` one bad clip in a corpus would
+    fail the whole job after task retries (r06 advice). ``'skip'``
+    (default) extends the ``_nonnull`` contract to undecodable payloads:
+    the row produces no feature row, the job survives. ``'raise'``
+    restores fail-fast for callers who pre-validated their media."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError("on_error must be 'skip' or 'raise'")
+    return on_error == "skip"
+
+
 def decode_bmp_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Arrow-batched REAL BMP decode over ``mapInPandas``: every payload
     crosses the actual header-parse + pixel-walk path (``decode_bmp``), not
     a fake. Same batch shape and partition parallelism as the stubbed
-    ``decode_features``."""
+    ``decode_features``. Malformed payloads follow ``on_error`` — 'skip'
+    (no feature row, job survives; the ``_nonnull`` contract) or
+    'raise'."""
+    skip = _check_on_error(on_error)
 
     def process(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -245,7 +266,12 @@ def decode_bmp_features(
             out = {k.name: [] for k in BMP_DECODE_SCHEMA.fields}
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                d = decode_bmp(b)
+                try:
+                    d = decode_bmp(b)
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
                 out["doc_id"].append(did)
                 out["bmp_bytes"].append(len(b))
                 out["width"].append(d["width"])
@@ -258,10 +284,15 @@ def decode_bmp_features(
 
 
 def decode_wav_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Arrow-batched REAL WAV decode over ``mapInPandas`` (RIFF chunk walk
-    + PCM16 sample decode per payload)."""
+    + PCM16 sample decode per payload). Malformed/truncated/non-PCM16
+    payloads follow ``on_error`` — 'skip' (default) or 'raise'."""
+    skip = _check_on_error(on_error)
 
     def process(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -270,7 +301,12 @@ def decode_wav_features(
             out = {k.name: [] for k in WAV_DECODE_SCHEMA.fields}
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                d = decode_wav(b)
+                try:
+                    d = decode_wav(b)
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
                 out["doc_id"].append(did)
                 out["wav_bytes"].append(len(b))
                 out["n_channels"].append(d["n_channels"])
@@ -521,20 +557,29 @@ def bmp_dhash_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     out_col: str = "dhash",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Per-image 64-bit dHash over Arrow batches (``mapInPandas``) — the
     map-only fingerprint pass of the image near-dup pipeline; payloads
-    never leave the executor."""
+    never leave the executor. Malformed payloads follow ``on_error`` —
+    'skip' (default) or 'raise'."""
     import pandas as pd
+
+    skip = _check_on_error(on_error)
 
     def process(batches: Iterator) -> Iterator:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    out_col: [dhash_bmp(bytes(p)) for p in pdf[payload_col]],
-                }
-            )
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = dhash_bmp(bytes(p))
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, out_col: hashes})
 
     return _nonnull(mm, id_col, payload_col).mapInPandas(
         process, f"{id_col} long, {out_col} long"
@@ -602,19 +647,29 @@ def wav_ahash_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     out_col: str = "ahash",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Per-clip audio fingerprint over Arrow batches — map-only, payloads
-    never leave the executor (mirrors ``bmp_dhash_features``)."""
+    never leave the executor (mirrors ``bmp_dhash_features``). Stereo /
+    non-PCM16 / truncated clips follow ``on_error`` — 'skip' (default)
+    or 'raise'."""
     import pandas as pd
+
+    skip = _check_on_error(on_error)
 
     def process(batches: Iterator) -> Iterator:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    out_col: [ahash_wav(bytes(p)) for p in pdf[payload_col]],
-                }
-            )
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = ahash_wav(bytes(p))
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, out_col: hashes})
 
     return _nonnull(mm, id_col, payload_col).mapInPandas(
         process, f"{id_col} long, {out_col} long"

@@ -266,17 +266,19 @@ def shuffle_shards(
     cluster (pick n_shards ≥ cores; at 100 TB, thousands), never one
     global ordering task. Changing ``seed`` is a fresh permutation for the
     next epoch. Deterministic md5 keys keep the full output — order
-    included — oracle-hashable, the same doctrine as ``hash_split``."""
+    included — oracle-hashable, the same doctrine as ``hash_split``.
+
+    NULL keys coalesce to the same sentinel ``hash_split`` uses (r06
+    advice): without it ``concat`` nulls out the digest and NULL-key rows
+    got NULL (shard, pos) — silently breaking the documented total-order
+    contract. NULL-key rows now land in one deterministic shard slot."""
     from pyspark.sql.window import Window
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    shard = hash_bucket(
-        F.concat(F.lit(f"{seed}:"), F.col(key)), n_shards, hex_chars=8
-    )
-    order_key = F.md5(
-        F.concat(F.lit(f"{seed}:o:"), F.col(key)).cast("binary")
-    )
+    k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+    shard = hash_bucket(F.concat(F.lit(f"{seed}:"), k), n_shards, hex_chars=8)
+    order_key = F.md5(F.concat(F.lit(f"{seed}:o:"), k).cast("binary"))
     w = Window.partitionBy("shard").orderBy("__ok", key)
     return (
         df.withColumn("shard", shard.cast("int"))

@@ -103,11 +103,19 @@ def cms_table(
             (d for nm, d in df.dtypes if nm.lower() == weight_col.lower()),
             None,
         )
-        if dt not in ("tinyint", "smallint", "int", "bigint"):
+        # zero-scale decimals (decimal(p,0)) are exactly integral — the
+        # long cast cannot truncate them, so they are admitted (r06
+        # advice: rejecting them broke previously-working callers)
+        import re
+
+        integral = dt in ("tinyint", "smallint", "int", "bigint") or bool(
+            re.fullmatch(r"decimal\(\d+,0\)", dt or "")
+        )
+        if not integral:
             raise ValueError(
                 f"cms_table: weight_col must be integral ({weight_col} is "
-                f"{dt}); cast explicitly or scale fractional weights to "
-                f"integers first"
+                f"{dt}); integer types and decimal(p,0) qualify — cast "
+                "explicitly or scale fractional weights to integers first"
             )
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = F.array(

@@ -48,7 +48,21 @@ def get_spark(
     )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    pre_existing = SparkSession.getActiveSession() is not None
+    # getOrCreate can also hand back the DEFAULT (last-instantiated)
+    # session when none is active in the calling thread (r06 advice) —
+    # check both, or an unrequested default shuffle width would clobber a
+    # deliberately configured value on that path too. PySpark exposes no
+    # public getDefaultSession; _instantiatedSession is the exact slot
+    # getOrCreate's own fallback reads.
+    def _live(s) -> bool:
+        try:
+            return s is not None and not s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return False
+
+    pre_existing = _live(SparkSession.getActiveSession()) or _live(
+        getattr(SparkSession, "_instantiatedSession", None)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -75,6 +75,19 @@ def write_version(df: DataFrame, table_dir: str, max_attempts: int = 16) -> int:
                 os.rename(staging, target)
                 return v
             except OSError:
+                if not os.path.isdir(staging):
+                    # Our staging dir is GONE — not a slot race. The
+                    # realistic cause is a concurrent vacuum() whose
+                    # staging_ttl_sec undercut this write's duration
+                    # (r06 advice: surface this case instead of looping
+                    # into a misleading 'writer storm' error).
+                    raise RuntimeError(
+                        f"write_version: staging dir {staging} disappeared "
+                        "mid-commit — most likely swept by a concurrent "
+                        "vacuum(staging_ttl_sec=...) shorter than this "
+                        "write's duration; raise the TTL above the longest "
+                        "expected write"
+                    )
                 # Lost the race for slot N — a concurrent writer committed
                 # it between the listing and rename. Recompute and retry.
                 continue
@@ -147,7 +160,15 @@ def vacuum(
     ``v=N`` directories (no ``_SUCCESS``) — under the staging protocol a
     ``v=N`` appears only via atomic rename of a fully-written staging
     dir, so an uncommitted one is pre-protocol garbage whose slot
-    ``write_version`` deliberately skips rather than reclaims."""
+    ``write_version`` deliberately skips rather than reclaims.
+
+    Staleness is judged by the NEWEST mtime inside the directory (its own
+    mtime included), not the directory's alone (r06 advice): a long
+    parquet write touches the dir's mtime only on file CREATION, so a
+    legitimately long-running write whose last file opened early could
+    look idle by dir-mtime and be swept mid-write. Any file still being
+    appended keeps the sweep at bay; the swept-while-writing case is also
+    surfaced explicitly in ``write_version``'s error path."""
     import shutil
     import time
 
@@ -158,12 +179,25 @@ def vacuum(
     for v in drop:
         # ignore_errors: a concurrent vacuum may have removed it already
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+
+    def _newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for f in filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, f))
+                    )
+                except OSError:
+                    continue  # file vanished under a concurrent writer
+        return newest
+
     if os.path.isdir(table_dir):
         now = time.time()
         for name in os.listdir(table_dir):
             p = os.path.join(table_dir, name)
             try:
-                if not os.path.isdir(p) or now - os.path.getmtime(p) <= staging_ttl_sec:
+                if not os.path.isdir(p) or now - _newest_mtime(p) <= staging_ttl_sec:
                     continue
             except OSError:
                 # a concurrent vacuum/writer removed it between listdir and

@@ -1001,3 +1001,24 @@ def test_shuffle_shards_total_order_and_determinism(spark):
     # not the identity order: the permutation actually shuffles
     first_shard = sorted((r["pos"], r["k"]) for r in a if r["shard"] == 0)
     assert [k for _, k in first_shard] != sorted(k for _, k in first_shard)
+
+
+def test_shuffle_shards_null_key_gets_deterministic_slot(spark):
+    """r06 advice: a NULL key must not yield NULL (shard, pos) — it
+    coalesces to the hash_split sentinel and lands in one deterministic
+    slot, keeping the documented total-order/permutation contract."""
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",)], "k string"
+    )
+    out = shuffle_shards(df, "k", n_shards=4, seed="e1").collect()
+    assert len(out) == 4
+    assert all(r.shard is not None and r.pos is not None for r in out)
+    nulls = [r for r in out if r.k is None]
+    again = {
+        (r.k, r.shard, r.pos)
+        for r in shuffle_shards(df, "k", n_shards=4, seed="e1").collect()
+    }
+    assert {(r.k, r.shard, r.pos) for r in out} == again
+    assert len(nulls) == 1

@@ -190,3 +190,44 @@ def test_wav_ahash_neardup_finds_perturbed_clips(spark):
     # deterministic across calls
     h1 = ahash_wav(bytes(rows[0][1]))
     assert h1 == ahash_wav(bytes(rows[0][1]))
+
+
+def test_wrappers_skip_malformed_rows_and_raise_on_request(spark):
+    """r06 advice: one bad clip in a corpus must not fail the whole job —
+    the Arrow wrappers skip undecodable payloads by default (the
+    ``_nonnull`` contract extended to decode errors), and on_error='raise'
+    restores the strict fail-fast path."""
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        attach_media_payload,
+        bmp_dhash_features,
+        decode_bmp_features,
+        decode_wav_features,
+        wav_ahash_features,
+    )
+
+    docs = _docs(spark)
+    good_wav = attach_media_payload(docs, "audio/wav")
+    good_bmp = attach_media_payload(docs, "image/bmp")
+    junk = spark.createDataFrame(
+        [Row(doc_id=99, payload=bytearray(b"not media at all"))]
+    )
+    mixed_wav = good_wav.select("doc_id", "payload").unionByName(junk)
+    mixed_bmp = good_bmp.select("doc_id", "payload").unionByName(junk)
+
+    # default skip: the good clips survive, the junk row vanishes
+    got = {r.doc_id for r in decode_wav_features(mixed_wav).collect()}
+    assert got == {1, 2}
+    got = {r.doc_id for r in decode_bmp_features(mixed_bmp).collect()}
+    assert got == {1, 2}
+    got = {r.doc_id for r in wav_ahash_features(mixed_wav).collect()}
+    assert got == {1, 2}
+    got = {r.doc_id for r in bmp_dhash_features(mixed_bmp).collect()}
+    assert got == {1, 2}
+
+    # on_error='raise' restores fail-fast
+    with pytest.raises(Exception, match="RIFF|WAVE"):
+        decode_wav_features(mixed_wav, on_error="raise").collect()
+    with pytest.raises(Exception, match="BMP"):
+        bmp_dhash_features(mixed_bmp, on_error="raise").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        wav_ahash_features(mixed_wav, on_error="bogus")

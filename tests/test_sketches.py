@@ -155,3 +155,24 @@ def test_cms_join_estimate_disjoint_keys_is_zero_not_null(spark):
     cb = cms_table(b, "k", depth=3, width=65536)
     est = cms_join_size_estimate(ca, cb).first()["join_size_est"]
     assert est == 0  # not NULL, not an overestimate from surviving rows
+
+
+def test_cms_weight_accepts_zero_scale_decimal_rejects_fractional(spark):
+    """r06 advice: decimal(p,0) weights are exactly integral — the long
+    cast cannot truncate them — so they pass the integral-weight guard;
+    fractional dtypes still raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sketches import cms_table
+
+    df = spark.createDataFrame([("a", 2), ("a", 3), ("b", 5)], ["k", "w"])
+    dec = df.select("k", F.col("w").cast("decimal(18,0)").alias("w"))
+    got = cms_table(dec, "k", depth=2, width=8, weight_col="w")
+    assert got.agg(F.sum("cell_count")).collect()[0][0] == 2 * 10
+    frac = df.select("k", F.col("w").cast("decimal(18,2)").alias("w"))
+    with pytest.raises(ValueError, match="integral"):
+        cms_table(frac, "k", depth=2, width=8, weight_col="w")
+    dbl = df.select("k", F.col("w").cast("double").alias("w"))
+    with pytest.raises(ValueError, match="integral"):
+        cms_table(dbl, "k", depth=2, width=8, weight_col="w")

@@ -265,8 +265,14 @@ def test_versioned_table_recovers_from_crashed_write(spark, tmp_path):
     assert read_version(spark, d, 3).count() == 7
     # the garbage dir survives the commit (create-only path)...
     assert os.path.isdir(stale)
-    # ...and vacuum sweeps it once past the TTL (keep_last high enough
-    # that no committed version is dropped by this call)
+    # ...and vacuum judges staleness by the NEWEST mtime inside (r06
+    # advice): an old dir mtime with a recently-touched file inside is a
+    # long write still in flight — NOT swept
+    os.utime(stale, (1_000_000.0, 1_000_000.0))
+    vacuum(d, keep_last=10)
+    assert os.path.isdir(stale)
+    # once the contents are old too, the TTL sweep takes it
+    os.utime(os.path.join(stale, "part-00000.parquet"), (1_000_000.0, 1_000_000.0))
     os.utime(stale, (1_000_000.0, 1_000_000.0))
     vacuum(d, keep_last=10)
     assert not os.path.isdir(stale)
