@@ -25,6 +25,11 @@ from pyspark.sql.window import Window
 
 from .text import normalize_text
 
+# diagnostics only: propagation rounds of the most recent
+# connected_components call (scale rehearsals log it; never part of the
+# result contract)
+LAST_CC_ROUNDS: int = 0
+
 
 def widen_for_fanout(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition a narrow input up to the session's shuffle parallelism
@@ -544,7 +549,7 @@ def ngram_best_match(
     id_col: str,
     text_col: str = "text",
     n: int = 3,
-    max_exact_docs: int = 200_000,
+    max_exact_docs: int = 20_000,
     num_hashes: int = 32,
     bands: int = 16,
     seed: int = 42,
@@ -576,6 +581,14 @@ def ngram_best_match(
     already bounded). Docs whose best candidate ties on jaccard resolve to
     the smallest partner id in BOTH regimes, so regime choice never breaks
     determinism of the ties it does see.
+
+    Cutover calibration: the sf1 rehearsal (BENCH_sf1.json, 10× replica
+    near-dup clumps) measured banded 1.6× faster than exact already at
+    25k docs (153 s vs 244 s) — near-dup-DENSE corpora, the ones
+    best-match graphs exist for, make postings hot and push the crossover
+    well below a uniform corpus's. The 20k default routes that measured
+    regime to banded while keeping every oracle-gate scale (≤5k docs) on
+    the provably-exact path.
     """
     if force not in (None, "exact", "banded"):
         raise ValueError("ngram_best_match: force must be None|'exact'|'banded'")
@@ -894,7 +907,12 @@ def connected_components(
 
     Nodes with no edges are absent from the output by definition (they are
     their own singleton cluster).
+
+    Diagnostics: the module-level ``LAST_CC_ROUNDS`` is set to the number
+    of propagation rounds the last call took (scale rehearsals log it;
+    not part of the result contract).
     """
+    global LAST_CC_ROUNDS
     # persist the directed edge list FIRST: the undirected union references
     # it twice, and without this the entire upstream pair-generation pipeline
     # (e.g. an exact-Jaccard join) executes twice before the loop even starts
@@ -968,6 +986,7 @@ def connected_components(
             propagated.unpersist()
         labels.unpersist()
         labels = new
+        LAST_CC_ROUNDS = i + 1
         if changed == 0:
             if new is propagated:
                 # early (pre-compression) convergence returns a merely

@@ -224,6 +224,46 @@ def main() -> None:
             .save(),
         )
 
+    # --- CC family at scale (r06 VERDICT #4): the pointer-jumping and
+    # deletion paths' asymptotic claims get the same measured evidence the
+    # routers got — wall + propagation round count per query, plus the
+    # routed-vs-forced-banded 1-NN edge build that feeds the deletion
+    # query's best-match graph.
+    from pyspark_weather_forecasting_gsod_spark.ext import dedup as _dedup
+
+    def cc_query(name: str) -> None:
+        qs[name](spark, SF1).write.format("noop").mode("overwrite").save()
+        routes[name] = (
+            routes.get(name, "") + f" cc_rounds={_dedup.LAST_CC_ROUNDS}"
+        ).strip()
+
+    for name in [
+        "neardup_clusters",
+        "neardup_keep_best",
+        "neardup_clusters_incremental",
+        "neardup_clusters_deletion",
+    ]:
+        timed(name, lambda n=name: cc_query(n))
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import ngram_best_match
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    n_half = half.count()
+    routes["ngram_best_match"] = (
+        f"n_docs={n_half} -> "
+        f"{'exact' if n_half <= 20_000 else 'banded'} (cutover 20k)"
+    )
+    timed(
+        "ngram_best_match_routed",
+        lambda: ngram_best_match(half, "doc_id", "text", n=2).count(),
+    )
+    timed(
+        "ngram_best_match_forced_banded",
+        lambda: ngram_best_match(
+            half, "doc_id", "text", n=2, force="banded"
+        ).count(),
+    )
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     payload = {
         "metric": "sf1_router_rehearsal_wall",
