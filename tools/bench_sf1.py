@@ -292,11 +292,27 @@ def main() -> None:
             ),
         },
     }
-    if only:
+    out_path = os.path.join(REPO, "BENCH_sf1.json")
+    if only and "--merge" in sys.argv:
+        # subset run folding into the existing record: update only the
+        # named queries' timings/routes, recompute the headline sum, and
+        # stamp which entries came from which pass in meta.passes
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior["queries"].update(timings)
+        prior["routes"].update(routes)
+        prior["value"] = round(
+            sum(v for v in prior["queries"].values() if v >= 0), 3
+        )
+        prior.setdefault("meta", {})["passes"] = (
+            prior["meta"].get("passes", ["initial"]) + [sorted(timings)]
+        )
+        payload = prior
+    elif only:
         # subset run (debug/repro): don't clobber the full-suite record
         print(json.dumps(payload, separators=(",", ":")))
         return
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
 
