@@ -521,27 +521,66 @@ def ngram_jaccard_pairs_auto(
       rare-shingle prefixes keep hot postings out of the candidate join —
       and it handles any id type).
 
-    Probe cost: the doc-count probe is ``limit(k+1).count()`` — O(k) work.
-    The vocab probe runs ``distinct()`` over all shingles BEFORE its limit,
-    i.e. one full map pass over the corpus — but it only executes on
-    corpora the doc-count probe already bounded to ≤ ``max_rows`` rows
-    (the short-circuit order matters), so its cost is capped by the dense
-    regime's own admission bound. Both results are handed to the dense
-    path so it does not re-run them. The plain inverted index remains
-    available by name for corpora known to have uniformly short posting
-    lists.
+    Probe cost (see ``_dense_admission``): the doc-count probe is a raw
+    ``limit(k+1).count()`` on the un-shingled input — O(k) work; the vocab
+    probe tries a bounded-sample early reject first and pays a full
+    distinct pass only when the sample stays under the cap (i.e. only on
+    corpora already headed for the dense regime, whose admission bound
+    caps the pass). Probe results are handed to the dense path so it does
+    not re-run them. The plain inverted index remains available by name
+    for corpora known to have uniformly short posting lists.
     """
-    if _integral_id_dtype(df, id_col):
-        arrs = shingle_arrays(df, id_col, text_col, n)
-        n_docs = arrs.limit(max_rows + 1).count()
-        if n_docs <= max_rows:
-            sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
-            if sh.limit(max_vocab + 1).count() <= max_vocab:
-                return ngram_jaccard_pairs_dense(
-                    df, id_col, text_col, n, min_jaccard, max_rows,
-                    max_vocab, _n_docs=n_docs, _vocab_checked=True,
-                )
+    admit, n_docs = _dense_admission(df, id_col, text_col, n, max_rows, max_vocab)
+    if admit:
+        return ngram_jaccard_pairs_dense(
+            df, id_col, text_col, n, min_jaccard, max_rows,
+            max_vocab, _n_docs=n_docs, _vocab_checked=True,
+        )
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, min_jaccard)
+
+
+def _dense_admission(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_rows: int,
+    max_vocab: int,
+    sample_docs: int = 2_000,
+) -> tuple[bool, int]:
+    """Shared dense-regime admission test for the Jaccard/containment auto
+    routers: (admit, n_docs_upper_bound). Decision is IDENTICAL to probing
+    the full corpus (pytest-asserted); only the probe cost changes:
+
+    * doc-count probe runs on the RAW input (``shingle_arrays`` only ever
+      DROPS rows — docs shorter than ``n`` tokens — so the raw count is a
+      sound upper bound for both the guard and dense block sizing) and
+      skips the shingling regex the old probe paid for nothing;
+    * vocab probe first counts distinct shingles over a ``sample_docs``
+      subset — distinct-shingle count is monotone in the corpus, so a
+      sample exceeding ``max_vocab`` PROVES the full corpus does, and the
+      Zipf-vocabulary regime (the common one at scale) is rejected without
+      the full map pass the r06 verdict flagged. Only a sample that stays
+      under the cap falls through to the exact full-corpus probe, and when
+      the sample WAS the whole corpus (``n_docs <= sample_docs``) even
+      that is skipped.
+    """
+    if not _integral_id_dtype(df, id_col):
+        return False, 0
+    n_docs = df.limit(max_rows + 1).count()
+    if n_docs > max_rows:
+        return False, n_docs
+    vocab_probe = (
+        lambda frame: shingle_arrays(frame, id_col, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .count()
+    )
+    if n_docs > sample_docs:
+        if vocab_probe(df.limit(sample_docs)) > max_vocab:
+            return False, n_docs
+    return vocab_probe(df) <= max_vocab, n_docs
 
 
 def ngram_best_match(
@@ -1829,22 +1868,19 @@ def ngram_containment_pairs_auto(
     max_vocab: int = 4096,
 ) -> DataFrame:
     """Containment with the same regime selection as
-    ``ngram_jaccard_pairs_auto``: integral-id precondition plus two O(k)
-    limit-probes pick **dense** (small universe — every posting hot; the
-    sf1 rehearsal measured the inverted index at 239× the sf0.1 wall on
-    10× docs of a ~1k-bigram universe) or **prefix** (Zipf universe at
-    scale, any id type). Probe results are handed to the dense path so it
-    does not re-run them (r06 review)."""
-    if _integral_id_dtype(df, id_col):
-        arrs = shingle_arrays(df, id_col, text_col, n)
-        n_docs = arrs.limit(max_rows + 1).count()
-        if n_docs <= max_rows:
-            sh = arrs.select(F.explode("shingles").alias("shingle")).distinct()
-            if sh.limit(max_vocab + 1).count() <= max_vocab:
-                return ngram_containment_pairs_dense(
-                    df, id_col, text_col, n, min_containment, max_rows,
-                    max_vocab, _n_docs=n_docs, _vocab_checked=True,
-                )
+    ``ngram_jaccard_pairs_auto`` (shared ``_dense_admission`` probe:
+    raw-count doc probe + sample-first monotone vocab reject) picking
+    **dense** (small universe — every posting hot; the sf1 rehearsal
+    measured the inverted index at 239× the sf0.1 wall on 10× docs of a
+    ~1k-bigram universe) or **prefix** (Zipf universe at scale, any id
+    type). Probe results are handed to the dense path so it does not
+    re-run them (r06 review)."""
+    admit, n_docs = _dense_admission(df, id_col, text_col, n, max_rows, max_vocab)
+    if admit:
+        return ngram_containment_pairs_dense(
+            df, id_col, text_col, n, min_containment, max_rows,
+            max_vocab, _n_docs=n_docs, _vocab_checked=True,
+        )
     return ngram_containment_pairs_prefix(
         df, id_col, text_col, n, min_containment
     )

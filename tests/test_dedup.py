@@ -794,3 +794,59 @@ def test_ngram_best_match_router_and_banded_parity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="force"):
         ngram_best_match(docs, "doc_id", force="bogus")
+
+
+def test_dense_admission_probe_matches_full_decision(spark):
+    """The cheapened admission probes (raw-count doc bound, sample-first
+    vocab reject) must reach the SAME decision as probing the full corpus:
+
+    * a >sample corpus with a Zipf-huge vocabulary is rejected by the
+      sample alone (monotone: sample distinct > cap proves full > cap);
+    * a >sample corpus drawn from a tiny shingle universe passes the
+      sample AND the exact full probe, so dense is admitted;
+    * docs shorter than n tokens inflate the raw count but only ever
+      raise the upper bound — never flip an admit into a wrong reject
+      at these sizes, and the dense guard stays sound.
+    """
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        _dense_admission,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+
+    # 2,500 docs (> sample_docs=2,000), every doc a unique bigram universe
+    big_vocab = spark.createDataFrame(
+        [Row(doc_id=i, text=f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(2500)]
+    )
+    admit, n_docs = _dense_admission(big_vocab, "doc_id", "text", 2, 200_000, 4096)
+    assert not admit and n_docs == 2500
+
+    # 2,500 docs over a ~10-token universe: sample passes, full probe passes
+    words = [f"w{k}" for k in range(10)]
+    tiny_vocab = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(words[i % 5 : i % 5 + 4]))
+            for i in range(2500)
+        ]
+    )
+    admit, n_docs = _dense_admission(tiny_vocab, "doc_id", "text", 2, 200_000, 4096)
+    assert admit and n_docs == 2500
+
+    # short docs (< n tokens) are counted by the raw probe but dropped by
+    # shingling: admission must hold and the routed output must equal the
+    # plain inverted-index output
+    mixed = spark.createDataFrame(
+        [Row(doc_id=i, text="red blue green yellow" if i % 2 else "solo")
+         for i in range(40)]
+    )
+    admit, n_docs = _dense_admission(mixed, "doc_id", "text", 2, 200_000, 4096)
+    assert admit and n_docs == 40
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
+
+    want = key(ngram_jaccard_pairs(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
+    got = key(ngram_jaccard_pairs_auto(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
+    assert got == want and want
