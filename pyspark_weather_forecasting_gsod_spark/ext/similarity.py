@@ -62,6 +62,57 @@ def cosine_topk(
     )
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-``k`` most
+    cosine-similar CORPUS vectors carrying a DIFFERENT label — the
+    contrastive/metric-learning data step (triplet mining, retrieval
+    training, reranker negatives) where "hard" means maximally similar yet
+    wrong. Returns (qid, q_label, nid, n_label, cosine, rk).
+
+    Same contract as ``cosine_topk``: queries broadcast (they must be the
+    small side), deterministic ranking via round(cosine, 9) with id
+    tie-break. The label-mismatch predicate filters BEFORE the rank
+    window, so the per-query sort only sees negative candidates. Rows with
+    a NULL label (unlabeled) are never negatives — ``!=`` is NULL-reject
+    on either side — which is the safe default for mined training pairs.
+
+    At corpus scale, route candidate generation through ``ivf_search`` /
+    ``brp_lsh_ann`` with an over-fetch factor and apply the same
+    label-mismatch filter + exact re-rank to the candidates; this exact
+    operator is the bounded-|Q| path and the recall oracle."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("ne"),
+        F.col(label_col).alias("n_label"),
+    )
+    dot = F.expr(DOT.format(a="qe", b="ne"))
+    nq = F.expr(NORM.format(a="qe"))
+    nn = F.expr(NORM.format(a="ne"))
+    pairs = (
+        c.join(F.broadcast(q))
+        .filter((F.col("qid") != F.col("nid")) & (F.col("q_label") != F.col("n_label")))
+        .select("qid", "q_label", "nid", "n_label", (dot / (nq * nn)).alias("cos_raw"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos_raw"), 9).desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "q_label", "nid", "n_label", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )
+
+
 #: ``cosine_allpairs`` refuses corpora larger than this (driver-collect +
 #: broadcast matrix ≈ 8 B × rows × dim; 200k × 128-d ≈ 200 MB — the upper
 #: end of what a driver/executor broadcast should carry). The unbounded

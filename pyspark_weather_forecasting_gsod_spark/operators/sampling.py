@@ -286,3 +286,103 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__ok")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    total: int,
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-count stratified selection via largest-remainder (Hamilton)
+    apportionment — the "build me a 10B-token corpus that is 40% English,
+    18% German, ..." primitive. Rate-based mixing
+    (``rate_sample_by_stratum``) realizes each stratum's share only in
+    expectation; training-mixture specs are usually exact budgets, so this
+    operator allocates INTEGER per-stratum quotas that sum to ``total``:
+
+      quota_f = weight / sum(weights) * total   (rounded to 6 dp so the
+                apportionment is reproducible across engines: a last-ulp
+                difference in the double SUM order cannot flip a floor)
+      base    = floor(quota_f); the ``total - sum(base)`` leftover units go
+                to the largest fractional remainders (ties: stratum asc) —
+                the Hamilton method, which never violates quota by > 1.
+
+    Each stratum then keeps its ``min(quota, stratum_size)`` rows with the
+    smallest ``md5(seed || key)`` digests (ties: key asc) — the same pure
+    key-function doctrine as ``hash_split``/``shuffle_shards``: the
+    selected SET is deterministic, engine-portable (an oracle replays it),
+    and insensitive to partition layout. NULL keys coalesce to the shared
+    sentinel so they rank deterministically instead of nulling the digest.
+
+    A stratum smaller than its quota yields all its rows and the output
+    falls short of ``total`` — quotas are NOT redistributed (redistribution
+    makes one stratum's size leak into every other stratum's selection,
+    breaking incremental reproducibility; callers chasing a hard total
+    should rebalance weights over the surviving strata and re-run). Strata
+    absent from ``weights`` are dropped.
+
+    Scale shape: one hash agg for counts (|strata| rows — the global
+    window over it is bounded by construction), a broadcast join to attach
+    quotas, and one rank window PARTITIONED BY stratum — |strata|
+    independent sorts, never a global ordering task. At 100 TB the rank
+    window's sort is the only super-linear stage and it parallelizes
+    per-stratum; a stratum too large to sort can pre-thin with
+    ``rate_sample_by_stratum`` at a few× the target rate first.
+    """
+    from pyspark.sql.window import Window
+
+    if total < 0:
+        raise ValueError("quota_sample: total must be >= 0")
+    if not weights:
+        raise ValueError("quota_sample: weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("quota_sample: weights must sum > 0")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        "__stratum string, __w double",
+    )
+    strat = F.col(stratum_col).cast("string")
+    counts = df.groupBy(strat.alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    quota_f = F.round(F.col("__w") * F.lit(float(total)) / F.lit(wsum), 6)
+    # global windows on the |strata|-row allocation frame only — bounded
+    w_all = Window.partitionBy(F.lit(1)).orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rem = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__frac").desc(), F.col("__stratum").asc()
+    )
+    alloc = (
+        counts.join(F.broadcast(wdf), "__stratum")
+        .withColumn("__qf", quota_f)
+        .withColumn("__base", F.floor("__qf"))
+        .withColumn("__frac", F.col("__qf") - F.col("__base"))
+        .withColumn("__leftover", F.lit(total) - F.sum("__base").over(w_all))
+        .withColumn("__rr", F.row_number().over(w_rem))
+        .withColumn(
+            "__quota",
+            F.least(
+                F.col("__base")
+                + F.when(F.col("__rr") <= F.col("__leftover"), 1).otherwise(0),
+                F.col("__cnt"),
+            ),
+        )
+        .select("__stratum", "__quota")
+    )
+    k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+    order_key = F.md5(F.concat(F.lit(f"{seed}:q:"), k).cast("binary"))
+    w_sel = Window.partitionBy("__stratum").orderBy(F.col("__ok").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__stratum", strat)
+        .join(F.broadcast(alloc), "__stratum")
+        .withColumn("__ok", order_key)
+        .withColumn("__rk", F.row_number().over(w_sel))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__stratum", "__ok", "__rk", "__quota")
+    )

@@ -2024,6 +2024,43 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negatives_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS q_label
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS nid, embedding AS ne, label AS n_label FROM embeddings),
+    p AS (
+        SELECT qid, q_label, nid, n_label,
+               list_sum(list_transform(list_zip(qe, ne),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+        FROM q, c WHERE qid <> nid AND q_label <> n_label
+    ), r AS (
+        SELECT qid, q_label, nid, n_label, dot / (nq * nn) AS cos_raw,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (nq * nn), 9) DESC, nid) AS rk
+        FROM p
+    )
+    SELECT qid, q_label, nid, n_label, ROUND(cos_raw, 6) AS cosine, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def hard_negatives_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data
+    (ext/similarity.py::hard_negatives_topk): per query vector, the 5 most
+    cosine-similar vectors with a DIFFERENT label — maximally similar yet
+    wrong, the negatives that actually move a metric-learning loss. Exact
+    bounded-|Q| path (broadcast queries, label filter BEFORE the rank
+    window); at corpus scale candidates come from IVF/LSH with the same
+    filter + exact re-rank."""
+    from ..ext.similarity import hard_negatives_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
     "label_centroids",
     """
     WITH e AS (
@@ -3569,6 +3606,65 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_sample_by_stratum(docs, "lang", _MIX_RATES, key="doc_id")
 
 
+#: quota_mix_docs mixture spec: weights sum to 1.0, total chosen so every
+#: fractional remainder sits far from 0/1 at all test SFs (floor stability
+#: across engines is argued in operators/sampling.py::quota_sample)
+_QUOTA_WEIGHTS = {"en": 0.40, "de": 0.18, "es": 0.16, "fr": 0.14, "zh": 0.12}
+_QUOTA_TOTAL = 257
+
+
+@query(
+    "quota_mix_docs",
+    f"""
+    WITH wts(lang, w) AS (VALUES
+        {', '.join(f"('{k}', {v})" for k, v in sorted(_QUOTA_WEIGHTS.items()))}),
+    counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY lang),
+    alloc AS (
+        SELECT c.lang, c.cnt,
+               ROUND(w.w * {_QUOTA_TOTAL} / (SELECT SUM(w) FROM wts), 6) AS qf
+        FROM counts c JOIN wts w USING (lang)
+    ),
+    ranked AS (
+        SELECT lang, cnt, CAST(FLOOR(qf) AS BIGINT) AS base, qf - FLOOR(qf) AS frac,
+               ROW_NUMBER() OVER (ORDER BY qf - FLOOR(qf) DESC, lang) AS rr,
+               (SELECT {_QUOTA_TOTAL} - SUM(CAST(FLOOR(qf) AS BIGINT)) FROM alloc)
+                   AS leftover
+        FROM alloc
+    ),
+    quota AS (
+        SELECT lang,
+               LEAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, cnt) AS q
+        FROM ranked
+    ),
+    sel AS (
+        SELECT d.lang, d.doc_id, q.q,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY md5(CONCAT('42:q:', CAST(d.doc_id AS VARCHAR))),
+                            d.doc_id) AS rk
+        FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT lang, doc_id FROM sel WHERE rk <= q
+    """,
+)
+def quota_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count mixture construction
+    (operators/sampling.py::quota_sample): largest-remainder (Hamilton)
+    apportionment of a 257-doc budget across languages, then
+    each stratum keeps its quota of smallest-md5 rows — the "build a
+    corpus that is exactly 40% English" primitive, where rate-based mixing
+    only hits shares in expectation. The oracle replays the whole thing —
+    apportionment arithmetic, leftover distribution, AND the md5 rank
+    selection — so the selected set itself is hash-proven."""
+    from ..operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sel = quota_sample(
+        docs, "lang", _QUOTA_WEIGHTS, total=_QUOTA_TOTAL, key="doc_id"
+    )
+    return sel.select("lang", "doc_id")
+
+
 @query(
     "hash_split_counts",
     """
@@ -5017,6 +5113,10 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # randomSplit; its portable oracle companion hash_split_counts IS in the
 # window), re-verified green by the full local gate this round.
 _EXPORT_PRIORITY: list[str] = [
+    # -- (0) NEW in r7 (no driver row exists yet): hard-negative mining +
+    #    exact-quota Hamilton mixture
+    "hard_negatives_topk",
+    "quota_mix_docs",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5076,10 +5176,11 @@ _EXPORT_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "revenue_by_nation",
     "dedup_exact_stats",
-    "doc_length_histogram",
-    "udtf_lateral_tokens",
-    # (window cap is 50: 16 changed + 16 late-hardened + 11 remainder + 7
-    # oldest-r03. The ml_*/random_split_counts r02 rows-only entries are
+    # (window cap is 50: 2 new + 16 changed + 16 late-hardened + 11
+    # remainder + 5 oldest-r03. doc_length_histogram and
+    # udtf_lateral_tokens ceded their r03-refresh slots to the two NEW
+    # queries — a first-ever driver row outranks refreshing a green r03
+    # row. The ml_*/random_split_counts r02 rows-only entries are
     # pytest-gated — a driver re-run adds no hash evidence and they keep
     # ceding their slots, reasons unchanged from the r06 ledger.)
 ]

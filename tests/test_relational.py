@@ -251,3 +251,59 @@ def test_kfold_cv_keeps_null_key_rows(spark):
     feat = feat.withColumn("features", array_to_vector("arr"))
     metrics = kfold_cv_regression(feat, "y", "k", k=4)
     assert sum(m["n_test"] for m in metrics) == 80  # no silently dropped rows
+
+
+def test_quota_sample_hamilton_allocation_and_determinism(spark):
+    """quota_sample: per-stratum counts equal the largest-remainder
+    apportionment, short strata yield everything they have (no
+    redistribution), selection is a pure key function (stable across
+    calls), and NULL keys rank deterministically instead of vanishing."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import quota_sample
+
+    rows = (
+        [Row(k=i, s="a") for i in range(100)]
+        + [Row(k=200 + i, s="b") for i in range(50)]
+        + [Row(k=400 + i, s="c") for i in range(3)]  # smaller than its quota
+        + [Row(k=500 + i, s="zz") for i in range(10)]  # absent from weights
+    )
+    df = spark.createDataFrame(rows)
+    # weights: a .5, b .3, c .2 of total 21 -> qf 10.5 / 6.3 / 4.2,
+    # base 10+6+4=20, leftover 1 -> 'a' (largest frac .5); c capped at 3
+    out = quota_sample(df, "s", {"a": 0.5, "b": 0.3, "c": 0.2}, total=21, key="k")
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 11, "b": 6, "c": 3}
+    # determinism: the exact same SET comes back on a fresh call
+    sel1 = sorted(r["k"] for r in out.collect())
+    sel2 = sorted(
+        r["k"]
+        for r in quota_sample(
+            df, "s", {"a": 0.5, "b": 0.3, "c": 0.2}, total=21, key="k"
+        ).collect()
+    )
+    assert sel1 == sel2
+    # stability: adding rows to stratum 'zz' (unweighted) changes nothing
+    more = df.union(spark.createDataFrame([Row(k=900 + i, s="zz") for i in range(5)]))
+    sel3 = sorted(
+        r["k"]
+        for r in quota_sample(
+            more, "s", {"a": 0.5, "b": 0.3, "c": 0.2}, total=21, key="k"
+        ).collect()
+    )
+    assert sel3 == sel1
+
+    # NULL keys: rank via the shared sentinel, output size unchanged
+    withnull = spark.createDataFrame(
+        [Row(k=None, s="a")] + [Row(k=i, s="a") for i in range(30)]
+    )
+    outn = quota_sample(withnull, "s", {"a": 1.0}, total=10, key="k")
+    assert outn.count() == 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quota_sample(df, "s", {}, total=5, key="k")
+    with pytest.raises(ValueError, match=">= 0"):
+        quota_sample(df, "s", {"a": 1.0}, total=-1, key="k")

@@ -493,3 +493,27 @@ def test_semantic_dedup_index_corpus_mismatch_raises(spark, sf_dir, tmp_path):
     ).write.parquet(f"{empty}/corpus")
     with pytest.raises(ValueError, match="empty"):
         semantic_dedup(emb, min_cosine=0.35, index_dir=empty)
+
+
+def test_hard_negatives_topk_filters_same_label_and_nulls(spark):
+    """hard_negatives_topk: only different-label corpus vectors rank;
+    same-label twins (even a perfect cosine-1 duplicate) and NULL-label
+    rows never appear; ordering and tie-breaks follow cosine_topk."""
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        hard_negatives_topk,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[2.0, 0.0, 0.0, 0.0], label=1),  # same label
+        Row(vec_id=2, embedding=[1.0, 0.05, 0.0, 0.0], label=2),  # hard negative
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0], label=2),  # easy negative
+        Row(vec_id=4, embedding=[1.0, 0.01, 0.0, 0.0], label=None),  # unlabeled
+    ]
+    emb = spark.createDataFrame(rows)
+    out = hard_negatives_topk(emb, emb.filter("vec_id = 0"), k=10)
+    got = [(r.nid, r.n_label, r.rk) for r in out.orderBy("rk").collect()]
+    # same-label 1 and NULL-label 4 excluded; hardest (closest) first
+    assert got == [(2, 2, 1), (3, 2, 2)]
+    # a NULL-label QUERY mines nothing (unlabeled anchors are not pairs)
+    assert hard_negatives_topk(emb, emb.filter("vec_id = 4"), k=3).count() == 0

@@ -82,6 +82,16 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "per-query top-k: rank-window with WindowGroupLimit pushdown — each partition keeps k rows before the shuffle, never a global sort",
     ),
+    "hard_negatives_topk": (
+        ["WindowGroupLimit"],
+        ["CartesianProduct", "SortMergeJoin"],
+        "same contract as cosine_topk: queries broadcast, label-mismatch filter BEFORE the rank window, WindowGroupLimit keeps k rows per partition pre-shuffle",
+    ),
+    "quota_mix_docs": (
+        ["BroadcastHashJoin", "Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "|strata|-row quota frame broadcasts onto the corpus; the md5 rank window partitions by stratum — |strata| independent sorts, never a global ordering task (the rank bound is a per-stratum COLUMN, so no WindowGroupLimit — the filter applies post-window)",
+    ),
     "token_stats": (
         ["Project", "Scan parquet"],
         ["Exchange", "Window", "Join"],
