@@ -248,3 +248,77 @@ def seasonal_anomaly(
         .withColumn(out_col, F.col(value_col) - F.col("__clim"))
         .drop("__season", "__clim")
     )
+
+
+def grouped_trend_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_epoch_s: int = 0,
+    unit_seconds: int = 3600,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Per-group closed-form OLS trend — "fit a model per key" done the
+    Spark-first way: ONE hash aggregate of five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy), then slope/intercept as arithmetic on the agg
+    row. No per-group Python fit, no applyInPandas, no iteration: at
+    100 TB this is a single map-side-combinable shuffle keyed by the
+    group — the same plan shape as any grouped sum — where a
+    grouped-map fit would ship every row into Python workers.
+
+    Engine-exact by construction (the ``seasonal_anomaly`` mean_decimals
+    doctrine, extended to regression): x = FLOOR((epoch(ts) − origin) /
+    unit_seconds) and y = ROUND(value·10^d) are INTEGERS, so all five
+    sums are exact in 64-bit across any partitioning/summation order, the
+    normal-equation terms n·Σxy − ΣxΣy and n·Σx² − (Σx)² are exact
+    integer arithmetic, and the only floating-point ops are the final
+    divisions — one fixed IEEE expression, bit-identical in any engine
+    that replays it. Plain ``regr_slope``-style double accumulation is
+    summation-order-sensitive in the last ulps.
+
+    Exactness bound (document, don't guess): with |x| ≤ X and
+    |y·10^d| ≤ Y per group of n rows, the largest term is
+    n·Σx² ≤ n²·X² — keep it under 2^63 (e.g. a year of hourly units,
+    X ≈ 8,760, allows n ≈ 10^7 rows per group; coarsen
+    ``unit_seconds`` to extend). Spark 4 ANSI mode and DuckDB both RAISE
+    on 64-bit overflow rather than wrapping, so a violation is loud.
+
+    Output: group_cols + (n_obs, slope, intercept) — slope in value
+    units per ``unit_seconds``; intercept is the fitted value at
+    ``origin_epoch_s``. Groups with n < 2 or zero x-variance are
+    dropped (no line to fit). NULL values/timestamps are excluded.
+    """
+    scale = float(10**value_decimals)
+    x = F.floor(
+        (F.unix_timestamp(F.col(ts_col)) - F.lit(origin_epoch_s))
+        / F.lit(unit_seconds)
+    ).cast("long")
+    y = F.round(F.col(value_col) * scale, 0).cast("long")
+    e = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*group_cols, x.alias("__x"), y.alias("__y"))
+    )
+    s = e.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num.cast("double") / den.cast("double") / F.lit(scale)
+    intercept = (
+        F.col("__sy").cast("double") / F.lit(scale)
+        - slope * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    return (
+        s.filter((F.col("__n") >= 2) & (den > 0))
+        .select(
+            *group_cols,
+            F.col("__n").alias("n_obs"),
+            F.round(slope, 9).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )

@@ -3327,6 +3327,54 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: grouped_trend_ols origin for the events table: 2024-01-01T00:00:00Z
+_TREND_ORIGIN_S = 1_704_067_200
+
+
+@query(
+    "user_value_trend",
+    f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch_us(ts) // 1000000 - {_TREND_ORIGIN_S}) / 3600)
+                    AS BIGINT) AS x,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id, n AS n_obs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 9) AS slope,
+           ROUND((CAST(sy AS DOUBLE) / 100.0
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/temporal.py::grouped_trend_ols):
+    "fit a model per key" as ONE hash aggregate of integer sufficient
+    statistics — never a per-group Python fit. x = hours since
+    2024-01-01, y = value in cents; every sum is integer-exact, so the
+    oracle replays the normal equations bit-for-bit (the engines' only
+    float ops are the same final divisions). At 100 TB this is a plain
+    map-side-combinable grouped agg; a grouped-map (applyInPandas) fit
+    would ship the full fact table through Python workers instead."""
+    from ..operators.temporal import grouped_trend_ols
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return grouped_trend_ols(
+        ev, ["user_id"], origin_epoch_s=_TREND_ORIGIN_S, unit_seconds=3600
+    )
+
+
 @query(
     "seasonal_anomaly_events",
     f"""
@@ -5113,10 +5161,11 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # randomSplit; its portable oracle companion hash_split_counts IS in the
 # window), re-verified green by the full local gate this round.
 _EXPORT_PRIORITY: list[str] = [
-    # -- (0) NEW in r7 (no driver row exists yet): hard-negative mining +
-    #    exact-quota Hamilton mixture
+    # -- (0) NEW in r7 (no driver row exists yet): hard-negative mining,
+    #    exact-quota Hamilton mixture, per-key integer-exact OLS trend
     "hard_negatives_topk",
     "quota_mix_docs",
+    "user_value_trend",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5175,10 +5224,9 @@ _EXPORT_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "revenue_by_nation",
-    "dedup_exact_stats",
-    # (window cap is 50: 2 new + 16 changed + 16 late-hardened + 11
-    # remainder + 5 oldest-r03. doc_length_histogram and
-    # udtf_lateral_tokens ceded their r03-refresh slots to the two NEW
+    # (window cap is 50: 3 new + 16 changed + 16 late-hardened + 11
+    # remainder + 4 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
+    # and dedup_exact_stats ceded their r03-refresh slots to the three NEW
     # queries — a first-ever driver row outranks refreshing a green r03
     # row. The ml_*/random_split_counts r02 rows-only entries are
     # pytest-gated — a driver re-run adds no hash evidence and they keep

@@ -162,3 +162,42 @@ def test_ohlc_bars_null_value_semantics(spark):
     b = bars[1]
     assert (b["open"], b["high"], b["low"], b["close"]) == (5.0, 9.0, 3.0, 3.0)
     assert b["n_points"] == 3
+
+
+def test_grouped_trend_ols_exact_line_and_guards(spark):
+    """grouped_trend_ols recovers a planted line exactly (integer-exact
+    sufficient statistics), drops n<2 and zero-x-variance groups, and
+    excludes NULL values."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        grouped_trend_ols,
+    )
+
+    origin = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    o_s = int(origin.timestamp())
+
+    def at(hours):
+        return origin + dt.timedelta(hours=hours)
+
+    rows = [
+        # group 'a': exact line y = 2.5x + 10 at x = 0..3 hours
+        *[Row(g="a", ts=at(h), value=10.0 + 2.5 * h) for h in range(4)],
+        # group 'b': single point -> dropped
+        Row(g="b", ts=at(1), value=5.0),
+        # group 'c': two points at the SAME hour -> zero x-variance, dropped
+        Row(g="c", ts=at(2), value=1.0),
+        Row(g="c", ts=at(2 + 0.1 / 3600), value=2.0),
+        # group 'a' NULL value: excluded, line unchanged
+        Row(g="a", ts=at(5), value=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["g"]: r for r in grouped_trend_ols(
+        df, ["g"], origin_epoch_s=o_s, unit_seconds=3600
+    ).collect()}
+    assert set(out) == {"a"}
+    assert out["a"]["n_obs"] == 4
+    assert out["a"]["slope"] == 2.5
+    assert out["a"]["intercept"] == 10.0

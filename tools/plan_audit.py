@@ -82,6 +82,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "per-query top-k: rank-window with WindowGroupLimit pushdown — each partition keeps k rows before the shuffle, never a global sort",
     ),
+    "user_value_trend": (
+        ["HashAggregate", "Exchange"],
+        ["Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        "per-key OLS is ONE map-side-combinable hash agg of integer sufficient statistics — no window, no join, no per-group Python fit",
+    ),
     "hard_negatives_topk": (
         ["WindowGroupLimit"],
         ["CartesianProduct", "SortMergeJoin"],
