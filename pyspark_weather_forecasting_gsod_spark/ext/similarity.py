@@ -383,6 +383,56 @@ def ivf_topk(
     return ivf_search(corpus.sparkSession, d, queries, k, nprobe, id_col, vec_col)
 
 
+def hard_negatives_ann(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The at-scale path of ``hard_negatives_topk``: candidates come from
+    a probe-only ``ivf_search`` over a prebuilt index (never a full-corpus
+    scan per batch), over-fetched ``overfetch``× so the label filter has
+    enough same-label survivors to discard, then label-mismatch-filtered
+    and re-ranked to exact top-``k``. ``labels`` maps ``id_col`` →
+    ``label_col`` for the corpus side; queries carry their own label
+    column. NULL labels never pair (same contract as the exact operator).
+
+    Recall caveat (same as any IVF search, measured by the caller's
+    ``topk_recall`` gate): a hard negative living in an unprobed cell is
+    missed; raise ``nprobe``/``overfetch`` to trade scan for recall. The
+    over-fetch matters specifically here because the TRUE k-th hard
+    negative may sit below k same-label neighbors in raw cosine order."""
+    cand = ivf_search(
+        spark, index_dir, queries, k=k * overfetch, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("qid"), F.col(label_col).alias("q_label")
+    )
+    n_lab = labels.select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("n_label")
+    )
+    filt = (
+        cand.join(F.broadcast(q_lab), "qid")
+        .join(n_lab, "nid")
+        .filter(F.col("q_label") != F.col("n_label"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("nid")
+    )
+    return (
+        filt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "q_label", "nid", "n_label", "cosine", "rk")
+    )
+
+
 def sampled_pair_audit(
     docs: DataFrame,
     id_col: str,

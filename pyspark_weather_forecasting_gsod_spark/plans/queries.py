@@ -2144,6 +2144,27 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(topk_recall(approx, cosine_topk(emb, q, k=5)), "qid")
 
 
+@query("hard_negatives_ann", None)  # IVF candidates KMeans-seeded → rows-only
+def hard_negatives_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at scale
+    (ext/similarity.py::hard_negatives_ann): candidates from the probe-only
+    IVF index (partition-pruned scan, built once per corpus), over-fetched
+    4×, label-mismatch-filtered, exact-re-ranked to top-5. Output carries
+    per-query ``recall_vs_exact`` against the exact oracle-checked
+    companion (`hard_negatives_topk`) — the nprobe/overfetch tradeoff is
+    priced in the result and pytest-gated, not prose-claimed."""
+    from ..ext.similarity import hard_negatives_ann, hard_negatives_topk, topk_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    idx = _ivf_index_for(spark, sf_dir, n_centroids=16)
+    approx = hard_negatives_ann(
+        spark, idx, q, labels=emb, k=5, nprobe=8, overfetch=4
+    ).localCheckpoint(eager=True)
+    exact = hard_negatives_topk(emb, q, k=5)
+    return approx.join(topk_recall(approx, exact), "qid")
+
+
 @query("embedding_neardup", None)  # approxSimilarityJoin recall is seed-dependent
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via BRP-LSH, with the quality signal in the
@@ -5162,10 +5183,12 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # window), re-verified green by the full local gate this round.
 _EXPORT_PRIORITY: list[str] = [
     # -- (0) NEW in r7 (no driver row exists yet): hard-negative mining,
-    #    exact-quota Hamilton mixture, per-key integer-exact OLS trend
+    #    exact-quota Hamilton mixture, per-key integer-exact OLS trend,
+    #    IVF-backed hard negatives (rows-only BUT first-ever driver row)
     "hard_negatives_topk",
     "quota_mix_docs",
     "user_value_trend",
+    "hard_negatives_ann",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5223,14 +5246,14 @@ _EXPORT_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
-    "revenue_by_nation",
-    # (window cap is 50: 3 new + 16 changed + 16 late-hardened + 11
-    # remainder + 4 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
-    # and dedup_exact_stats ceded their r03-refresh slots to the three NEW
-    # queries — a first-ever driver row outranks refreshing a green r03
-    # row. The ml_*/random_split_counts r02 rows-only entries are
-    # pytest-gated — a driver re-run adds no hash evidence and they keep
-    # ceding their slots, reasons unchanged from the r06 ledger.)
+    # (window cap is 50: 4 new + 16 changed + 16 late-hardened + 11
+    # remainder + 3 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
+    # dedup_exact_stats, and revenue_by_nation ceded their r03-refresh
+    # slots to the four NEW queries — a first-ever driver row (hash or
+    # rows+recall-gate) outranks refreshing a green r03 row. The
+    # ml_*/random_split_counts r02 rows-only entries are pytest-gated — a
+    # driver RE-run adds no hash evidence and they keep ceding their
+    # slots, reasons unchanged from the r06 ledger.)
 ]
 
 

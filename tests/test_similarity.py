@@ -517,3 +517,17 @@ def test_hard_negatives_topk_filters_same_label_and_nulls(spark):
     assert got == [(2, 2, 1), (3, 2, 2)]
     # a NULL-label QUERY mines nothing (unlabeled anchors are not pairs)
     assert hard_negatives_topk(emb, emb.filter("vec_id = 4"), k=3).count() == 0
+
+
+def test_hard_negatives_ann_recall_gate_and_label_purity(spark):
+    """The ANN-backed miner must (a) keep decent recall vs the exact
+    oracle-checked companion (IVF misses are priced in-query) and (b)
+    NEVER emit a same-label or NULL-label pair — the label contract is
+    exact regardless of the approximate candidate source."""
+    rows = _declared("hard_negatives_ann")(spark, SF_GATE).collect()
+    assert rows, "no queries produced results"
+    recs = {r.qid: r.recall_vs_exact for r in rows}
+    assert sum(recs.values()) / len(recs) >= 0.75  # measured 0.84 @ sf0.01
+    assert min(recs.values()) >= 0.3  # measured 0.4
+    assert all(r.q_label != r.n_label for r in rows)
+    assert all(r.q_label is not None and r.n_label is not None for r in rows)
