@@ -1778,6 +1778,125 @@ def hamming_neardup_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_short: int = 10_000,
+) -> DataFrame:
+    """EXACT edit-distance similarity join — all (id_a, id_b, dist) pairs
+    with Levenshtein distance ≤ ``max_dist`` — WITHOUT an all-pairs
+    comparison: the positional q-gram count filter (Gravano et al.,
+    VLDB'01 "Approximate String Joins in a Database") generates candidates
+    from an inverted q-gram index, then one ``levenshtein()`` call
+    verifies each candidate. The fuzzy-matching sibling of the exact
+    set-similarity joins (`ngram_jaccard_pairs_*`): entity/name
+    resolution, typo-tolerant record linkage, near-identical ID sweeps.
+
+    Completeness argument (why the filter never loses a true pair): a
+    string of length L has L−q+1 positional q-grams; ONE edit destroys at
+    most q of them and shifts surviving positions by at most 1, so two
+    strings within distance d share at least ``max(La,Lb) − q + 1 − q·d``
+    positional q-grams whose positions differ by ≤ d. Candidates are
+    pairs meeting that bound (our join may over-count a position matching
+    several partners — that only ADDS candidates, and verification is
+    exact); the length filter |La−Lb| ≤ d is applied first.
+
+    Cohort split (exact, disjoint): pairs where BOTH strings are longer
+    than ``q·(d+1)−1`` have bound ≥ 1 and go through the q-gram filter;
+    any pair with at least one string at or under that cut (where the
+    bound can be ≤ 0, i.e. zero shared grams is possible) is verified
+    densely — its partner is within ``d`` of the cut by the length
+    filter, so the dense cohort is every string of length ≤
+    ``q·(d+1)−1+d``, limit-probed against ``max_short`` and raising with
+    guidance instead of exploding, with ``least(La,Lb) ≤ cut`` keeping
+    the two paths disjoint.
+
+    Scale shape: explode ≤ L−q+1 gram rows per string, hash-join on the
+    gram (rare grams dominate candidate generation exactly like the
+    AllPairs prefixes), one hash agg for the count filter, candidate-only
+    verification. Σ|posting|² in hot q-grams is the cost driver — for
+    corpora with heavy gram skew, pre-slice or raise ``q``.
+    """
+    if max_dist < 0:
+        raise ValueError("edit_distance_pairs: max_dist must be >= 0")
+    if q < 2:
+        raise ValueError("edit_distance_pairs: q must be >= 2")
+    d = int(max_dist)
+    short_cut = q * (d + 1) - 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__l"),
+    ).filter(F.col("__s").isNotNull())
+    # overlapping positional q-grams via the shingle_arrays lookahead
+    # trick at char granularity; posexplode index IS the gram position
+    grams_expr = F.expr(f"regexp_extract_all(__s, '(?=(.{{{q}}})).', 1)")
+    long_side = base.filter(F.col("__l") > short_cut)
+    g = long_side.select(
+        "__id", "__s", "__l", F.posexplode(grams_expr).alias("__pos", "__gram")
+    )
+    ga = g.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+        F.col("__l").alias("__la"), F.col("__pos").alias("__pa"), "__gram",
+    )
+    gb = g.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+        F.col("__l").alias("__lb"), F.col("__pos").alias("__pb"), "__gram",
+    )
+    thresh = (
+        F.greatest("__la", "__lb") - F.lit(q) + F.lit(1) - F.lit(q * d)
+    )
+    cand = (
+        ga.join(gb, "__gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= d)
+            & (F.abs(F.col("__pa") - F.col("__pb")) <= d)
+        )
+        .groupBy("id_a", "id_b", "__sa", "__sb", "__la", "__lb")
+        .agg(F.count(F.lit(1)).alias("__matches"))
+        .filter(F.col("__matches") >= thresh)
+    )
+    verified = cand.select(
+        "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
+    ).filter(F.col("dist") <= d)
+    # dense cohort: every string within d of the short cut (see cohort
+    # split above); limit-probe guarded; `least <= cut` keeps it disjoint
+    # from the q-gram path
+    dense_side = base.filter(F.col("__l") <= short_cut + d)
+    n_dense = dense_side.limit(max_short + 1).count()
+    if n_dense > max_short:
+        raise ValueError(
+            f"edit_distance_pairs: >{max_short} strings of length <= "
+            f"{short_cut + d} — pairs involving them are verified densely; "
+            "pre-slice them, raise q, or raise max_short deliberately"
+        )
+    if n_dense >= 2:
+        sa = dense_side.select(
+            F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+            F.col("__l").alias("__la"),
+        )
+        sb = dense_side.select(
+            F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+            F.col("__l").alias("__lb"),
+        )
+        dense = (
+            sa.join(F.broadcast(sb))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("__la") - F.col("__lb")) <= d)
+                & (F.least("__la", "__lb") <= short_cut)
+            )
+            .select("id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist"))
+            .filter(F.col("dist") <= d)
+        )
+        verified = verified.unionByName(dense)
+    return verified
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

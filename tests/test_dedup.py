@@ -850,3 +850,58 @@ def test_dense_admission_probe_matches_full_decision(spark):
     want = key(ngram_jaccard_pairs(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
     got = key(ngram_jaccard_pairs_auto(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
     assert got == want and want
+
+
+def test_edit_distance_pairs_equals_brute_force(spark):
+    """The positional q-gram count filter must lose NOTHING: output ==
+    brute-force Levenshtein join across thresholds, q sizes, short
+    strings (dense cohort), empty strings, and the short×long boundary
+    pair the cohort split's algebra covers."""
+    import itertools
+    import random
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta"]
+    strs = []
+    for _ in range(60):
+        w = " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.6 and len(w) > 2:
+            pos = rng.randrange(len(w))
+            w = w[:pos] + rng.choice("abgd ") + w[pos + 1 :]
+        strs.append(w)
+    # dense-cohort material: empty, sub-q, and the len-8/len-9 boundary
+    # pair that must cross the short/long cohort split (q=3, d=2)
+    strs += ["", "a", "ab", "abc", "abd", "abcdefgh", "abcdefghi"]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d, q in [(2, 3), (1, 2), (0, 3)]:
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "id", "s", max_dist=d, q=q).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, (d, q, len(got), len(want))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_short"):
+        edit_distance_pairs(df, "id", "s", max_dist=2, q=3, max_short=3)
+    with pytest.raises(ValueError, match="q must be"):
+        edit_distance_pairs(df, "id", "s", q=1)

@@ -82,6 +82,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "per-query top-k: rank-window with WindowGroupLimit pushdown — each partition keeps k rows before the shuffle, never a global sort",
     ),
+    "fuzzy_name_pairs": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+        "edit-distance candidates come from the positional q-gram EQUI-join + count-filter agg; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
+    ),
     "user_value_trend": (
         ["HashAggregate", "Exchange"],
         ["Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
