@@ -1785,45 +1785,61 @@ def edit_distance_pairs(
     max_dist: int = 2,
     q: int = 3,
     max_short: int = 10_000,
+    method: str = "prefix",
 ) -> DataFrame:
     """EXACT edit-distance similarity join — all (id_a, id_b, dist) pairs
     with Levenshtein distance ≤ ``max_dist`` — WITHOUT an all-pairs
-    comparison: the positional q-gram count filter (Gravano et al.,
-    VLDB'01 "Approximate String Joins in a Database") generates candidates
-    from an inverted q-gram index, then one ``levenshtein()`` call
-    verifies each candidate. The fuzzy-matching sibling of the exact
-    set-similarity joins (`ngram_jaccard_pairs_*`): entity/name
-    resolution, typo-tolerant record linkage, near-identical ID sweeps.
+    comparison: Ed-Join-style positional q-gram PREFIX filtering (Xiao,
+    Wang & Lin, VLDB'08 "Ed-Join"; mismatch bound from Gravano et al.,
+    VLDB'01) generates candidates from each string's rarest grams only,
+    then one ``levenshtein()`` call verifies each candidate. The
+    fuzzy-matching sibling of the exact set-similarity joins
+    (`ngram_jaccard_pairs_*`): entity/name resolution, typo-tolerant
+    record linkage, near-identical ID sweeps.
 
-    Completeness argument (why the filter never loses a true pair): a
-    string of length L has L−q+1 positional q-grams; ONE edit destroys at
-    most q of them and shifts surviving positions by at most 1, so two
-    strings within distance d share at least ``max(La,Lb) − q + 1 − q·d``
-    positional q-grams whose positions differ by ≤ d. Candidates are
-    pairs meeting that bound (our join may over-count a position matching
-    several partners — that only ADDS candidates, and verification is
-    exact); the length filter |La−Lb| ≤ d is applied first.
+    Completeness argument (why the prefix never loses a true pair): one
+    edit destroys at most q positional q-grams and shifts survivors by at
+    most 1, so d edits destroy at most ``q·d`` grams — among ANY
+    ``q·d+1`` of a string's grams, at least one survives in the partner
+    with position offset ≤ d. Taking each string's ``q·d+1`` globally
+    RAREST grams as its prefix and joining prefixes against the FULL
+    posting index therefore witnesses every true pair (from the prefix
+    side of either member); the length filter |La−Lb| ≤ d prunes first,
+    and verification is exact, so extra candidates only cost time, never
+    correctness.
 
-    Cohort split (exact, disjoint): pairs where BOTH strings are longer
-    than ``q·(d+1)−1`` have bound ≥ 1 and go through the q-gram filter;
-    any pair with at least one string at or under that cut (where the
-    bound can be ≤ 0, i.e. zero shared grams is possible) is verified
-    densely — its partner is within ``d`` of the cut by the length
-    filter, so the dense cohort is every string of length ≤
-    ``q·(d+1)−1+d``, limit-probed against ``max_short`` and raising with
-    guidance instead of exploding, with ``least(La,Lb) ≤ cut`` keeping
-    the two paths disjoint.
+    Cohort split (exact, disjoint): the prefix lemma needs ≥ ``q·d+1``
+    grams, i.e. length ≥ ``q·(d+1)``; pairs where BOTH strings clear that
+    bar go through the prefix filter. Any pair with at least one string
+    at or under ``q·(d+1)−1`` is verified densely — its partner is
+    within ``d`` of the cut by the length filter, so the dense cohort is
+    every string of length ≤ ``q·(d+1)−1+d``, limit-probed against
+    ``max_short`` and raising with guidance instead of exploding, with
+    ``least(La,Lb) ≤ cut`` keeping the two paths disjoint.
 
-    Scale shape: explode ≤ L−q+1 gram rows per string, hash-join on the
-    gram (rare grams dominate candidate generation exactly like the
-    AllPairs prefixes), one hash agg for the count filter, candidate-only
-    verification. Σ|posting|² in hot q-grams is the cost driver — for
-    corpora with heavy gram skew, pre-slice or raise ``q``.
+    Scale shape (``method='prefix'``, the default): explode ≤ L−q+1 gram
+    rows per string, ONE frequency agg, prefix join against the posting
+    index — hot grams almost never appear in any rarest-first prefix, so
+    their posting lists are never enumerated quadratically (the same
+    reason the AllPairs/PPJoin prefix paths scale); candidate-only
+    verification.
+
+    ``method='count'`` instead joins ALL positional grams and applies the
+    Gravano count filter (shared grams ≥ max(La,Lb)−q+1−q·d) before
+    verification. On SMALL-vocabulary corpora where every gram is hot
+    (part names at sf0.1: count 5.8 s vs prefix 7.5 s — the count bound
+    prunes harder than a 1-shared-rare-gram prefix hit), it wins; its
+    candidate cost is Σ|posting|², so at open-vocabulary scale it is the
+    wrong default — the same inverted-vs-prefix trade as
+    ``ngram_jaccard_pairs`` vs ``_prefix``, kept available by name.
+    Both methods are property-tested identical to brute force.
     """
     if max_dist < 0:
         raise ValueError("edit_distance_pairs: max_dist must be >= 0")
     if q < 2:
         raise ValueError("edit_distance_pairs: q must be >= 2")
+    if method not in ("prefix", "count"):
+        raise ValueError("edit_distance_pairs: method must be 'prefix'|'count'")
     d = int(max_dist)
     short_cut = q * (d + 1) - 1
     base = df.select(
@@ -1832,34 +1848,67 @@ def edit_distance_pairs(
         F.length(str_col).alias("__l"),
     ).filter(F.col("__s").isNotNull())
     # overlapping positional q-grams via the shingle_arrays lookahead
-    # trick at char granularity; posexplode index IS the gram position
-    grams_expr = F.expr(f"regexp_extract_all(__s, '(?=(.{{{q}}})).', 1)")
+    # trick at char granularity; posexplode index IS the gram position.
+    # (?s): dot must cross newlines or multi-line strings silently lose
+    # grams and the count filter loses completeness
+    grams_expr = F.expr(f"regexp_extract_all(__s, '(?s)(?=(.{{{q}}})).', 1)")
     long_side = base.filter(F.col("__l") > short_cut)
     g = long_side.select(
         "__id", "__s", "__l", F.posexplode(grams_expr).alias("__pos", "__gram")
     )
-    ga = g.select(
-        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
-        F.col("__l").alias("__la"), F.col("__pos").alias("__pa"), "__gram",
-    )
-    gb = g.select(
-        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
-        F.col("__l").alias("__lb"), F.col("__pos").alias("__pb"), "__gram",
-    )
-    thresh = (
-        F.greatest("__la", "__lb") - F.lit(q) + F.lit(1) - F.lit(q * d)
-    )
-    cand = (
-        ga.join(gb, "__gram")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("__la") - F.col("__lb")) <= d)
-            & (F.abs(F.col("__pa") - F.col("__pb")) <= d)
+    if method == "prefix":
+        # rarest-first prefix: q·d+1 grams per string under the global
+        # (frequency, gram, pos) order — deterministic, hot grams excluded
+        freq = g.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+        w_pref = Window.partitionBy("__id").orderBy("__df", "__gram", "__pos")
+        prefix = (
+            g.join(freq, "__gram")
+            .withColumn("__rk", F.row_number().over(w_pref))
+            .filter(F.col("__rk") <= q * d + 1)
+            .select(
+                F.col("__id").alias("__pid"), F.col("__s").alias("__ps"),
+                F.col("__l").alias("__pl"), F.col("__pos").alias("__pp"), "__gram",
+            )
         )
-        .groupBy("id_a", "id_b", "__sa", "__sb", "__la", "__lb")
-        .agg(F.count(F.lit(1)).alias("__matches"))
-        .filter(F.col("__matches") >= thresh)
-    )
+        full = g.select(
+            F.col("__id").alias("__fid"), F.col("__s").alias("__fs"),
+            F.col("__l").alias("__fl"), F.col("__pos").alias("__fp"), "__gram",
+        )
+        hit = prefix.join(full, "__gram").filter(
+            (F.col("__pid") != F.col("__fid"))
+            & (F.abs(F.col("__pl") - F.col("__fl")) <= d)
+            & (F.abs(F.col("__pp") - F.col("__fp")) <= d)
+        )
+        lo = F.col("__pid") < F.col("__fid")
+        cand = hit.select(
+            F.when(lo, F.col("__pid")).otherwise(F.col("__fid")).alias("id_a"),
+            F.when(lo, F.col("__fid")).otherwise(F.col("__pid")).alias("id_b"),
+            F.when(lo, F.col("__ps")).otherwise(F.col("__fs")).alias("__sa"),
+            F.when(lo, F.col("__fs")).otherwise(F.col("__ps")).alias("__sb"),
+        ).distinct()
+    else:
+        # count filter: every matching positional gram, pairs meeting the
+        # Gravano bound survive (over-counted matches only ADD candidates)
+        ga = g.select(
+            F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+            F.col("__l").alias("__la"), F.col("__pos").alias("__pa"), "__gram",
+        )
+        gb = g.select(
+            F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+            F.col("__l").alias("__lb"), F.col("__pos").alias("__pb"), "__gram",
+        )
+        thresh = F.greatest("__la", "__lb") - F.lit(q) + F.lit(1) - F.lit(q * d)
+        cand = (
+            ga.join(gb, "__gram")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("__la") - F.col("__lb")) <= d)
+                & (F.abs(F.col("__pa") - F.col("__pb")) <= d)
+            )
+            .groupBy("id_a", "id_b", "__sa", "__sb", "__la", "__lb")
+            .agg(F.count(F.lit(1)).alias("__matches"))
+            .filter(F.col("__matches") >= thresh)
+        )
     verified = cand.select(
         "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
     ).filter(F.col("dist") <= d)

@@ -322,7 +322,12 @@ def quota_sample(
     makes one stratum's size leak into every other stratum's selection,
     breaking incremental reproducibility; callers chasing a hard total
     should rebalance weights over the surviving strata and re-run). Strata
-    absent from ``weights`` are dropped.
+    absent from ``weights`` are dropped. Symmetrically, a WEIGHTED stratum
+    absent from the data contributes no base quota: its units inflate the
+    leftover, which can hand each present stratum at most its one
+    largest-remainder unit — the output again falls short of ``total``
+    rather than silently reshaping the mix (same no-redistribution
+    doctrine; rebalance and re-run).
 
     Scale shape: one hash agg for counts (|strata| rows — the global
     window over it is bounded by construction), a broadcast join to attach

@@ -2158,12 +2158,18 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join (ext/dedup.py::edit_distance_pairs):
-    all part-name pairs within Levenshtein distance 2, candidates from the
-    positional q-gram count filter (Gravano VLDB'01) — never all-pairs —
-    then exact verification. The oracle IS the brute-force quadratic join
-    on the same slice, so the hash match proves the filter lost nothing.
-    The fuzzy-matching sibling of the set-similarity family: entity/name
-    resolution, typo-tolerant record linkage."""
+    all part-name pairs within Levenshtein distance 2, candidates from
+    Ed-Join rarest-first positional q-gram prefixes (Xiao VLDB'08; d
+    edits destroy at most q·d positional grams, so each string's q·d+1
+    rarest grams witness every true pair) — never all-pairs — then exact
+    verification. The oracle IS the brute-force quadratic join on the
+    same slice, so the hash match proves the prefix filter lost nothing.
+    Served by the prefix path — the open-vocabulary at-scale default;
+    the Gravano count-filter path (`method='count'`) prunes harder on
+    THIS hot-vocab slice and stays available by name, both
+    property-tested identical to brute force. The fuzzy-matching sibling
+    of the set-similarity family: entity/name resolution, typo-tolerant
+    record linkage."""
     from ..ext.dedup import edit_distance_pairs
 
     parts = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)

@@ -853,10 +853,10 @@ def test_dense_admission_probe_matches_full_decision(spark):
 
 
 def test_edit_distance_pairs_equals_brute_force(spark):
-    """The positional q-gram count filter must lose NOTHING: output ==
-    brute-force Levenshtein join across thresholds, q sizes, short
-    strings (dense cohort), empty strings, and the short×long boundary
-    pair the cohort split's algebra covers."""
+    """The Ed-Join positional q-gram prefix filter must lose NOTHING:
+    output == brute-force Levenshtein join across thresholds, q sizes,
+    short strings (dense cohort), empty strings, multi-line strings, and
+    the short×long boundary pair the cohort split's algebra covers."""
     import itertools
     import random
 
@@ -883,21 +883,27 @@ def test_edit_distance_pairs_equals_brute_force(spark):
             w = w[:pos] + rng.choice("abgd ") + w[pos + 1 :]
         strs.append(w)
     # dense-cohort material: empty, sub-q, and the len-8/len-9 boundary
-    # pair that must cross the short/long cohort split (q=3, d=2)
-    strs += ["", "a", "ab", "abc", "abd", "abcdefgh", "abcdefghi"]
+    # pair that must cross the short/long cohort split (q=3, d=2); plus
+    # multi-line strings — (?s) grams must cross the newline or the
+    # count filter loses completeness
+    strs += ["", "a", "ab", "abc", "abd", "abcdefgh", "abcdefghi",
+             "alpha\nbeta gamma", "alpha\nbeta gamme"]
     rows = [(i, s) for i, s in enumerate(strs)]
     df = spark.createDataFrame(rows, "id long, s string")
     for d, q in [(2, 3), (1, 2), (0, 3)]:
-        got = {
-            (r.id_a, r.id_b, r.dist)
-            for r in edit_distance_pairs(df, "id", "s", max_dist=d, q=q).collect()
-        }
         want = {
             (i, j, lev(a, b))
             for (i, a), (j, b) in itertools.combinations(rows, 2)
             if lev(a, b) <= d
         }
-        assert got == want, (d, q, len(got), len(want))
+        for method in ("prefix", "count"):
+            got = {
+                (r.id_a, r.id_b, r.dist)
+                for r in edit_distance_pairs(
+                    df, "id", "s", max_dist=d, q=q, method=method
+                ).collect()
+            }
+            assert got == want, (d, q, method, len(got), len(want))
 
     import pytest
 
@@ -905,3 +911,5 @@ def test_edit_distance_pairs_equals_brute_force(spark):
         edit_distance_pairs(df, "id", "s", max_dist=2, q=3, max_short=3)
     with pytest.raises(ValueError, match="q must be"):
         edit_distance_pairs(df, "id", "s", q=1)
+    with pytest.raises(ValueError, match="method"):
+        edit_distance_pairs(df, "id", "s", method="bogus")

@@ -301,6 +301,16 @@ def test_quota_sample_hamilton_allocation_and_determinism(spark):
     outn = quota_sample(withnull, "s", {"a": 1.0}, total=10, key="k")
     assert outn.count() == 10
 
+    # a WEIGHTED stratum absent from the data: present strata gain at most
+    # their one largest-remainder unit; the output falls short of total
+    # rather than silently reshaping the mix
+    absent = quota_sample(
+        df, "s", {"a": 0.5, "ghost": 0.5}, total=100, key="k"
+    )
+    got_abs = {r["s"]: r["n"] for r in absent.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got_abs == {"a": 51}  # base floor(50.0)=50, +1 remainder unit
+
     import pytest
 
     with pytest.raises(ValueError, match="non-empty"):

@@ -85,7 +85,7 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
     "fuzzy_name_pairs": (
         ["HashAggregate"],
         ["CartesianProduct"],
-        "edit-distance candidates come from the positional q-gram EQUI-join + count-filter agg; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
+        "edit-distance candidates come from the rarest-first positional q-gram PREFIX equi-join (Ed-Join) — hot grams never enumerate quadratically; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
     ),
     "user_value_trend": (
         ["HashAggregate", "Exchange"],
