@@ -277,12 +277,17 @@ def grouped_trend_ols(
     that replays it. Plain ``regr_slope``-style double accumulation is
     summation-order-sensitive in the last ulps.
 
-    Exactness bound (document, don't guess): with |x| ≤ X and
-    |y·10^d| ≤ Y per group of n rows, the largest term is
-    n·Σx² ≤ n²·X² — keep it under 2^63 (e.g. a year of hourly units,
-    X ≈ 8,760, allows n ≈ 10^7 rows per group; coarsen
-    ``unit_seconds`` to extend). Spark 4 ANSI mode and DuckDB both RAISE
-    on 64-bit overflow rather than wrapping, so a violation is loud.
+    Exactness bound (document, don't guess): the five SUMS accumulate in
+    64-bit — with |x| ≤ X and |y·10^d| ≤ Y per group of n rows the
+    binding term is Σxy ≤ n·X·Y, so a year of hourly units (X ≈ 8,760)
+    at 2-dp values (Y ≈ 4.9×10^6) allows n ≈ 2×10^8 rows per group
+    (coarsen ``unit_seconds``, re-origin, or drop ``value_decimals`` to
+    extend). The NORMAL-EQUATION products (n·Σxy − Σx·Σy, n·Σx² − Σx²)
+    would square that bound away in 64-bit, so they run in 38-digit
+    exact arithmetic instead — Spark decimal(38,0), replayed by DuckDB
+    HUGEINT: identical integers, identical final doubles. Both engines
+    RAISE on overflow of their respective widths (Spark 4 ANSI, DuckDB
+    checked arithmetic) — a violation is loud, never silent.
 
     Output: group_cols + (n_obs, slope, intercept) — slope in value
     units per ``unit_seconds``; intercept is the fitted value at
@@ -306,8 +311,9 @@ def grouped_trend_ols(
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
     )
-    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = dec("__n") * dec("__sxy") - dec("__sx") * dec("__sy")
+    den = dec("__n") * dec("__sxx") - dec("__sx") * dec("__sx")
     slope = num.cast("double") / den.cast("double") / F.lit(scale)
     intercept = (
         F.col("__sy").cast("double") / F.lit(scale)

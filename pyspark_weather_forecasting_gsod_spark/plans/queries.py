@@ -3402,15 +3402,20 @@ _TREND_ORIGIN_S = 1_704_067_200
                CAST(SUM(x * y) AS BIGINT) AS sxy
         FROM e GROUP BY user_id
     )
+    , h AS (
+        SELECT user_id, n,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+               sx, sy
+        FROM s
+    )
     SELECT user_id, n AS n_obs,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 9) AS slope,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 9) AS slope,
            ROUND((CAST(sy AS DOUBLE) / 100.0
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                  - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
                     * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE), 6) AS intercept
-    FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+    FROM h WHERE n >= 2 AND den > 0
     """,
 )
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
