@@ -2144,6 +2144,63 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(topk_recall(approx, cosine_topk(emb, q, k=5)), "qid")
 
 
+#: bucketed orders/lineitem tables, built once per (process, sf_dir) — the
+#: pay-the-shuffle-once-at-write-time contract made concrete, same
+#: build-once/probe-many doctrine as _IVF_INDEX_CACHE
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    from ..sources.bucketing import write_bucketed
+
+    if sf_dir not in _BUCKETED_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        to, tl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+        write_bucketed(
+            _t(spark, sf_dir, "orders"), to, "o_orderkey",
+            num_buckets=8, sort_by="o_orderkey",
+        )
+        write_bucketed(
+            _t(spark, sf_dir, "lineitem"), tl, "l_orderkey",
+            num_buckets=8, sort_by="l_orderkey",
+        )
+        _BUCKETED_CACHE[sf_dir] = (to, tl)
+    return _BUCKETED_CACHE[sf_dir]
+
+
+@query(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-exchange fact-fact join (sources/bucketing.py): orders and
+    lineitem written bucketed+sorted by the join key once per process,
+    then merge-joined AND aggregated on that key with NO shuffle anywhere
+    in the plan (plan-audited: no Exchange node) — at 100 TB the
+    recurring fact-fact shuffle is the single largest cost a warehouse
+    pays, and bucketing pays it exactly once at write time. The oracle is
+    the plain join+agg, proving bucketing changed the plan, not the
+    values. The merge hint forces the at-scale plan shape (at gate scale
+    Catalyst would broadcast instead)."""
+    to, tl = _bucketed_tables_for(spark, sf_dir)
+    a = spark.table(to)
+    b = spark.table(tl)
+    j = a.hint("merge").join(b, a["o_orderkey"] == b["l_orderkey"])
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
 @query(
     "fuzzy_name_pairs",
     """
@@ -5229,6 +5286,7 @@ _EXPORT_PRIORITY: list[str] = [
     "user_value_trend",
     "hard_negatives_ann",
     "fuzzy_name_pairs",
+    "bucketed_join_revenue",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5284,15 +5342,15 @@ _EXPORT_PRIORITY: list[str] = [
     "zorder_keys",
     # -- (d) oldest r03 rows (displaced longest; oracle-checkable)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    # (window cap is 50: 5 new + 16 changed + 16 late-hardened + 11
-    # remainder + 2 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
-    # dedup_exact_stats, revenue_by_nation, and q6_forecast_revenue ceded
-    # their r03-refresh slots to the five NEW queries — a first-ever
-    # driver row (hash or rows+recall-gate) outranks refreshing a green
-    # r03 row. The ml_*/random_split_counts r02 rows-only entries are
-    # pytest-gated — a driver RE-run adds no hash evidence and they keep
-    # ceding their slots, reasons unchanged from the r06 ledger.)
+    # (window cap is 50: 6 new + 16 changed + 16 late-hardened + 11
+    # remainder + 1 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
+    # dedup_exact_stats, revenue_by_nation, q6_forecast_revenue, and
+    # q3_shipping_priority ceded their r03-refresh slots to the six NEW
+    # queries — a first-ever driver row (hash or rows+recall-gate)
+    # outranks refreshing a green r03 row. The ml_*/random_split_counts
+    # r02 rows-only entries are pytest-gated — a driver RE-run adds no
+    # hash evidence and they keep ceding their slots, reasons unchanged
+    # from the r06 ledger.)
 ]
 
 

@@ -82,6 +82,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "per-query top-k: rank-window with WindowGroupLimit pushdown — each partition keeps k rows before the shuffle, never a global sort",
     ),
+    "bucketed_join_revenue": (
+        ["SortMergeJoin"],
+        ["Exchange", "BroadcastHashJoin", "CartesianProduct"],
+        "bucketed+sorted tables make the fact-fact merge join AND the same-key aggregation run with ZERO Exchange nodes — the shuffle was paid once at write time",
+    ),
     "fuzzy_name_pairs": (
         ["HashAggregate"],
         ["CartesianProduct"],
