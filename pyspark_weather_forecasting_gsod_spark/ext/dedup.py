@@ -776,29 +776,38 @@ def minhash_lsh_pairs(
     controlled by bands/rows-per-band (8 bands × 4 rows ≈ s-curve threshold
     ~0.5), and verification touches only candidates.
     """
-    # eager localCheckpoint, not persist: returned frame is lazy over arrs
-    # (no paired unpersist possible); see the note in ngram_jaccard_pairs.
-    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     # signature + band keys: ONE map-only projection (fold expression), then
     # explode only `bands` small rows per doc for the bucket join.
+    arrs = shingle_arrays(df, id_col, text_col, n)
     sig = minhash_signatures(arrs, id_col, num_hashes, seed)
     bucket = minhash_band_buckets(sig, id_col, num_hashes, bands)
     a = bucket.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
     b = bucket.select(F.col(id_col).alias("doc_b"), "band_no", "bucket")
+    # eager localCheckpoint of the CANDIDATE PAIRS, not the corpus shingles
+    # (r07: the old full-corpus arrs checkpoint materialized every shingle
+    # array upfront — measured +2s at sf0.1 — when downstream only ever
+    # reuses the candidate docs): the pair list is output-proportional and
+    # tiny, it is consumed by three subtrees (cand_ids twice + the common
+    # join), and truncating here means the whole LSH pipeline runs exactly
+    # once with zero cache-pool footprint.
     candidates = (
         a.join(b, on=["band_no", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # exact verification: explode shingles for CANDIDATE docs only; set
-    # sizes come free from the array (no groupBy pass over the corpus).
+    # exact verification: re-run the map-only shingle pass on CANDIDATE
+    # docs only — semi-join the RAW docs first so the regex never touches
+    # non-candidates; set sizes come free from the array.
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_arrs = arrs.join(cand_ids, on=id_col, how="left_semi")
+    cand_arrs = shingle_arrays(
+        df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
+    )
     sh = cand_arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = cand_arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
