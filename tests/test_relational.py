@@ -317,3 +317,69 @@ def test_quota_sample_hamilton_allocation_and_determinism(spark):
         quota_sample(df, "s", {}, total=5, key="k")
     with pytest.raises(ValueError, match=">= 0"):
         quota_sample(df, "s", {"a": 1.0}, total=-1, key="k")
+
+
+def test_property_quota_sample_hamilton_invariants(spark):
+    """Property (hypothesis): for random strata populations, weights, and
+    budgets, quota_sample satisfies the Hamilton apportionment contract —
+    per-stratum take == min(apportioned quota, stratum size); apportioned
+    quotas (pre-cap) sum exactly to the budget when every weighted
+    stratum is present; quotas never deviate from the ideal share by
+    more than 1 (Hamilton never violates quota); and the selected set is
+    deterministic across calls."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import quota_sample
+
+    pops = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=2, max_size=4,
+    )
+    wts = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=2, max_size=4,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(pops, wts, st.integers(min_value=0, max_value=60))
+    def check(populations, weights, total):
+        rows = []
+        k = 0
+        for s, n in sorted(populations.items()):
+            for _ in range(n):
+                rows.append((k, s))
+                k += 1
+        df = spark.createDataFrame(rows, "k long, s string")
+        out = quota_sample(df, "s", weights, total=total, key="k")
+        got = {
+            r["s"]: r["n"]
+            for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()
+        }
+        # replay Hamilton in pure Python (round-to-6dp mirrors the operator)
+        wsum = sum(weights.values())
+        present = sorted(set(populations) & set(weights))
+        qf = {s: round(weights[s] * total / wsum, 6) for s in present}
+        base = {s: math.floor(qf[s]) for s in present}
+        leftover = total - sum(base.values())
+        order = sorted(present, key=lambda s: (-(qf[s] - base[s]), s))
+        quota = dict(base)
+        for i, s in enumerate(order):
+            if i < leftover:
+                quota[s] += 1
+        for s in present:
+            want = min(quota[s], populations[s])
+            assert got.get(s, 0) == want, (s, got, quota, populations, total)
+        assert set(got) <= set(present)
+        # quota property: pre-cap quotas within 1 of the ideal share
+        for s in present:
+            assert abs(quota[s] - qf[s]) < 1 + 1e-9
+        # determinism
+        again = sorted(r["k"] for r in quota_sample(
+            df, "s", weights, total=total, key="k").collect())
+        assert again == sorted(r["k"] for r in out.collect())
+
+    check()
