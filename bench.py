@@ -42,6 +42,10 @@ def main() -> None:
     # steady-state throughput, the honest comparison against the oracle
     # engine's runtime. Training-style queries (ML fits, LSH model fits,
     # composite pipeline) are measured cold: their cost IS the fit.
+    # a cold-only wall at or above this gets one cold retry (min kept):
+    # every phantom regression the noise bursts produced was >= 2x a
+    # normal wall, and normal cold walls here are 1-16 s
+    COLD_RETRY_OVER_SEC = 20.0
     cold_only = {
         "ml_regression_metrics",
         "ml_classification_metrics",
@@ -119,6 +123,20 @@ def main() -> None:
         first_runs[name] = round(warm_wall if warm_wall is not None else wall, 3)
         if warm_wall is not None:
             wall = min(wall, warm_wall)
+        elif wall >= COLD_RETRY_OVER_SEC:
+            # cold-only queries used to get ONE shot, which is exactly where
+            # the box's noise bursts became phantom regressions (r7: one
+            # sweep recorded gsod_pipeline_e2e at 39.6 s, the next at
+            # 15.7 s, same code). A burst-suspect cold wall gets ONE retry
+            # and keeps the min — still a cold measurement (clearCache +
+            # fresh lineage; fits/streams re-execute in full), bounded
+            # extra cost because it only triggers on already-slow walls.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            retry = time.time() - t0
+            first_runs[name] = round(max(wall, retry), 3)
+            wall = min(wall, retry)
         timings[name] = round(wall, 3)
         # Operators that persist intermediates (shingle arrays, featurized
         # frames) release them only while their own call is live; each bench
@@ -137,7 +155,8 @@ def main() -> None:
     meta = {
         "estimator": "min_of_runs",
         "runs_warm": 2,
-        "runs_cold": 1,
+        "runs_cold": "1 (+1 retry when the single cold wall >= "
+        f"{COLD_RETRY_OVER_SEC:.0f}s — burst suspect)",
         "n_cold_only": len(cold_only),
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "cpus": cpus,
