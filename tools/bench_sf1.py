@@ -70,6 +70,26 @@ def synthesize(spark) -> None:
     emb1.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SF1, "embeddings.parquet")
     )
+    # r7: fact tables for the bucketed-join rehearsal — replica k remaps
+    # every order key by k*keyspan on BOTH sides, so lineitem replica k
+    # joins orders replica k and the join fan-out matches 10x reality
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    keyspan = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    orders1 = orders.crossJoin(F.broadcast(reps)).withColumn(
+        "o_orderkey",
+        F.col("o_orderkey") + F.col("rep").cast("long") * F.lit(keyspan),
+    ).drop("rep")
+    li1 = li.crossJoin(F.broadcast(reps)).withColumn(
+        "l_orderkey",
+        F.col("l_orderkey") + F.col("rep").cast("long") * F.lit(keyspan),
+    ).drop("rep")
+    orders1.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "orders.parquet")
+    )
+    li1.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "lineitem.parquet")
+    )
 
 
 def main() -> None:
@@ -309,6 +329,66 @@ def main() -> None:
             "(prefix 75.3s on the identical slice) and >570s at 5k docs "
             "(prefix 10.5s) — hot-gram sigma-|posting|^2 blow-up; "
             "SPARK_GRAFT_ED_COUNT=1 re-measures"
+        )
+
+    # --- r7: bucketed vs shuffled fact-fact join at sf1 ------------------
+    # pay-the-shuffle-once evidence at 10x: write orders/lineitem bucketed
+    # by the join key (one-time cost, timed separately), then time the
+    # zero-exchange merge join + same-key agg against the identical plan
+    # over raw parquet (which must shuffle both sides every run).
+    if os.path.isdir(os.path.join(SF1, "orders.parquet")):
+        from pyspark_weather_forecasting_gsod_spark.sources.bucketing import (
+            write_bucketed,
+        )
+
+        ord1 = load_table(spark, SF1, "orders")
+        li1 = load_table(spark, SF1, "lineitem")
+
+        def _join_agg(a, b):
+            j = a.hint("merge").join(b, a["o_orderkey"] == b["l_orderkey"])
+            return j.groupBy("o_orderkey").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "rev"
+                ),
+            )
+
+        timed(
+            "bucketed_join_write_once",
+            lambda: (
+                write_bucketed(ord1, "sf1_b_orders", "o_orderkey",
+                               num_buckets=32, sort_by="o_orderkey"),
+                write_bucketed(li1, "sf1_b_lineitem", "l_orderkey",
+                               num_buckets=32, sort_by="l_orderkey"),
+            ),
+        )
+
+        def _probe(name, a, b):
+            out = _join_agg(a, b)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            out.write.format("noop").mode("overwrite").save()
+            routes[name] = f"exchanges_in_plan={plan.count('Exchange')}"
+
+        timed(
+            "bucketed_join_probe",
+            lambda: _probe(
+                "bucketed_join_probe",
+                spark.table("sf1_b_orders"),
+                spark.table("sf1_b_lineitem"),
+            ),
+        )
+        timed(
+            "shuffle_join_baseline",
+            lambda: _probe("shuffle_join_baseline", ord1, li1),
+        )
+        routes["bucketed_vs_shuffle_note"] = (
+            "walls are near-equal at this scale BY EXPECTATION — a 6M-row "
+            "shuffle on one page-cached box is ~free; the structural "
+            "evidence is exchanges_in_plan (0 bucketed vs 2 raw): shuffle "
+            "cost grows with data x network fan-out on a real cluster "
+            "while the bucketed plan's zero-exchange shape is "
+            "scale-invariant, and its one-time write cost is recorded "
+            "separately"
         )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
