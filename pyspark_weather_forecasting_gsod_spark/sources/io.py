@@ -281,3 +281,37 @@ def compact_small_files(
         dest_dir
     )
     return n_files
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro source (``spark-avro``) behind an availability gate: the Avro
+    DataSource is an EXTERNAL Spark module (core ships only the Avro jars,
+    not the DataSource) and this sandbox does not bundle it. When absent,
+    raise a clear pointer instead of Spark's generic failed-to-find error —
+    the same honest optional-dep doctrine as the XGBoost/SHAP gates
+    (ml/models.py, ml/explain.py). On a cluster with the module deployed
+    the same call just works."""
+    try:
+        return spark.read.options(**options).format("avro").load(path)
+    except Exception as exc:  # noqa: BLE001 — AnalysisException subclass varies
+        if "Failed to find data source: avro" in str(exc):
+            raise NotImplementedError(
+                "spark-avro module not deployed in this runtime; add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages "
+                "(core Avro jars alone do not provide the DataSource)"
+            ) from exc
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options: str) -> None:
+    """Avro sink, gated exactly like ``read_avro``."""
+    try:
+        df.write.options(**options).mode(mode).format("avro").save(path)
+    except Exception as exc:  # noqa: BLE001
+        if "Failed to find data source: avro" in str(exc):
+            raise NotImplementedError(
+                "spark-avro module not deployed in this runtime; add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages "
+                "(core Avro jars alone do not provide the DataSource)"
+            ) from exc
+        raise

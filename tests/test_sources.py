@@ -446,3 +446,24 @@ def test_read_csv_infer_schema_flag(spark, scratch):
     schema = T.StructType([T.StructField("stn", T.StringType())])
     with pytest.raises(ValueError, match="exactly one"):
         read_csv(spark, path, schema, infer_schema=True)
+
+
+def test_avro_source_sink_honestly_gated(spark, tmp_path):
+    """read_avro/write_avro either work (module deployed) or raise the
+    pointer-carrying NotImplementedError — never Spark's generic
+    failed-to-find error. Same gate doctrine as the XGBoost/SHAP paths."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.sources.io import read_avro, write_avro
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    dest = str(tmp_path / "avro_out")
+    try:
+        write_avro(df, dest)
+    except NotImplementedError as exc:
+        assert "spark-avro" in str(exc)
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, dest)
+        return
+    # module available: full roundtrip must hold
+    assert sorted(r["v"] for r in read_avro(spark, dest).collect()) == [0, 1, 2]
