@@ -255,3 +255,50 @@ def ewma(
         .drop(tmp)
     )
     return out
+
+
+def event_paths(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_by: Sequence[str],
+    symbol_col: str,
+    symbols: dict[str, str],
+    max_group_rows: int | None = 100_000,
+) -> DataFrame:
+    """Per-group ordered event-path string — MATCH_RECOGNIZE-lite for
+    funnel/path analysis: each group's events become ONE string of
+    single-char symbols in ``order_by`` order, and downstream pattern
+    questions ("did view precede click precede purchase?", "how many
+    purchases?") are plain ``rlike``/``length`` expressions on that
+    string — engine-portable, no iterative state machine, no UDF.
+
+    ``symbols`` maps ``symbol_col`` values to single characters; unmapped
+    values (and NULLs) become '_' so positions stay faithful to the raw
+    sequence — a pattern can deliberately match or skip them. Ordering is
+    total: pass a tie-break column (an id) in ``order_by``, exactly like
+    the fold family, so the path is deterministic across engines and
+    partitionings.
+
+    Scale shape: ONE hash aggregate; the fold materializes each group's
+    sequence, so per-executor memory is proportional to the LARGEST
+    group — guarded by ``check_max_group_rows`` (operators/guards.py),
+    the same opt-out contract as cusum/ewma. Output: group_cols +
+    (n_events, path)."""
+    from .guards import check_max_group_rows
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    check_max_group_rows(df, gcols, max_group_rows, "event_paths")
+    sym = None
+    for raw, ch in sorted(symbols.items()):
+        if len(ch) != 1:
+            raise ValueError(f"event_paths: symbol for {raw!r} must be 1 char")
+        cond = F.col(symbol_col) == raw
+        sym = F.when(cond, F.lit(ch)) if sym is None else sym.when(cond, F.lit(ch))
+    sym = F.lit("_") if sym is None else sym.otherwise(F.lit("_"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_by], sym.alias("__sym")))
+    )
+    path = F.array_join(F.transform(ordered, lambda x: x["__sym"]), "")
+    return df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_events"), path.alias("path")
+    )

@@ -3439,6 +3439,52 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_paths_users",
+    """
+    WITH p AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          WHEN 'error' THEN 'e' ELSE '_' END,
+                          '' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, path,
+           regexp_matches(path, 'v.*c.*p') AS funnel_vcp,
+           CAST(length(path) - length(replace(path, 'p', '')) AS BIGINT)
+               AS n_purchases
+    FROM p
+    """,
+)
+def funnel_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path/funnel analysis via event-path strings
+    (operators/windows.py::event_paths — MATCH_RECOGNIZE-lite): each
+    user's ordered events collapse to ONE symbol string in a single
+    guarded hash aggregate, and sequence questions become plain regex and
+    length arithmetic on it — here the view→click→purchase funnel
+    predicate and the purchase count. The oracle replays the full path
+    construction (string_agg ORDER BY the same total order), so every
+    character of every path is hash-checked."""
+    from ..operators.windows import event_paths
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    paths = event_paths(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"},
+    )
+    return paths.select(
+        "user_id",
+        "n_events",
+        "path",
+        F.col("path").rlike("v.*c.*p").alias("funnel_vcp"),
+        (
+            F.length("path") - F.length(F.regexp_replace("path", "p", ""))
+        ).cast("long").alias("n_purchases"),
+    )
+
+
 #: grouped_trend_ols origin for the events table: 2024-01-01T00:00:00Z
 _TREND_ORIGIN_S = 1_704_067_200
 
@@ -5287,6 +5333,7 @@ _EXPORT_PRIORITY: list[str] = [
     "hard_negatives_ann",
     "fuzzy_name_pairs",
     "bucketed_join_revenue",
+    "funnel_paths_users",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5341,16 +5388,15 @@ _EXPORT_PRIORITY: list[str] = [
     "top_terms",
     "zorder_keys",
     # -- (d) oldest r03 rows (displaced longest; oracle-checkable)
-    "q1_pricing_summary",
-    # (window cap is 50: 6 new + 16 changed + 16 late-hardened + 11
-    # remainder + 1 oldest-r03. doc_length_histogram, udtf_lateral_tokens,
-    # dedup_exact_stats, revenue_by_nation, q6_forecast_revenue, and
-    # q3_shipping_priority ceded their r03-refresh slots to the six NEW
-    # queries — a first-ever driver row (hash or rows+recall-gate)
-    # outranks refreshing a green r03 row. The ml_*/random_split_counts
-    # r02 rows-only entries are pytest-gated — a driver RE-run adds no
-    # hash evidence and they keep ceding their slots, reasons unchanged
-    # from the r06 ledger.)
+    # (window cap is 50: 7 new + 16 changed + 16 late-hardened + 11
+    # remainder. All seven r03-refresh slots ceded to the seven queries
+    # NEW in round 7 (doc_length_histogram, udtf_lateral_tokens,
+    # dedup_exact_stats, revenue_by_nation, q6_forecast_revenue,
+    # q3_shipping_priority, q1_pricing_summary) — a first-ever driver row
+    # (hash or rows+recall-gate) outranks refreshing a green r03 row. The
+    # ml_*/random_split_counts r02 rows-only entries are pytest-gated — a
+    # driver RE-run adds no hash evidence and they keep ceding their
+    # slots, reasons unchanged from the r06 ledger.)
 ]
 
 

@@ -62,3 +62,33 @@ def test_sliding_frame_avg_edges(spark):
     got = {r.date.day: r.m for r in out.collect()}
     # frame clips at partition edges, exactly like the reference's ROWS frame
     assert got == {1: 0.5, 2: 1.0, 3: 2.0, 4: 2.5}
+
+
+def test_event_paths_order_symbols_and_guard(spark):
+    """event_paths: deterministic total-order path, unmapped/NULL symbols
+    become '_' (positions stay faithful), multi-char symbols rejected,
+    and the max_group_rows guard raises on a hot group."""
+    import pytest
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import event_paths
+
+    rows = [
+        Row(u=1, ts=3, i=1, et="purchase"),
+        Row(u=1, ts=1, i=2, et="view"),
+        Row(u=1, ts=2, i=3, et="click"),
+        Row(u=1, ts=2, i=4, et="weird"),   # unmapped -> '_'
+        Row(u=1, ts=2, i=5, et=None),      # NULL -> '_'
+        Row(u=2, ts=1, i=6, et="view"),
+    ]
+    df = spark.createDataFrame(rows)
+    syms = {"view": "v", "click": "c", "purchase": "p"}
+    got = {r["u"]: (r["n_events"], r["path"]) for r in event_paths(
+        df, "u", ["ts", "i"], "et", syms).collect()}
+    # u=1 ordered by (ts, i): (1,2)v (2,3)c (2,4)_ (2,5)_ (3,1)p
+    assert got == {1: (5, "vc__p"), 2: (1, "v")}
+
+    with pytest.raises(ValueError, match="1 char"):
+        event_paths(df, "u", ["ts", "i"], "et", {"view": "vv"})
+    with pytest.raises(ValueError, match="event_paths"):
+        event_paths(df, "u", ["ts", "i"], "et", syms, max_group_rows=3)

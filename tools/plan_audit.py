@@ -92,6 +92,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "edit-distance candidates come from the rarest-first positional q-gram PREFIX equi-join (Ed-Join) — hot grams never enumerate quadratically; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
     ),
+    "funnel_paths_users": (
+        ["HashAggregate"],
+        ["Window", "Join", "CartesianProduct"],
+        "path construction is ONE guarded hash aggregate (sorted-struct fold); funnel regex and purchase counts are projections on the path string - no window, no join, no state machine",
+    ),
     "user_value_trend": (
         ["HashAggregate", "Exchange"],
         ["Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
