@@ -3485,6 +3485,52 @@ def funnel_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: P(next event type |
+    current event type), the Markov-chain companion to
+    ``funnel_paths_users``. One lead window per user (the W1 shuffle
+    shape) feeding one tiny hash agg; the probability normalization runs
+    on the |types|² aggregate — bounded by the type vocabulary, never the
+    corpus. At 100 TB the window exchange on user_id is the only
+    data-sized stage and it is the SAME exchange every per-user window
+    op reuses."""
+    from ..operators.windows import keyed_window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = keyed_window("user_id", ["ts", "event_id"])
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as W
+
+    wnorm = W.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p"),
+    )
+
+
 #: grouped_trend_ols origin for the events table: 2024-01-01T00:00:00Z
 _TREND_ORIGIN_S = 1_704_067_200
 
@@ -5334,6 +5380,7 @@ _EXPORT_PRIORITY: list[str] = [
     "fuzzy_name_pairs",
     "bucketed_join_revenue",
     "funnel_paths_users",
+    "event_transitions",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5388,8 +5435,10 @@ _EXPORT_PRIORITY: list[str] = [
     "top_terms",
     "zorder_keys",
     # -- (d) oldest r03 rows (displaced longest; oracle-checkable)
-    # (window cap is 50: 7 new + 16 changed + 16 late-hardened + 11
-    # remainder. All seven r03-refresh slots ceded to the seven queries
+    # (window cap is 50: 8 new + 16 changed + 16 late-hardened + 10
+    # remainder (zorder_keys, last of the r01/r02 list, holds a
+    # judge-r06 re-verification and cedes to the 8th new query — it
+    # re-enters in r08). All seven r03-refresh slots ceded to the NEW queries
     # NEW in round 7 (doc_length_histogram, udtf_lateral_tokens,
     # dedup_exact_stats, revenue_by_nation, q6_forecast_revenue,
     # q3_shipping_priority, q1_pricing_summary) — a first-ever driver row

@@ -92,6 +92,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "edit-distance candidates come from the rarest-first positional q-gram PREFIX equi-join (Ed-Join) — hot grams never enumerate quadratically; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
     ),
+    "event_transitions": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+        "one lead window on the user_id exchange + a |types|^2 hash agg; probability normalization windows over the bounded type-pair table, never the corpus",
+    ),
     "funnel_paths_users": (
         ["HashAggregate"],
         ["Window", "Join", "CartesianProduct"],
