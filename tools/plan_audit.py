@@ -92,6 +92,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["CartesianProduct"],
         "edit-distance candidates come from the rarest-first positional q-gram PREFIX equi-join (Ed-Join) — hot grams never enumerate quadratically; the one nested-loop join in the plan is the short-string cohort — broadcast, length-filtered, and limit-probe-guarded at max_short, the same bounded-BNLJ doctrine as the crossJoin summary attaches",
     ),
+    "grouping_sets_revenue": (
+        ["Expand", "HashAggregate"],
+        ["Join", "Window", "CartesianProduct"],
+        "custom grouping sets plan one Expand + partial/final hash agg over a single scan - N grains for one pass, no per-grain jobs",
+    ),
     "event_transitions": (
         ["Window", "HashAggregate"],
         ["Join", "CartesianProduct"],
