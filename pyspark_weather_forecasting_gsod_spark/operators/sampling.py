@@ -295,6 +295,7 @@ def quota_sample(
     total: int,
     key: str,
     seed: int = 42,
+    order_col: str | None = None,
 ) -> DataFrame:
     """EXACT-count stratified selection via largest-remainder (Hamilton)
     apportionment — the "build me a 10B-token corpus that is 40% English,
@@ -316,6 +317,11 @@ def quota_sample(
     selected SET is deterministic, engine-portable (an oracle replays it),
     and insensitive to partition layout. NULL keys coalesce to the shared
     sentinel so they rank deterministically instead of nulling the digest.
+    With ``order_col`` set, each stratum instead fills its quota with its
+    HIGHEST-``order_col`` rows (NULLs last; ties: md5 digest, then key) —
+    "meet the English share with the highest-quality documents", the
+    quality-first mixture variant (the ``cap_per_group(keep='score')``
+    doctrine applied to apportioned quotas). Still fully deterministic.
 
     A stratum smaller than its quota yields all its rows and the output
     falls short of ``total`` — quotas are NOT redistributed (redistribution
@@ -382,7 +388,10 @@ def quota_sample(
     )
     k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
     order_key = F.md5(F.concat(F.lit(f"{seed}:q:"), k).cast("binary"))
-    w_sel = Window.partitionBy("__stratum").orderBy(F.col("__ok").asc(), F.col(key).asc())
+    sel_order = [F.col("__ok").asc(), F.col(key).asc()]
+    if order_col is not None:
+        sel_order = [F.col(order_col).desc_nulls_last(), *sel_order]
+    w_sel = Window.partitionBy("__stratum").orderBy(*sel_order)
     return (
         df.withColumn("__stratum", strat)
         .join(F.broadcast(alloc), "__stratum")

@@ -383,3 +383,29 @@ def test_property_quota_sample_hamilton_invariants(spark):
         assert again == sorted(r["k"] for r in out.collect())
 
     check()
+
+
+def test_quota_sample_quality_first_variant(spark):
+    """order_col: each stratum's quota is filled with its highest-score
+    rows (NULL scores last), quota counts unchanged from the md5 mode."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import quota_sample
+
+    rows = (
+        [Row(k=i, s="a", score=float(i)) for i in range(20)]
+        + [Row(k=100 + i, s="b", score=float(i)) for i in range(10)]
+        + [Row(k=200, s="a", score=None)]
+    )
+    df = spark.createDataFrame(rows)
+    out = quota_sample(
+        df, "s", {"a": 0.5, "b": 0.5}, total=8, key="k", order_col="score"
+    )
+    got = {r["s"]: sorted(x["k"] for x in out.collect() if x["s"] == r["s"])
+           for r in out.select("s").distinct().collect()}
+    # quotas: 4 each; 'a' keeps its top-4 scores (k=16..19), NULL never in
+    assert got == {"a": [16, 17, 18, 19], "b": [106, 107, 108, 109]}
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4}
