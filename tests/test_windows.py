@@ -92,3 +92,34 @@ def test_event_paths_order_symbols_and_guard(spark):
         event_paths(df, "u", ["ts", "i"], "et", {"view": "vv"})
     with pytest.raises(ValueError, match="event_paths"):
         event_paths(df, "u", ["ts", "i"], "et", syms, max_group_rows=3)
+
+
+def test_property_event_paths_match_python_oracle(spark):
+    """Property (hypothesis): on randomized event logs — duplicate
+    timestamps, unmapped symbols, NULLs, multiple groups — event_paths
+    equals a pure-Python total-order path builder."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import event_paths
+
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=3),       # group
+        st.integers(min_value=0, max_value=5),       # ts (duplicates likely)
+        st.sampled_from(["view", "click", "buy", "odd", None]),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=25))
+    def check(events):
+        rows = [(g, ts, i, et) for i, (g, ts, et) in enumerate(events)]
+        df = spark.createDataFrame(rows, "g long, ts long, i long, et string")
+        syms = {"view": "v", "click": "c", "buy": "b"}
+        got = {r["g"]: (r["n_events"], r["path"]) for r in event_paths(
+            df, "g", ["ts", "i"], "et", syms).collect()}
+        want = {}
+        for g in {r[0] for r in rows}:
+            seq = sorted((r for r in rows if r[0] == g), key=lambda r: (r[1], r[2]))
+            want[g] = (len(seq), "".join(syms.get(r[3], "_") for r in seq))
+        assert got == want, (events, got, want)
+
+    check()
