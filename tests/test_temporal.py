@@ -201,3 +201,46 @@ def test_grouped_trend_ols_exact_line_and_guards(spark):
     assert out["a"]["n_obs"] == 4
     assert out["a"]["slope"] == 2.5
     assert out["a"]["intercept"] == 10.0
+
+
+def test_property_grouped_trend_ols_matches_numpy(spark):
+    """Property (hypothesis): on random integer-grid series (2-dp values,
+    hour-grid timestamps, duplicate hours allowed), grouped_trend_ols
+    equals numpy's lstsq line fit to within the output rounding."""
+    import datetime as dt
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        grouped_trend_ols,
+    )
+
+    origin = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    o_s = int(origin.timestamp())
+    pt = st.tuples(
+        st.integers(min_value=0, max_value=200),            # hour
+        st.integers(min_value=-50_000, max_value=50_000),   # cents
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(pt, min_size=2, max_size=30))
+    def check(points):
+        rows = [
+            (1, origin + dt.timedelta(hours=h), cents / 100.0)
+            for h, cents in points
+        ]
+        df = spark.createDataFrame(rows, "g long, ts timestamp, value double")
+        out = grouped_trend_ols(df, ["g"], origin_epoch_s=o_s).collect()
+        xs = np.array([h for h, _ in points], dtype=float)
+        ys = np.array([c / 100.0 for _, c in points], dtype=float)
+        if len(set(xs)) < 2:
+            assert out == []  # zero x-variance -> dropped
+            return
+        a = np.vstack([xs, np.ones_like(xs)]).T
+        slope, intercept = np.linalg.lstsq(a, ys, rcond=None)[0]
+        assert len(out) == 1 and out[0]["n_obs"] == len(points)
+        assert abs(out[0]["slope"] - slope) < 1e-6, (points, out[0]["slope"], slope)
+        assert abs(out[0]["intercept"] - intercept) < 5e-5
+
+    check()
