@@ -531,3 +531,50 @@ def test_hard_negatives_ann_recall_gate_and_label_purity(spark):
     assert min(recs.values()) >= 0.3  # measured 0.4
     assert all(r.q_label != r.n_label for r in rows)
     assert all(r.q_label is not None and r.n_label is not None for r in rows)
+
+
+def test_property_hard_negatives_match_python_oracle(spark):
+    """Property (hypothesis): on random small vector sets with random
+    labels (NULLs included), hard_negatives_topk equals a pure-Python
+    brute-force miner using the same round-9 ordering contract."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        hard_negatives_topk,
+    )
+
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3).map(float), min_size=3, max_size=3
+    ).filter(lambda v: any(x != 0 for x in v))
+    item = st.tuples(vec, st.sampled_from([0, 1, 2, None]))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(item, min_size=2, max_size=10), st.integers(1, 4))
+    def check(items, k):
+        rows = [(i, v, lab) for i, (v, lab) in enumerate(items)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {
+            (r.qid, r.nid, r.rk)
+            for r in hard_negatives_topk(df, df, k=k).collect()
+        }
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        want = set()
+        for qid, (qv, ql) in enumerate(items):
+            if ql is None:
+                continue
+            cands = []
+            for nid, (nv, nl) in enumerate(items):
+                if nid == qid or nl is None or nl == ql:
+                    continue
+                cands.append((round(cos(qv, nv), 9), nid))
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            for rk, (_, nid) in enumerate(cands[:k], start=1):
+                want.add((qid, nid, rk))
+        assert got == want, (items, k, got, want)
+
+    check()
