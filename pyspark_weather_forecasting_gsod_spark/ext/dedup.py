@@ -1830,8 +1830,9 @@ def edit_distance_pairs(
     rows per string, ONE frequency agg, prefix join against the posting
     index — hot grams almost never appear in any rarest-first prefix, so
     their posting lists are never enumerated quadratically (the same
-    reason the AllPairs/PPJoin prefix paths scale); candidate-only
-    verification.
+    reason the AllPairs/PPJoin prefix paths scale); verification runs
+    map-side on the hit rows and only (id_a, id_b, dist) triples cross
+    the final dedup exchange — candidate strings never shuffle.
 
     ``method='count'`` instead joins ALL positional grams and applies the
     Gravano count filter (shared grams ≥ max(La,Lb)−q+1−q·d) before
@@ -1888,13 +1889,23 @@ def edit_distance_pairs(
             & (F.abs(F.col("__pl") - F.col("__fl")) <= d)
             & (F.abs(F.col("__pp") - F.col("__fp")) <= d)
         )
+        # verify-then-distinct (r07 advice): levenshtein runs MAP-SIDE on
+        # each prefix hit — a pair re-hit by k shared rare grams costs k
+        # verifications (k ≤ 2·(q·d+1), small) but the strings never cross
+        # the distinct's exchange, which otherwise carried both FULL
+        # strings per candidate (2× shuffle bytes on document-length
+        # strings for zero pruning benefit). levenshtein is symmetric, so
+        # no string orientation is needed either.
         lo = F.col("__pid") < F.col("__fid")
-        cand = hit.select(
-            F.when(lo, F.col("__pid")).otherwise(F.col("__fid")).alias("id_a"),
-            F.when(lo, F.col("__fid")).otherwise(F.col("__pid")).alias("id_b"),
-            F.when(lo, F.col("__ps")).otherwise(F.col("__fs")).alias("__sa"),
-            F.when(lo, F.col("__fs")).otherwise(F.col("__ps")).alias("__sb"),
-        ).distinct()
+        verified = (
+            hit.select(
+                F.when(lo, F.col("__pid")).otherwise(F.col("__fid")).alias("id_a"),
+                F.when(lo, F.col("__fid")).otherwise(F.col("__pid")).alias("id_b"),
+                F.levenshtein("__ps", "__fs").alias("dist"),
+            )
+            .filter(F.col("dist") <= d)
+            .distinct()
+        )
     else:
         # count filter: every matching positional gram, pairs meeting the
         # Gravano bound survive (over-counted matches only ADD candidates)
@@ -1918,9 +1929,14 @@ def edit_distance_pairs(
             .agg(F.count(F.lit(1)).alias("__matches"))
             .filter(F.col("__matches") >= thresh)
         )
-    verified = cand.select(
-        "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
-    ).filter(F.col("dist") <= d)
+        # the count filter must see the per-pair match total BEFORE any
+        # verification, so its group keys (and exchange) carry the strings
+        # — acceptable in this method's documented regime (small-vocab,
+        # SHORT strings); the prefix default never ships strings through
+        # a shuffle past the posting join
+        verified = cand.select(
+            "id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist")
+        ).filter(F.col("dist") <= d)
     # dense cohort: every string within d of the short cut (see cohort
     # split above); limit-probe guarded; `least <= cut` keeps it disjoint
     # from the q-gram path

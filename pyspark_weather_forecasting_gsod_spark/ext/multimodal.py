@@ -230,6 +230,17 @@ def _nonnull(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
     return df.select(id_col, value_col).filter(F.col(value_col).isNotNull())
 
 
+import struct as _struct
+
+#: what 'skip' means operationally: every exception class a malformed
+#: payload can surface from the scalar decoders. ValueError is the
+#: decoders' own refusal; struct.error escapes any ``unpack`` a future
+#: decoder edit leaves unguarded (r07 advice: catching ValueError alone
+#: let one corrupt row fail the whole mapInPandas job despite the
+#: documented skip contract).
+_DECODE_ERRORS = (ValueError, _struct.error)
+
+
 def _check_on_error(on_error: str) -> bool:
     """Validate the wrappers' shared ``on_error`` knob → True iff 'skip'.
 
@@ -237,9 +248,10 @@ def _check_on_error(on_error: str) -> bool:
     /``ahash_wav``) raise on malformed payloads by contract — correct for a
     single clip, but inside ``mapInPandas`` one bad clip in a corpus would
     fail the whole job after task retries (r06 advice). ``'skip'``
-    (default) extends the ``_nonnull`` contract to undecodable payloads:
-    the row produces no feature row, the job survives. ``'raise'``
-    restores fail-fast for callers who pre-validated their media."""
+    (default) extends the ``_nonnull`` contract to undecodable payloads
+    (``_DECODE_ERRORS``): the row produces no feature row, the job
+    survives. ``'raise'`` restores fail-fast for callers who
+    pre-validated their media."""
     if on_error not in ("skip", "raise"):
         raise ValueError("on_error must be 'skip' or 'raise'")
     return on_error == "skip"
@@ -268,7 +280,7 @@ def decode_bmp_features(
                 b = bytes(payload)
                 try:
                     d = decode_bmp(b)
-                except ValueError:
+                except _DECODE_ERRORS:
                     if skip:
                         continue
                     raise
@@ -303,7 +315,7 @@ def decode_wav_features(
                 b = bytes(payload)
                 try:
                     d = decode_wav(b)
-                except ValueError:
+                except _DECODE_ERRORS:
                     if skip:
                         continue
                     raise
@@ -522,6 +534,11 @@ def dhash_bmp(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
     if bitcount != 24 or compression != 0:
         raise ValueError("dhash_bmp supports uncompressed 24-bit BMP only")
     n_rows = abs(height)
+    if width <= 0 or n_rows == 0:
+        # a 0×N image has no pixel differences to hash; pooling it would
+        # divide by an empty cell (r07 advice: every malformed-payload
+        # failure must be ValueError so on_error='skip' honors its contract)
+        raise ValueError(f"dhash_bmp: empty image ({width}x{n_rows})")
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
     # grayscale grid (bottom-up rows — orientation is consistent, which is
@@ -530,6 +547,10 @@ def dhash_bmp(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
     for r in range(n_rows):
         off = data_offset + r * stride
         row = payload[off : off + row_bytes]
+        if len(row) != row_bytes:
+            # decode_bmp refuses truncated pixel data; without this the
+            # short row surfaced as IndexError below (r07 advice)
+            raise ValueError("BMP pixel data truncated")
         gray.append([
             (row[3 * x] + row[3 * x + 1] + row[3 * x + 2]) // 3
             for x in range(width)
@@ -573,7 +594,7 @@ def bmp_dhash_features(
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     h = dhash_bmp(bytes(p))
-                except ValueError:
+                except _DECODE_ERRORS:
                     if skip:
                         continue
                     raise
@@ -663,7 +684,7 @@ def wav_ahash_features(
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     h = ahash_wav(bytes(p))
-                except ValueError:
+                except _DECODE_ERRORS:
                     if skip:
                         continue
                     raise

@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 HEX = "0123456789abcdef"
 
 
+def _assert_no_order_tie(
+    df: DataFrame, w, order_cols: list[Column], op: str
+) -> DataFrame:
+    """Guard the md5-rank doctrine's precondition AT EXECUTION TIME, for
+    free: every deterministic-selection operator here ranks rows under a
+    window order that is total ONLY if no two rows tie on the full
+    ordering tuple — ≥2 NULL-key rows share the sentinel digest, and
+    duplicate keys share everything, so ``row_number`` would assign their
+    positions nondeterministically across partitionings (r07 advice: the
+    'total order / oracle-hashable' contract was silently breakable).
+
+    Detection is a ``lag`` over the SAME window spec the rank uses — tied
+    rows are adjacent in that order, so one extra window expression in the
+    already-paid sort catches every tie with zero additional shuffle; the
+    ``assert_true`` is forced through a row-preserving filter
+    (``isNull()`` of a NULL-on-success expression) so column pruning can't
+    drop it. On violation the job raises instead of emitting a
+    nondeterministic order."""
+    dup: Column | None = None
+    for c in order_cols:
+        eq = c.eqNullSafe(F.lag(c).over(w))
+        dup = eq if dup is None else dup & eq
+    msg = (
+        f"{op}: ordering tie — two rows share the full ranking tuple "
+        "(duplicate key, or more than one NULL-key row); the deterministic "
+        "total-order contract needs a unique, at-most-once-NULL key"
+    )
+    # window expressions are illegal inside a WHERE clause — materialize
+    # the tie flag as a column (same Window exec as the rank), then force
+    # the assert through the row-preserving filter
+    return (
+        df.withColumn("__tie", F.coalesce(dup, F.lit(False)))
+        .filter(F.assert_true(~F.col("__tie"), F.lit(msg)).isNull())
+        .drop("__tie")
+    )
+
+
 def hash_bucket(key: Column, buckets: int = 100, hex_chars: int = 4) -> Column:
     """Deterministic bucket in [0, buckets): int value of the first
     ``hex_chars`` hex chars of md5(key as string), mod buckets.
@@ -271,7 +308,13 @@ def shuffle_shards(
     NULL keys coalesce to the same sentinel ``hash_split`` uses (r06
     advice): without it ``concat`` nulls out the digest and NULL-key rows
     got NULL (shard, pos) — silently breaking the documented total-order
-    contract. NULL-key rows now land in one deterministic shard slot."""
+    contract. ONE NULL-key row lands in a deterministic shard slot; the
+    key must otherwise be unique (and a literal ``'__null_key__'`` key,
+    which shares the sentinel digest, still orders deterministically —
+    NULL sorts first in the key tie-break). A second NULL-key row or any
+    duplicate key ties the full ranking tuple, which ``row_number`` would
+    break nondeterministically — the embedded zero-cost tie assert raises
+    instead (r07 advice)."""
     from pyspark.sql.window import Window
 
     if n_shards < 1:
@@ -279,13 +322,18 @@ def shuffle_shards(
     k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
     shard = hash_bucket(F.concat(F.lit(f"{seed}:"), k), n_shards, hex_chars=8)
     order_key = F.md5(F.concat(F.lit(f"{seed}:o:"), k).cast("binary"))
-    w = Window.partitionBy("shard").orderBy("__ok", key)
-    return (
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ok").asc(), F.col(key).asc_nulls_first()
+    )
+    out = (
         df.withColumn("shard", shard.cast("int"))
         .withColumn("__ok", order_key)
         .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("__ok")
     )
+    out = _assert_no_order_tie(
+        out, w, [F.col("__ok"), F.col(key)], "shuffle_shards"
+    )
+    return out.drop("__ok")
 
 
 def quota_sample(
@@ -304,19 +352,30 @@ def quota_sample(
     expectation; training-mixture specs are usually exact budgets, so this
     operator allocates INTEGER per-stratum quotas that sum to ``total``:
 
-      quota_f = weight / sum(weights) * total   (rounded to 6 dp so the
-                apportionment is reproducible across engines: a last-ulp
-                difference in the double SUM order cannot flip a floor)
-      base    = floor(quota_f); the ``total - sum(base)`` leftover units go
-                to the largest fractional remainders (ties: stratum asc) —
-                the Hamilton method, which never violates quota by > 1.
+      quota_f = weight / sum(weights) * total
+      base    = floor(quota_f) of the UNROUNDED quota — rounding quota_f
+                first could round UP across an integer boundary and make
+                sum(base) exceed the budget (r07 advice: the overshoot
+                broke the exact-``total`` promise). Only the fractional
+                remainder used for RANKING is rounded (6 dp), which keeps
+                the apportionment engine-reproducible: a last-ulp flip at
+                an integer boundary moves one unit between base and
+                leftover, and the ≈1.0-rounded remainder ranks first and
+                hands that unit straight back — the final allocation is
+                invariant. The leftover is additionally clamped at 0.
+      leftover ``max(0, total - sum(base))`` units go to the largest
+                fractional remainders (ties: stratum asc) — the Hamilton
+                method, which never violates quota by > 1.
 
     Each stratum then keeps its ``min(quota, stratum_size)`` rows with the
     smallest ``md5(seed || key)`` digests (ties: key asc) — the same pure
     key-function doctrine as ``hash_split``/``shuffle_shards``: the
     selected SET is deterministic, engine-portable (an oracle replays it),
-    and insensitive to partition layout. NULL keys coalesce to the shared
-    sentinel so they rank deterministically instead of nulling the digest.
+    and insensitive to partition layout. ONE NULL key coalesces to the
+    shared sentinel so it ranks deterministically instead of nulling the
+    digest; a second NULL-key row or any duplicate key would tie the full
+    ranking tuple and make the quota boundary nondeterministic — the
+    embedded zero-cost tie assert raises instead (r07 advice).
     With ``order_col`` set, each stratum instead fills its quota with its
     HIGHEST-``order_col`` rows (NULLs last; ties: md5 digest, then key) —
     "meet the English share with the highest-quality documents", the
@@ -361,7 +420,7 @@ def quota_sample(
     counts = df.groupBy(strat.alias("__stratum")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    quota_f = F.round(F.col("__w") * F.lit(float(total)) / F.lit(wsum), 6)
+    quota_f = F.col("__w") * F.lit(float(total)) / F.lit(wsum)
     # global windows on the |strata|-row allocation frame only — bounded
     w_all = Window.partitionBy(F.lit(1)).orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -372,9 +431,15 @@ def quota_sample(
     alloc = (
         counts.join(F.broadcast(wdf), "__stratum")
         .withColumn("__qf", quota_f)
+        # floor the UNROUNDED quota (rounding first could cross an integer
+        # boundary and overshoot the budget); round only the ranking
+        # remainder, clamp the leftover — see the Hamilton notes above
         .withColumn("__base", F.floor("__qf"))
-        .withColumn("__frac", F.col("__qf") - F.col("__base"))
-        .withColumn("__leftover", F.lit(total) - F.sum("__base").over(w_all))
+        .withColumn("__frac", F.round(F.col("__qf") - F.col("__base"), 6))
+        .withColumn(
+            "__leftover",
+            F.greatest(F.lit(0), F.lit(total) - F.sum("__base").over(w_all)),
+        )
         .withColumn("__rr", F.row_number().over(w_rem))
         .withColumn(
             "__quota",
@@ -388,15 +453,20 @@ def quota_sample(
     )
     k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
     order_key = F.md5(F.concat(F.lit(f"{seed}:q:"), k).cast("binary"))
-    sel_order = [F.col("__ok").asc(), F.col(key).asc()]
+    sel_order = [F.col("__ok").asc(), F.col(key).asc_nulls_first()]
+    tie_cols = [F.col("__ok"), F.col(key)]
     if order_col is not None:
         sel_order = [F.col(order_col).desc_nulls_last(), *sel_order]
+        tie_cols = [F.col(order_col), *tie_cols]
     w_sel = Window.partitionBy("__stratum").orderBy(*sel_order)
-    return (
+    out = (
         df.withColumn("__stratum", strat)
         .join(F.broadcast(alloc), "__stratum")
         .withColumn("__ok", order_key)
         .withColumn("__rk", F.row_number().over(w_sel))
-        .filter(F.col("__rk") <= F.col("__quota"))
+    )
+    out = _assert_no_order_tie(out, w_sel, tie_cols, "quota_sample")
+    return (
+        out.filter(F.col("__rk") <= F.col("__quota"))
         .drop("__stratum", "__ok", "__rk", "__quota")
     )

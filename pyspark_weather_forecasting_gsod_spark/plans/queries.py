@@ -1718,11 +1718,13 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     components' surviving internal edges; the oracle is the recursive-CTE
     closure over the post-deletion edge set, so a hash match proves
     deletion == full recompute, splits and relabeled representatives
-    included. Edge construction goes through ``ngram_best_match`` — the
-    ROUTED 1-NN path (r06 VERDICT #2): at gate scale the probe picks the
-    exact regime (provable 1-NN, hash == oracle); past ``max_exact_docs``
-    it cuts over to LSH-banded candidates + exact re-rank instead of the
-    unguarded Σ|posting|² inverted-index enumeration."""
+    included. Edge construction goes through ``ngram_best_match`` with
+    ``force='exact'`` PINNED (r07 advice): the oracle is the exact
+    all-pairs 1-NN recursive CTE, and the router's LSH-banded regime above
+    ``max_exact_docs`` is recall-lossy by design — letting it engage at a
+    larger comparison scale would hash-mismatch the oracle without any
+    bug. Library callers keep the router (default ``force=None``); this
+    declared query exists to be hash-provable at every scale it runs."""
     from ..ext.dedup import (
         connected_components,
         ngram_best_match,
@@ -1733,7 +1735,7 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_for_fanout(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
-    best = ngram_best_match(docs, "doc_id", "text", n=2)
+    best = ngram_best_match(docs, "doc_id", "text", n=2, force="exact")
     edges = (
         best.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -3910,14 +3912,20 @@ _QUOTA_TOTAL = 257
     counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
                FROM documents GROUP BY lang),
     alloc AS (
+        -- floor of the UNROUNDED quota + 6-dp-rounded ranking remainder +
+        -- clamped leftover: mirrors operators/sampling.py::quota_sample
+        -- exactly (r07 advice: rounding qf first could overshoot total)
         SELECT c.lang, c.cnt,
-               ROUND(w.w * {_QUOTA_TOTAL} / (SELECT SUM(w) FROM wts), 6) AS qf
+               w.w * {_QUOTA_TOTAL} / (SELECT SUM(w) FROM wts) AS qf
         FROM counts c JOIN wts w USING (lang)
     ),
     ranked AS (
-        SELECT lang, cnt, CAST(FLOOR(qf) AS BIGINT) AS base, qf - FLOOR(qf) AS frac,
-               ROW_NUMBER() OVER (ORDER BY qf - FLOOR(qf) DESC, lang) AS rr,
-               (SELECT {_QUOTA_TOTAL} - SUM(CAST(FLOOR(qf) AS BIGINT)) FROM alloc)
+        SELECT lang, cnt, CAST(FLOOR(qf) AS BIGINT) AS base,
+               ROUND(qf - FLOOR(qf), 6) AS frac,
+               ROW_NUMBER() OVER (ORDER BY ROUND(qf - FLOOR(qf), 6) DESC, lang)
+                   AS rr,
+               GREATEST(0, (SELECT {_QUOTA_TOTAL}
+                            - SUM(CAST(FLOOR(qf) AS BIGINT)) FROM alloc))
                    AS leftover
         FROM alloc
     ),

@@ -913,3 +913,33 @@ def test_edit_distance_pairs_equals_brute_force(spark):
         edit_distance_pairs(df, "id", "s", q=1)
     with pytest.raises(ValueError, match="method"):
         edit_distance_pairs(df, "id", "s", method="bogus")
+
+
+def test_edit_distance_prefix_dedup_ships_no_strings(spark):
+    """r07 advice: the prefix path's candidate dedup must exchange only
+    (id_a, id_b, dist) — previously the distinct carried BOTH full strings
+    per candidate, doubling shuffle bytes on document-length strings for
+    zero pruning benefit. Verification now runs map-side on the hit rows
+    (verify-then-distinct), so the dedup Aggregate's grouping — and the
+    Exchange feeding it — holds no string column."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import edit_distance_pairs
+
+    # document-length strings, all past the dense-cohort cut (q=3, d=2)
+    rows = [
+        (i, ("lorem ipsum dolor sit amet consectetur " * 30) + f"tail{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = edit_distance_pairs(df, "id", "s", max_dist=2, q=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    dedup_aggs = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("Aggregate") and "id_a" in ln and "id_b" in ln
+    ]
+    assert dedup_aggs, plan  # the distinct survived optimization
+    for ln in dedup_aggs:
+        assert "__ps" not in ln and "__fs" not in ln and "__sa" not in ln, ln
+    # and it still finds the near-identical tails correctly (tailN vs
+    # tailM is distance <= 2 for single-digit N, M)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in got and all(a < b for a, b in got)

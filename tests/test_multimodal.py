@@ -231,3 +231,53 @@ def test_wrappers_skip_malformed_rows_and_raise_on_request(spark):
         bmp_dhash_features(mixed_bmp, on_error="raise").collect()
     with pytest.raises(ValueError, match="on_error"):
         wav_ahash_features(mixed_wav, on_error="bogus")
+
+
+def test_skip_contract_covers_truncated_and_degenerate_payloads(spark):
+    """r07 advice: 'skip' caught only ValueError, so payloads that pass
+    the magic/length guards but die deeper in the parse (truncated pixel
+    rows → IndexError in dhash, zero-width images → ZeroDivisionError,
+    any future unguarded struct.unpack → struct.error) still failed the
+    whole mapInPandas job. The scalar decoders now normalize every
+    malformed-payload path to ValueError, the wrappers catch
+    ``_DECODE_ERRORS``, and one corrupt row costs one skipped row."""
+    import struct
+
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        attach_media_payload,
+        bmp_dhash_features,
+        decode_bmp_features,
+        dhash_bmp,
+        synthesize_bmp,
+    )
+
+    good = synthesize_bmp(bytes(range(16)), width=16, height=8)
+    truncated = good[:70]  # valid 54-byte headers, pixel data cut short
+    info0 = struct.pack("<IiiHHIIiiII", 40, 0, 8, 1, 24, 0, 0, 0, 0, 0, 0)
+    zerow = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info0
+
+    # scalar contract: both malformed shapes are ValueError, not
+    # IndexError/ZeroDivisionError/struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        dhash_bmp(truncated)
+    with pytest.raises(ValueError, match="empty image"):
+        dhash_bmp(zerow)
+
+    docs = _docs(spark)
+    mixed = (
+        attach_media_payload(docs, "image/bmp")
+        .select("doc_id", "payload")
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    Row(doc_id=90, payload=bytearray(truncated)),
+                    Row(doc_id=91, payload=bytearray(zerow)),
+                ]
+            )
+        )
+    )
+    assert {r.doc_id for r in bmp_dhash_features(mixed).collect()} == {1, 2}
+    got = {r.doc_id for r in decode_bmp_features(mixed).collect()}
+    assert got == {1, 2, 91}  # decode_bmp reads a 0-width image as all-zero stats
+    with pytest.raises(Exception, match="truncated|empty image"):
+        bmp_dhash_features(mixed, on_error="raise").collect()

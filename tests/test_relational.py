@@ -359,13 +359,15 @@ def test_property_quota_sample_hamilton_invariants(spark):
             r["s"]: r["n"]
             for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()
         }
-        # replay Hamilton in pure Python (round-to-6dp mirrors the operator)
+        # replay Hamilton in pure Python (floor of the UNROUNDED quota +
+        # 6dp-rounded ranking remainder + clamped leftover mirrors the
+        # operator's r07 arithmetic exactly)
         wsum = sum(weights.values())
         present = sorted(set(populations) & set(weights))
-        qf = {s: round(weights[s] * total / wsum, 6) for s in present}
+        qf = {s: weights[s] * total / wsum for s in present}
         base = {s: math.floor(qf[s]) for s in present}
-        leftover = total - sum(base.values())
-        order = sorted(present, key=lambda s: (-(qf[s] - base[s]), s))
+        leftover = max(0, total - sum(base.values()))
+        order = sorted(present, key=lambda s: (-round(qf[s] - base[s], 6), s))
         quota = dict(base)
         for i, s in enumerate(order):
             if i < leftover:
@@ -383,6 +385,65 @@ def test_property_quota_sample_hamilton_invariants(spark):
         assert again == sorted(r["k"] for r in out.collect())
 
     check()
+
+
+def test_deterministic_order_tie_guard(spark):
+    """r07 advice: with >=2 NULL-key rows (one shared sentinel digest) or
+    any duplicate key, the md5-rank total order has a tie and row_number
+    would break it nondeterministically across partitionings —
+    shuffle_shards and quota_sample must RAISE at execution instead of
+    emitting a nondeterministic order. One NULL-key row stays legal, and
+    a literal '__null_key__' key (which shares the sentinel digest)
+    orders deterministically against the NULL via the key tie-break."""
+    import pytest
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import (
+        quota_sample,
+        shuffle_shards,
+    )
+
+    ok = spark.createDataFrame(
+        [(None, "a")] + [(str(i), "a") for i in range(5)], "k string, s string"
+    )
+    assert shuffle_shards(ok, "k", n_shards=2).count() == 6
+    assert quota_sample(ok, "s", {"a": 1.0}, total=4, key="k").count() == 4
+
+    # the sentinel-collision case: deterministic, never raises
+    collide = spark.createDataFrame(
+        [(None, "a"), ("__null_key__", "a"), ("x", "a")], "k string, s string"
+    )
+    got = {
+        (r["k"], r["pos"])
+        for r in shuffle_shards(collide, "k", n_shards=1).collect()
+    }
+    assert len(got) == 3
+
+    twonull = spark.createDataFrame(
+        [(None, "a"), (None, "a"), ("x", "a")], "k string, s string"
+    )
+    with pytest.raises(Exception, match="ordering tie"):
+        shuffle_shards(twonull, "k", n_shards=2).collect()
+    with pytest.raises(Exception, match="ordering tie"):
+        quota_sample(twonull, "s", {"a": 1.0}, total=2, key="k").collect()
+
+    dupkey = spark.createDataFrame(
+        [("7", "a"), ("7", "a"), ("1", "a")], "k string, s string"
+    )
+    with pytest.raises(Exception, match="ordering tie"):
+        shuffle_shards(dupkey, "k", n_shards=2).collect()
+    with pytest.raises(Exception, match="ordering tie"):
+        quota_sample(dupkey, "s", {"a": 1.0}, total=2, key="k").collect()
+
+    # order_col variant: distinct scores keep duplicate-free keys legal;
+    # a full-tuple tie (same score, same key) still raises
+    scored = spark.createDataFrame(
+        [("7", "a", 1.0), ("7", "a", 1.0), ("1", "a", 2.0)],
+        "k string, s string, score double",
+    )
+    with pytest.raises(Exception, match="ordering tie"):
+        quota_sample(
+            scored, "s", {"a": 1.0}, total=2, key="k", order_col="score"
+        ).collect()
 
 
 def test_quota_sample_quality_first_variant(spark):
