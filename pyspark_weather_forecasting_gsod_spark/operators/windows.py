@@ -302,3 +302,82 @@ def event_paths(
     return df.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_events"), path.alias("path")
     )
+
+
+def funnel_within(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    ts_col: str,
+    tie_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Time-bounded funnel — the MATCH_RECOGNIZE ``WITHIN`` analog
+    ``event_paths`` structurally cannot answer (its path string drops
+    timestamps, r07 VERDICT): per group, the deepest prefix of ``steps``
+    completable by SOME chain of events where each step strictly follows
+    the previous one (total order ``(ts_col, tie_col)``) and starts at
+    most ``within_seconds`` after it — "click within N hours of view,
+    purchase within N hours of click".
+
+    EXACT exists-a-chain semantics WITHOUT a state machine, join tree, or
+    UDF — the insight that keeps this one exchange + k−1 linear scans:
+    a step-i event at time t is chain-reachable iff some REACHABLE
+    step-(i−1) event lies in ``[t − W, t)`` (strictly before it in the
+    total order). Every reachable step-(i−1) time visible to the running
+    window is ≤ t already, so
+
+        max(reachable_{i−1}) OVER (rows unbounded preceding .. 1
+        preceding) ≥ t − W
+
+    holds iff such an event exists — the greedy "keep only the latest
+    reachable time" is lossless, which a naive earliest-chain (min-ts
+    per step) is NOT: an early step can time out a window a later one
+    would satisfy. The 1-PRECEDING frame excludes the current row, so
+    repeated step types (``view → view``) need two distinct events, and
+    equal timestamps are legal when the tie column orders them.
+
+    Scale shape: ONE exchange on the group key; the k−1 running maxes
+    share the same window (partition, order, frame), so Spark evaluates
+    them over a single sort — per-step cost is a linear scan, state is
+    one timestamp per step, never a per-group event buffer (the
+    ``event_paths`` collect_list guard is unnecessary here). Output:
+    group_cols + (steps_completed, completed, first_completion_us).
+    ``first_completion_us`` is the earliest reachable final-step time in
+    epoch microseconds — BIGINT so oracles hash it without timezone
+    coupling; NULL until the funnel completes."""
+    from pyspark.sql.window import Window
+
+    if len(steps) < 2:
+        raise ValueError("funnel_within: need at least 2 steps")
+    if within_seconds <= 0:
+        raise ValueError("funnel_within: within_seconds must be > 0")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    w_us = int(within_seconds) * 1_000_000
+    cur = df.withColumn(
+        "__r1", F.when(F.col(type_col) == steps[0], us)
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        reach_prev = F.max(f"__r{i - 1}").over(w)
+        cur = cur.withColumn(
+            f"__r{i}",
+            F.when(
+                (F.col(type_col) == s) & (reach_prev >= us - F.lit(w_us)), us
+            ),
+        )
+    k = len(steps)
+    depth = F.lit(0)
+    for i in range(1, k + 1):
+        depth = F.when(F.max(f"__r{i}").isNotNull(), i).otherwise(depth)
+    return cur.groupBy(*gcols).agg(
+        depth.cast("int").alias("steps_completed"),
+        F.max(f"__r{k}").isNotNull().alias("completed"),
+        F.min(f"__r{k}").alias("first_completion_us"),
+    )

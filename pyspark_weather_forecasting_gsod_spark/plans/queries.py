@@ -3488,6 +3488,60 @@ def funnel_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_within_users",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ), s1 AS (
+        SELECT user_id, ts, event_id, event_type, us,
+               CASE WHEN event_type = 'view' THEN us END AS r1
+        FROM e
+    ), s2 AS (
+        SELECT *, CASE WHEN event_type = 'click'
+                       AND max(r1) OVER w >= us - 86400000000 THEN us END AS r2
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s3 AS (
+        SELECT *, CASE WHEN event_type = 'purchase'
+                       AND max(r2) OVER w >= us - 86400000000 THEN us END AS r3
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(CASE WHEN COUNT(r3) > 0 THEN 3 WHEN COUNT(r2) > 0 THEN 2
+                     WHEN COUNT(r1) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS steps_completed,
+           COUNT(r3) > 0 AS completed,
+           CAST(MIN(r3) AS BIGINT) AS first_completion_us
+    FROM s3 GROUP BY user_id
+    """,
+)
+def funnel_within_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel (operators/windows.py::funnel_within — the
+    MATCH_RECOGNIZE WITHIN analog, r07 VERDICT ask #3): view → click →
+    purchase where each step lands within 24 h of the previous one,
+    EXACT exists-a-chain semantics via k−1 running-max window passes
+    over one exchange — no state machine, no self-join tree, and no
+    earliest-chain approximation (a greedy min-ts chain can time out a
+    window a later view would satisfy; the running max over reachable
+    predecessor times is lossless). The oracle replays the identical
+    window recurrence in DuckDB, so per-user depth, completion flag,
+    AND the earliest completion timestamp are all hash-checked."""
+    from ..operators.windows import funnel_within
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return funnel_within(
+        ev, "user_id", "ts", "event_id", "event_type",
+        steps=["view", "click", "purchase"], within_seconds=86_400,
+    )
+
+
+@query(
     "grouping_sets_revenue",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -123,3 +123,126 @@ def test_property_event_paths_match_python_oracle(spark):
         assert got == want, (events, got, want)
 
     check()
+
+
+def test_funnel_within_exact_chain_semantics(spark):
+    """funnel_within: EXACT exists-a-chain semantics — a greedy
+    earliest-chain would time out on the crafted log below (first view at
+    0 is too old for the click at 60, but the view at 50 completes the
+    chain); repeated step types need two distinct events (the 1-PRECEDING
+    frame); a gap of exactly `within` is inclusive; equal timestamps are
+    ordered by the tie column; bad parameters raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import funnel_within
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, "u int, us long, i int, et string")
+        return df.withColumn("ts", F.timestamp_micros("us"))
+
+    # all times in seconds via within: micros under the hood
+    S = 1_000_000
+    rows = [
+        # u=1: greedy-earliest trap — v@0 times out c@60 (W=20s), v@50 works
+        (1, 0 * S, 1, "v"), (1, 50 * S, 2, "v"), (1, 60 * S, 3, "c"),
+        # u=2: only the early view; click 60s later is out of the 20s bound
+        (2, 0 * S, 1, "v"), (2, 60 * S, 2, "c"),
+        # u=3: complete, gap exactly == within (inclusive), then purchase
+        (3, 0 * S, 1, "v"), (3, 20 * S, 2, "c"), (3, 40 * S, 3, "p"),
+        # u=4: right types, wrong order
+        (4, 0 * S, 1, "p"), (4, 10 * S, 2, "c"), (4, 20 * S, 3, "v"),
+        # u=5: no step-1 event at all
+        (5, 0 * S, 1, "x"),
+    ]
+    out = {
+        r["u"]: (r["steps_completed"], r["completed"], r["first_completion_us"])
+        for r in funnel_within(
+            mk(rows), "u", "ts", "i", "et", ["v", "c", "p"], within_seconds=20
+        ).collect()
+    }
+    assert out == {
+        1: (2, False, None),
+        2: (1, False, None),
+        3: (3, True, 40 * S),
+        4: (1, False, None),
+        5: (0, False, None),
+    }
+
+    # repeated step types: one view cannot be its own predecessor; two
+    # distinct views (even at the SAME timestamp, tie-ordered) complete
+    rep = [
+        (1, 0, 1, "v"),
+        (2, 0, 1, "v"), (2, 0, 2, "v"),
+    ]
+    out = {
+        r["u"]: r["completed"]
+        for r in funnel_within(
+            mk(rep), "u", "ts", "i", "et", ["v", "v"], within_seconds=5
+        ).collect()
+    }
+    assert out == {1: False, 2: True}
+
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_within(mk(rows), "u", "ts", "i", "et", ["v"], within_seconds=5)
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel_within(mk(rows), "u", "ts", "i", "et", ["v", "c"], within_seconds=0)
+
+
+def test_property_funnel_within_matches_python_set_dp(spark):
+    """Property: on randomized event logs (duplicate timestamps, repeated
+    step types, tight/loose windows) funnel_within equals a pure-Python
+    set-DP exists-chain matcher — the brute force that tracks EVERY
+    feasible chain-end time per level, which the operator's running-max
+    recurrence must reproduce exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import funnel_within
+
+    def py_funnel(seq, steps, w_us):
+        # seq: (us, tie, type) in total order; set-DP over feasible ends
+        k = len(steps)
+        feas = [[] for _ in range(k)]
+        for us, _tie, ty in sorted(seq):
+            add = []
+            for i, s in enumerate(steps):
+                if ty != s:
+                    continue
+                if i == 0 or any(us - w_us <= t0 for t0 in feas[i - 1]):
+                    add.append(i)
+            for i in add:
+                feas[i].append(us)
+        depth = max((i + 1 for i in range(k) if feas[i]), default=0)
+        comp = bool(feas[k - 1])
+        return depth, comp, (min(feas[k - 1]) if comp else None)
+
+    rng = random.Random(80)
+    cases = [
+        (["a", "b", "c"], 30),
+        (["a", "a", "b"], 10),   # repeated step type
+        (["b", "a"], 3),         # tight window
+    ]
+    for steps, within in cases:
+        rows, want = [], {}
+        for u in range(60):
+            n = rng.randint(0, 12)
+            seq = [
+                (rng.randint(0, 80) * 1_000_000, i, rng.choice("abcx"))
+                for i in range(n)
+            ]
+            rows += [(u, us, i, ty) for us, i, ty in seq]
+            want[u] = py_funnel(seq, steps, within * 1_000_000)
+        # empty-log users produce no row at all (groupBy) — drop them
+        want = {u: v for u, v in want.items() if any(r[0] == u for r in rows)}
+        df = spark.createDataFrame(
+            rows, "u int, us long, i int, et string"
+        ).withColumn("ts", F.timestamp_micros("us"))
+        got = {
+            r["u"]: (r["steps_completed"], r["completed"], r["first_completion_us"])
+            for r in funnel_within(
+                df, "u", "ts", "i", "et", steps, within_seconds=within
+            ).collect()
+        }
+        assert got == want, (steps, within)

@@ -107,6 +107,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["Window", "Join", "CartesianProduct"],
         "path construction is ONE guarded hash aggregate (sorted-struct fold); funnel regex and purchase counts are projections on the path string - no window, no join, no state machine",
     ),
+    "funnel_within_users": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+        "time-bounded funnel: k-1 running-max windows share ONE user_id exchange + sort (exact exists-chain semantics, no state machine), then a per-user hash agg; no join tree, no per-step job",
+    ),
     "user_value_trend": (
         ["HashAggregate", "Exchange"],
         ["Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
