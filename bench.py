@@ -148,6 +148,43 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Rolling per-query min ledger (r07 VERDICT #5): this box's whole-sweep
+    # environment spread is 15-20% (four same-code r07 sweeps: 316.7/312.1/
+    # 260.2/299.2 s first-run totals), so ONE sweep's number is weather as
+    # much as code. BASELINE.md's stated estimator — "per-query min across
+    # sweeps is the honest steady-state signal" — is now emitted by the
+    # bench itself: BENCH_LEDGER.json accumulates each query's minimum wall
+    # across every sweep at the same SF (keyed by SF so an sf0.001 smoke
+    # run can't pollute the sf0.1 ledger), and meta.rolling_min_total /
+    # rolling_min_sweeps surface the cross-sweep floor next to the
+    # headline. The ledger starts at r08 — it never mixes walls from
+    # different methodology eras, and a code change that legitimately
+    # slows a query still shows in `queries` (current sweep) even when
+    # the ledger floor remembers the faster past.
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LEDGER.json"
+    )
+    ledger: dict = {}
+    if os.path.exists(ledger_path):
+        try:
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            ledger = {}
+    sl = ledger.setdefault(str(sf_val), {"sweeps": 0, "queries": {}})
+    sl["sweeps"] += 1
+    for name, wall in timings.items():
+        q = sl["queries"].get(name)
+        if q is None:
+            sl["queries"][name] = {"min": wall, "n": 1}
+        else:
+            q["min"] = round(min(q["min"], wall), 3)
+            q["n"] += 1
+    with open(ledger_path, "w") as f:
+        f.write(json.dumps(ledger, sort_keys=True) + "\n")
+    rolling_min_total = round(
+        sum(sl["queries"][n]["min"] for n in timings), 3
+    )
     # Methodology metadata (r05 ADVICE): the estimator, run count, and heap
     # are part of the measurement — without them cross-round regression
     # comparisons silently compare different methodologies (the r05 warm-up
@@ -161,6 +198,8 @@ def main() -> None:
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "cpus": cpus,
         "first_run_total": round(sum(first_runs.values()), 3),
+        "rolling_min_total": rolling_min_total,
+        "rolling_min_sweeps": sl["sweeps"],
     }
     payload = {
         "metric": "declared_queries_total_wall",
