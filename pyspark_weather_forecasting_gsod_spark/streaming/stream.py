@@ -127,16 +127,23 @@ def read_events_stream(
     schema)."""
     import os as _os
 
-    ts_int64 = _events_ts_int64(spark, _os.path.join(sf_dir, "events.parquet"))
-    # FileStreamSource requires a directory path; select just the events
-    # table file via pathGlobFilter.
-    reader = (
-        spark.readStream.schema(events_schema_for(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-    )
+    table_path = _os.path.join(sf_dir, "events.parquet")
+    ts_int64 = _events_ts_int64(spark, table_path)
+    reader = spark.readStream.schema(events_schema_for(spark, sf_dir))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    if _os.path.isdir(table_path):
+        # the production layout: the table IS a directory of part files
+        # (e.g. the sf1 rehearsal corpus) — stream it directly. The glob
+        # trick below would match NOTHING here (part files are not named
+        # events.parquet) and silently replay an EMPTY stream (r08: the
+        # first streaming rehearsal measured exactly that).
+        df = reader.parquet(table_path)
+    else:
+        # testdata layout: a single file per table inside sf_dir.
+        # FileStreamSource requires a directory path; select just the
+        # events table file via pathGlobFilter.
+        df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_events_ts(df, ts_int64)
 
 
