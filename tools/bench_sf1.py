@@ -340,6 +340,10 @@ def main() -> None:
             "streaming_session_windows",
             "streaming_tumbling",
             "streaming_stateful_totals",
+            # batch, but events-shaped: the r08 time-bounded funnel — one
+            # user_id exchange + k-1 running-max scans should scale ~with
+            # data volume, no state/trigger axis
+            "funnel_within_users",
         ]:
             routes[name] = f"n_events={n_events} (10x keys, same event-time span)"
             timed(
