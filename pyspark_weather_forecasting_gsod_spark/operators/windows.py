@@ -312,31 +312,41 @@ def funnel_within(
     type_col: str,
     steps: Sequence[str],
     within_seconds: int,
+    bound: str = "step",
 ) -> DataFrame:
     """Time-bounded funnel — the MATCH_RECOGNIZE ``WITHIN`` analog
     ``event_paths`` structurally cannot answer (its path string drops
     timestamps, r07 VERDICT): per group, the deepest prefix of ``steps``
     completable by SOME chain of events where each step strictly follows
-    the previous one (total order ``(ts_col, tie_col)``) and starts at
-    most ``within_seconds`` after it — "click within N hours of view,
-    purchase within N hours of click".
+    the previous one (total order ``(ts_col, tie_col)``) and the time
+    bound holds. Two industry-standard bounds:
+
+    * ``bound='step'`` (default): each step starts at most
+      ``within_seconds`` after the PREVIOUS one — "click within N hours
+      of view, purchase within N hours of click" (the per-transition
+      WITHIN of MATCH_RECOGNIZE).
+    * ``bound='first'``: every step lands within ``within_seconds`` of
+      the chain's FIRST step — ClickHouse ``windowFunnel`` semantics
+      ("complete the whole funnel inside one N-hour window").
 
     EXACT exists-a-chain semantics WITHOUT a state machine, join tree, or
-    UDF — the insight that keeps this one exchange + k−1 linear scans:
-    a step-i event at time t is chain-reachable iff some REACHABLE
-    step-(i−1) event lies in ``[t − W, t)`` (strictly before it in the
-    total order). Every reachable step-(i−1) time visible to the running
-    window is ≤ t already, so
-
-        max(reachable_{i−1}) OVER (rows unbounded preceding .. 1
-        preceding) ≥ t − W
-
-    holds iff such an event exists — the greedy "keep only the latest
-    reachable time" is lossless, which a naive earliest-chain (min-ts
-    per step) is NOT: an early step can time out a window a later one
-    would satisfy. The 1-PRECEDING frame excludes the current row, so
-    repeated step types (``view → view``) need two distinct events, and
-    equal timestamps are legal when the tie column orders them.
+    UDF — one recurrence covers both bounds, keeping this one exchange +
+    k−1 linear scans. For ``'step'``: a step-i event at time t is
+    chain-reachable iff some REACHABLE step-(i−1) event lies in
+    ``[t − W, t)`` (strictly before it in the total order); every
+    reachable step-(i−1) time visible to the running window is ≤ t
+    already, so ``max(reach_{i−1}) OVER (rows unbounded preceding .. 1
+    preceding) ≥ t − W`` holds iff such an event exists — keeping only
+    the LATEST reachable time is lossless, where a naive earliest-chain
+    (min-ts per step) is NOT: an early step can time out a window a
+    later one would satisfy (tested trap). For ``'first'``: the
+    recurrence propagates each chain's START time instead — a step-i
+    event extends some chain iff the max chain-start among level-(i−1)
+    rows strictly before it is ≥ t − W, and keeping only the MAX start
+    is lossless because every future constraint (t' − start ≤ W) is
+    monotone in start. The 1-PRECEDING frame excludes the current row,
+    so repeated step types (``view → view``) need two distinct events,
+    and equal timestamps are legal when the tie column orders them.
 
     Scale shape: ONE exchange on the group key; the k−1 running maxes
     share the same window (partition, order, frame), so Spark evaluates
@@ -344,15 +354,19 @@ def funnel_within(
     one timestamp per step, never a per-group event buffer (the
     ``event_paths`` collect_list guard is unnecessary here). Output:
     group_cols + (steps_completed, completed, first_completion_us).
-    ``first_completion_us`` is the earliest reachable final-step time in
-    epoch microseconds — BIGINT so oracles hash it without timezone
-    coupling; NULL until the funnel completes."""
+    ``first_completion_us`` is the earliest FINAL-step event time over
+    all completing chains, in epoch microseconds — BIGINT so oracles
+    hash it without timezone coupling; NULL until the funnel completes.
+    (Identical definition under both bounds: the minimum own-time of a
+    reachable final-step event.)"""
     from pyspark.sql.window import Window
 
     if len(steps) < 2:
         raise ValueError("funnel_within: need at least 2 steps")
     if within_seconds <= 0:
         raise ValueError("funnel_within: within_seconds must be > 0")
+    if bound not in ("step", "first"):
+        raise ValueError("funnel_within: bound must be 'step'|'first'")
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     w = (
         Window.partitionBy(*gcols)
@@ -361,23 +375,23 @@ def funnel_within(
     )
     us = F.unix_micros(F.col(ts_col))
     w_us = int(within_seconds) * 1_000_000
-    cur = df.withColumn(
-        "__r1", F.when(F.col(type_col) == steps[0], us)
-    )
+    # __r{i} is set iff this event is a reachable level-i chain end; its
+    # VALUE is what the next level's feasibility test needs: the end time
+    # (bound='step') or the chain-start time (bound='first').
+    cur = df.withColumn("__r1", F.when(F.col(type_col) == steps[0], us))
     for i, s in enumerate(steps[1:], start=2):
-        reach_prev = F.max(f"__r{i - 1}").over(w)
-        cur = cur.withColumn(
-            f"__r{i}",
-            F.when(
-                (F.col(type_col) == s) & (reach_prev >= us - F.lit(w_us)), us
-            ),
-        )
+        best_prev = F.max(f"__r{i - 1}").over(w)
+        feasible = (F.col(type_col) == s) & (best_prev >= us - F.lit(w_us))
+        value = us if bound == "step" else best_prev
+        cur = cur.withColumn(f"__r{i}", F.when(feasible, value))
     k = len(steps)
     depth = F.lit(0)
     for i in range(1, k + 1):
         depth = F.when(F.max(f"__r{i}").isNotNull(), i).otherwise(depth)
+    completion = F.when(F.col(f"__r{k}").isNotNull(), us)
+    cur = cur.withColumn("__done_us", completion)
     return cur.groupBy(*gcols).agg(
         depth.cast("int").alias("steps_completed"),
         F.max(f"__r{k}").isNotNull().alias("completed"),
-        F.min(f"__r{k}").alias("first_completion_us"),
+        F.min("__done_us").alias("first_completion_us"),
     )

@@ -3542,6 +3542,65 @@ def funnel_within_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_since_first_users",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ), s1 AS (
+        SELECT user_id, ts, event_id, event_type, us,
+               CASE WHEN event_type = 'view' THEN us END AS r1
+        FROM e
+    ), s2 AS (
+        SELECT *, CASE WHEN event_type = 'click'
+                       AND max(r1) OVER w >= us - 86400000000
+                       THEN max(r1) OVER w END AS r2
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s3 AS (
+        SELECT *, CASE WHEN event_type = 'purchase'
+                       AND max(r2) OVER w >= us - 86400000000
+                       THEN max(r2) OVER w END AS r3
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(CASE WHEN COUNT(r3) > 0 THEN 3 WHEN COUNT(r2) > 0 THEN 2
+                     WHEN COUNT(r1) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS steps_completed,
+           COUNT(r3) > 0 AS completed,
+           CAST(MIN(CASE WHEN r3 IS NOT NULL THEN us END) AS BIGINT)
+               AS first_completion_us
+    FROM s3 GROUP BY user_id
+    """,
+)
+def funnel_since_first_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel-semantics funnel (``funnel_within(bound='first')`` —
+    the ClickHouse-compatible bound): view → click → purchase where EVERY
+    step lands within 24 h of the chain's FIRST view. Same k−1
+    running-max recurrence and single exchange as the per-step bound,
+    but the window value propagates each chain's START time — keeping
+    only the max start is lossless because every future constraint
+    (t − start ≤ W) is monotone in start. Strictly harder than the
+    per-step 24 h bound on the same data (86 vs 118 completing users at
+    sf0.01), and the oracle replays the whole recurrence, so depth,
+    completion, and earliest completion are hash-checked under BOTH
+    semantics across the query pair."""
+    from ..operators.windows import funnel_within
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return funnel_within(
+        ev, "user_id", "ts", "event_id", "event_type",
+        steps=["view", "click", "purchase"], within_seconds=86_400,
+        bound="first",
+    )
+
+
+@query(
     "grouping_sets_revenue",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -5471,6 +5530,7 @@ def entry_query(spark: SparkSession) -> DataFrame:
 _EXPORT_PRIORITY: list[str] = [
     # -- (0) NEW in r8 (no driver row exists yet)
     "funnel_within_users",
+    "funnel_since_first_users",
     # -- (a) code/oracle changed in r8 (Hamilton floor-unrounded + clamped
     #    leftover + tie assert; shuffle_shards tie assert; edit-distance
     #    verify-then-distinct; ngram_best_match force='exact' pinned in
@@ -5525,7 +5585,9 @@ _EXPORT_PRIORITY: list[str] = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
-    "q22_idle_customers",
+    # (q22_idle_customers, last of the r04 fillers, cedes its slot to the
+    # second NEW query funnel_since_first_users — first-ever driver rows
+    # outrank refreshing a green r04 row; it re-enters in r09 per the seed)
 ]
 
 

@@ -187,6 +187,32 @@ def test_funnel_within_exact_chain_semantics(spark):
         funnel_within(mk(rows), "u", "ts", "i", "et", ["v"], within_seconds=5)
     with pytest.raises(ValueError, match="within_seconds"):
         funnel_within(mk(rows), "u", "ts", "i", "et", ["v", "c"], within_seconds=0)
+    with pytest.raises(ValueError, match="bound"):
+        funnel_within(
+            mk(rows), "u", "ts", "i", "et", ["v", "c"], within_seconds=5,
+            bound="bogus",
+        )
+
+    # bound='first' (windowFunnel semantics): each step within W of the
+    # chain START, not the previous step
+    frows = [
+        # u=1: per-step chain v@0 c@20 p@40 completes under bound='step'
+        # but p is 40s from the start — fails bound='first' at W=20
+        (1, 0 * S, 1, "v"), (1, 20 * S, 2, "c"), (1, 40 * S, 3, "p"),
+        # u=2: max-start dominance trap — the chain through v@10 (not the
+        # earliest v@0) is the only one that completes; an implementation
+        # keeping the EARLIEST start would reject p@28 (28-0 > 20)
+        (2, 0 * S, 1, "v"), (2, 5 * S, 2, "c"), (2, 10 * S, 3, "v"),
+        (2, 18 * S, 4, "c"), (2, 28 * S, 5, "p"),
+    ]
+    out = {
+        r["u"]: (r["steps_completed"], r["completed"], r["first_completion_us"])
+        for r in funnel_within(
+            mk(frows), "u", "ts", "i", "et", ["v", "c", "p"],
+            within_seconds=20, bound="first",
+        ).collect()
+    }
+    assert out == {1: (2, False, None), 2: (3, True, 28 * S)}
 
 
 def test_property_funnel_within_matches_python_set_dp(spark):
@@ -201,22 +227,30 @@ def test_property_funnel_within_matches_python_set_dp(spark):
 
     from pyspark_weather_forecasting_gsod_spark.operators.windows import funnel_within
 
-    def py_funnel(seq, steps, w_us):
-        # seq: (us, tie, type) in total order; set-DP over feasible ends
+    def py_funnel(seq, steps, w_us, bound):
+        # seq: (us, tie, type) in total order; set-DP over ALL feasible
+        # chains — each level keeps every (chain_start, chain_end) pair,
+        # so no greedy assumption leaks into the reference
         k = len(steps)
-        feas = [[] for _ in range(k)]
+        feas = [set() for _ in range(k)]
         for us, _tie, ty in sorted(seq):
             add = []
             for i, s in enumerate(steps):
                 if ty != s:
                     continue
-                if i == 0 or any(us - w_us <= t0 for t0 in feas[i - 1]):
-                    add.append(i)
-            for i in add:
-                feas[i].append(us)
+                if i == 0:
+                    add.append((0, (us, us)))
+                else:
+                    for start, _end in feas[i - 1]:
+                        ref = _end if bound == "step" else start
+                        if us - w_us <= ref:
+                            add.append((i, (start, us)))
+            for i, pair in add:
+                feas[i].add(pair)
         depth = max((i + 1 for i in range(k) if feas[i]), default=0)
         comp = bool(feas[k - 1])
-        return depth, comp, (min(feas[k - 1]) if comp else None)
+        first = min(e for _s, e in feas[k - 1]) if comp else None
+        return depth, comp, first
 
     rng = random.Random(80)
     cases = [
@@ -224,25 +258,29 @@ def test_property_funnel_within_matches_python_set_dp(spark):
         (["a", "a", "b"], 10),   # repeated step type
         (["b", "a"], 3),         # tight window
     ]
-    for steps, within in cases:
-        rows, want = [], {}
-        for u in range(60):
-            n = rng.randint(0, 12)
-            seq = [
-                (rng.randint(0, 80) * 1_000_000, i, rng.choice("abcx"))
-                for i in range(n)
-            ]
-            rows += [(u, us, i, ty) for us, i, ty in seq]
-            want[u] = py_funnel(seq, steps, within * 1_000_000)
-        # empty-log users produce no row at all (groupBy) — drop them
-        want = {u: v for u, v in want.items() if any(r[0] == u for r in rows)}
-        df = spark.createDataFrame(
-            rows, "u int, us long, i int, et string"
-        ).withColumn("ts", F.timestamp_micros("us"))
-        got = {
-            r["u"]: (r["steps_completed"], r["completed"], r["first_completion_us"])
-            for r in funnel_within(
-                df, "u", "ts", "i", "et", steps, within_seconds=within
-            ).collect()
-        }
-        assert got == want, (steps, within)
+    for bound in ("step", "first"):
+        for steps, within in cases:
+            rows, want = [], {}
+            for u in range(60):
+                n = rng.randint(0, 12)
+                seq = [
+                    (rng.randint(0, 80) * 1_000_000, i, rng.choice("abcx"))
+                    for i in range(n)
+                ]
+                rows += [(u, us, i, ty) for us, i, ty in seq]
+                want[u] = py_funnel(seq, steps, within * 1_000_000, bound)
+            # empty-log users produce no row at all (groupBy) — drop them
+            want = {u: v for u, v in want.items() if any(r[0] == u for r in rows)}
+            df = spark.createDataFrame(
+                rows, "u int, us long, i int, et string"
+            ).withColumn("ts", F.timestamp_micros("us"))
+            got = {
+                r["u"]: (
+                    r["steps_completed"], r["completed"], r["first_completion_us"]
+                )
+                for r in funnel_within(
+                    df, "u", "ts", "i", "et", steps, within_seconds=within,
+                    bound=bound,
+                ).collect()
+            }
+            assert got == want, (bound, steps, within)

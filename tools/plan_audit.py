@@ -112,6 +112,11 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         ["Join", "CartesianProduct"],
         "time-bounded funnel: k-1 running-max windows share ONE user_id exchange + sort (exact exists-chain semantics, no state machine), then a per-user hash agg; no join tree, no per-step job",
     ),
+    "funnel_since_first_users": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+        "windowFunnel (bound='first') variant: identical plan shape — the recurrence propagates chain-START times through the same k-1 running-max windows over one exchange; semantics change, plan does not",
+    ),
     "user_value_trend": (
         ["HashAggregate", "Exchange"],
         ["Window", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
