@@ -52,6 +52,10 @@ def _assert_no_order_tie(
     # window expressions are illegal inside a WHERE clause — materialize
     # the tie flag as a column (same Window exec as the rank), then force
     # the assert through the row-preserving filter
+    if "__tie" in df.columns:
+        # overwriting-then-dropping a caller's __tie column would silently
+        # lose it — refuse, like cap_per_group does
+        raise ValueError(f"{op}: input already has a '__tie' column")
     return (
         df.withColumn("__tie", F.coalesce(dup, F.lit(False)))
         .filter(F.assert_true(~F.col("__tie"), F.lit(msg)).isNull())

@@ -368,6 +368,12 @@ def funnel_within(
     if bound not in ("step", "first"):
         raise ValueError("funnel_within: bound must be 'step'|'first'")
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    reserved = {f"__r{i}" for i in range(1, len(steps) + 1)} | {"__done_us"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # an input column named like the recurrence state would silently
+        # corrupt the chain computation — refuse, like cap_per_group does
+        raise ValueError(f"funnel_within: input already has {sorted(clash)}")
     w = (
         Window.partitionBy(*gcols)
         .orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())

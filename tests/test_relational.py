@@ -445,6 +445,12 @@ def test_deterministic_order_tie_guard(spark):
             scored, "s", {"a": 1.0}, total=2, key="k", order_col="score"
         ).collect()
 
+    # a caller's own __tie column must not be silently consumed
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="__tie"):
+        shuffle_shards(ok.withColumn("__tie", F.lit(1)), "k", n_shards=2)
+
 
 def test_quota_sample_quality_first_variant(spark):
     """order_col: each stratum's quota is filled with its highest-score

@@ -192,6 +192,11 @@ def test_funnel_within_exact_chain_semantics(spark):
             mk(rows), "u", "ts", "i", "et", ["v", "c"], within_seconds=5,
             bound="bogus",
         )
+    with pytest.raises(ValueError, match="already has"):
+        funnel_within(
+            mk(rows).withColumn("__r1", F.lit(1)),
+            "u", "ts", "i", "et", ["v", "c"], within_seconds=5,
+        )
 
     # bound='first' (windowFunnel semantics): each step within W of the
     # chain START, not the previous step
