@@ -1830,9 +1830,10 @@ def edit_distance_pairs(
     rows per string, ONE frequency agg, prefix join against the posting
     index — hot grams almost never appear in any rarest-first prefix, so
     their posting lists are never enumerated quadratically (the same
-    reason the AllPairs/PPJoin prefix paths scale); verification runs
-    map-side on the hit rows and only (id_a, id_b, dist) triples cross
-    the final dedup exchange — candidate strings never shuffle.
+    reason the AllPairs/PPJoin prefix paths scale); the candidate dedup
+    exchange carries (id_a, id_b) pairs ONLY — strings re-attach via an
+    id equi-join (broadcast when the candidate set is small) and each
+    candidate pair is levenshtein-verified exactly once.
 
     ``method='count'`` instead joins ALL positional grams and applies the
     Gravano count filter (shared grams ≥ max(La,Lb)−q+1−q·d) before
@@ -1889,22 +1890,36 @@ def edit_distance_pairs(
             & (F.abs(F.col("__pl") - F.col("__fl")) <= d)
             & (F.abs(F.col("__pp") - F.col("__fp")) <= d)
         )
-        # verify-then-distinct (r07 advice): levenshtein runs MAP-SIDE on
-        # each prefix hit — a pair re-hit by k shared rare grams costs k
-        # verifications (k ≤ 2·(q·d+1), small) but the strings never cross
-        # the distinct's exchange, which otherwise carried both FULL
-        # strings per candidate (2× shuffle bytes on document-length
-        # strings for zero pruning benefit). levenshtein is symmetric, so
-        # no string orientation is needed either.
+        # ids-only distinct, then re-attach strings (r07 advice, measured
+        # twice): the original distinct carried both FULL strings per
+        # candidate through its exchange — 2× shuffle bytes on
+        # document-length strings for zero pruning benefit. The first fix
+        # (verify-then-distinct) kept strings out of the exchange but ran
+        # levenshtein once per HIT instead of once per PAIR — a pair
+        # re-hit by k shared rare grams costs k O(|s|²) verifications,
+        # and the sf1 document corpus measured that 68% SLOWER (126 s vs
+        # 75 s). This shape wins on both axes: the dedup exchange carries
+        # (id_a, id_b) only, strings re-attach via an id equi-join (AQE
+        # broadcasts the candidate set when it is small, so base strings
+        # never shuffle at all; at candidate volumes past broadcast it
+        # shuffles each candidate DOC's string once — ≤ the old 2×-per-
+        # pair), and levenshtein runs exactly once per candidate pair.
         lo = F.col("__pid") < F.col("__fid")
+        cand_ids = hit.select(
+            F.when(lo, F.col("__pid")).otherwise(F.col("__fid")).alias("id_a"),
+            F.when(lo, F.col("__fid")).otherwise(F.col("__pid")).alias("id_b"),
+        ).distinct()
+        str_a = long_side.select(
+            F.col("__id").alias("id_a"), F.col("__s").alias("__sa")
+        )
+        str_b = long_side.select(
+            F.col("__id").alias("id_b"), F.col("__s").alias("__sb")
+        )
         verified = (
-            hit.select(
-                F.when(lo, F.col("__pid")).otherwise(F.col("__fid")).alias("id_a"),
-                F.when(lo, F.col("__fid")).otherwise(F.col("__pid")).alias("id_b"),
-                F.levenshtein("__ps", "__fs").alias("dist"),
-            )
+            cand_ids.join(str_a, "id_a")
+            .join(str_b, "id_b")
+            .select("id_a", "id_b", F.levenshtein("__sa", "__sb").alias("dist"))
             .filter(F.col("dist") <= d)
-            .distinct()
         )
     else:
         # count filter: every matching positional gram, pairs meeting the

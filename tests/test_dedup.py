@@ -934,11 +934,14 @@ def test_edit_distance_prefix_dedup_ships_no_strings(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     dedup_aggs = [
         ln for ln in plan.splitlines()
-        if ln.strip().startswith("Aggregate") and "id_a" in ln and "id_b" in ln
+        if "Aggregate [" in ln and "id_a" in ln and "id_b" in ln
     ]
     assert dedup_aggs, plan  # the distinct survived optimization
     for ln in dedup_aggs:
-        assert "__ps" not in ln and "__fs" not in ln and "__sa" not in ln, ln
+        # the dedup groups on the id pair only — no raw or aliased string
+        # column may ride through its exchange
+        assert "__ps" not in ln and "__fs" not in ln, ln
+        assert "__sa" not in ln and "__sb" not in ln, ln
     # and it still finds the near-identical tails correctly (tailN vs
     # tailM is distance <= 2 for single-digit N, M)
     got = {(r.id_a, r.id_b) for r in out.collect()}
