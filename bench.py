@@ -171,7 +171,17 @@ def main() -> None:
                 ledger = json.load(f)
         except (json.JSONDecodeError, OSError):
             ledger = {}
+    # valid-JSON-wrong-shape content (hand edit, interrupted rewrite) must
+    # not crash AFTER the whole sweep ran (r08 review) — reset, don't raise
+    if not isinstance(ledger, dict):
+        ledger = {}
     sl = ledger.setdefault(str(sf_val), {"sweeps": 0, "queries": {}})
+    if (
+        not isinstance(sl, dict)
+        or not isinstance(sl.get("queries"), dict)
+        or not isinstance(sl.get("sweeps"), int)
+    ):
+        sl = ledger[str(sf_val)] = {"sweeps": 0, "queries": {}}
     sl["sweeps"] += 1
     for name, wall in timings.items():
         q = sl["queries"].get(name)

@@ -12,6 +12,7 @@ schema with array<float> features, and partition-parallel execution.
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -126,6 +127,11 @@ def decode_wav(payload: bytes) -> dict:
     audio_fmt, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if channels == 0:
+        # n_samples = n // channels below — a channels=0 fmt chunk passed
+        # the PCM16 guard and surfaced as ZeroDivisionError, escaping the
+        # _DECODE_ERRORS skip net (r08 review)
+        raise ValueError("WAV fmt declares 0 channels")
     n = len(data) // 2
     samples = struct.unpack(f"<{n}h", data[: n * 2])
     return {
@@ -229,8 +235,6 @@ def _nonnull(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
     ``chunk_windows`` on NULL text."""
     return df.select(id_col, value_col).filter(F.col(value_col).isNotNull())
 
-
-import struct as _struct
 
 #: what 'skip' means operationally: every exception class a malformed
 #: payload can surface from the scalar decoders. ValueError is the

@@ -19,48 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .guards import assert_no_order_tie
+
 HEX = "0123456789abcdef"
-
-
-def _assert_no_order_tie(
-    df: DataFrame, w, order_cols: list[Column], op: str
-) -> DataFrame:
-    """Guard the md5-rank doctrine's precondition AT EXECUTION TIME, for
-    free: every deterministic-selection operator here ranks rows under a
-    window order that is total ONLY if no two rows tie on the full
-    ordering tuple — ≥2 NULL-key rows share the sentinel digest, and
-    duplicate keys share everything, so ``row_number`` would assign their
-    positions nondeterministically across partitionings (r07 advice: the
-    'total order / oracle-hashable' contract was silently breakable).
-
-    Detection is a ``lag`` over the SAME window spec the rank uses — tied
-    rows are adjacent in that order, so one extra window expression in the
-    already-paid sort catches every tie with zero additional shuffle; the
-    ``assert_true`` is forced through a row-preserving filter
-    (``isNull()`` of a NULL-on-success expression) so column pruning can't
-    drop it. On violation the job raises instead of emitting a
-    nondeterministic order."""
-    dup: Column | None = None
-    for c in order_cols:
-        eq = c.eqNullSafe(F.lag(c).over(w))
-        dup = eq if dup is None else dup & eq
-    msg = (
-        f"{op}: ordering tie — two rows share the full ranking tuple "
-        "(duplicate key, or more than one NULL-key row); the deterministic "
-        "total-order contract needs a unique, at-most-once-NULL key"
-    )
-    # window expressions are illegal inside a WHERE clause — materialize
-    # the tie flag as a column (same Window exec as the rank), then force
-    # the assert through the row-preserving filter
-    if "__tie" in df.columns:
-        # overwriting-then-dropping a caller's __tie column would silently
-        # lose it — refuse, like cap_per_group does
-        raise ValueError(f"{op}: input already has a '__tie' column")
-    return (
-        df.withColumn("__tie", F.coalesce(dup, F.lit(False)))
-        .filter(F.assert_true(~F.col("__tie"), F.lit(msg)).isNull())
-        .drop("__tie")
-    )
 
 
 def hash_bucket(key: Column, buckets: int = 100, hex_chars: int = 4) -> Column:
@@ -334,7 +295,7 @@ def shuffle_shards(
         .withColumn("__ok", order_key)
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
-    out = _assert_no_order_tie(
+    out = assert_no_order_tie(
         out, w, [F.col("__ok"), F.col(key)], "shuffle_shards"
     )
     return out.drop("__ok")
@@ -469,7 +430,7 @@ def quota_sample(
         .withColumn("__ok", order_key)
         .withColumn("__rk", F.row_number().over(w_sel))
     )
-    out = _assert_no_order_tie(out, w_sel, tie_cols, "quota_sample")
+    out = assert_no_order_tie(out, w_sel, tie_cols, "quota_sample")
     return (
         out.filter(F.col("__rk") <= F.col("__quota"))
         .drop("__stratum", "__ok", "__rk", "__quota")

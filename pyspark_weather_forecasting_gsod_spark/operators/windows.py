@@ -374,13 +374,22 @@ def funnel_within(
         # an input column named like the recurrence state would silently
         # corrupt the chain computation — refuse, like cap_per_group does
         raise ValueError(f"funnel_within: input already has {sorted(clash)}")
-    w = (
-        Window.partitionBy(*gcols)
-        .orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    order = Window.partitionBy(*gcols).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
     )
+    w = order.rowsBetween(Window.unboundedPreceding, -1)
     us = F.unix_micros(F.col(ts_col))
-    w_us = int(within_seconds) * 1_000_000
+    # truncating BEFORE the multiply silently turned fractional seconds
+    # in (0, 1] into a 0-µs window (r08 review) — scale first, then round
+    w_us = int(round(within_seconds * 1_000_000))
+    # the (ts, tie) order must be TOTAL or the 1-PRECEDING frame is
+    # partition-layout-dependent — same execution-time doctrine as
+    # sampling's _assert_no_order_tie (a lag over the already-paid sort)
+    from .guards import assert_no_order_tie
+
+    df = assert_no_order_tie(
+        df, order, [F.col(ts_col), F.col(tie_col)], "funnel_within"
+    )
     # __r{i} is set iff this event is a reachable level-i chain end; its
     # VALUE is what the next level's feasibility test needs: the end time
     # (bound='step') or the chain-start time (bound='first').

@@ -281,3 +281,22 @@ def test_skip_contract_covers_truncated_and_degenerate_payloads(spark):
     assert got == {1, 2, 91}  # decode_bmp reads a 0-width image as all-zero stats
     with pytest.raises(Exception, match="truncated|empty image"):
         bmp_dhash_features(mixed, on_error="raise").collect()
+
+    # channels=0 WAV: passed the PCM16 guard and hit n // channels —
+    # ZeroDivisionError escaped _DECODE_ERRORS (r08 review); now ValueError
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        decode_wav,
+        decode_wav_features,
+    )
+
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    data = struct.pack("<4h", 1, 2, 3, 4)
+    zeroch = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt0) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_wav(zeroch)
+    bad = spark.createDataFrame([Row(doc_id=95, payload=bytearray(zeroch))])
+    assert decode_wav_features(bad).count() == 0  # skipped, not crashed

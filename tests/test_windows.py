@@ -198,6 +198,27 @@ def test_funnel_within_exact_chain_semantics(spark):
             "u", "ts", "i", "et", ["v", "c"], within_seconds=5,
         )
 
+    # total-order precondition enforced at execution (r08 review): two
+    # events tying on the FULL (ts, tie) tuple make the 1-PRECEDING frame
+    # partition-layout-dependent — raise, same doctrine as shuffle_shards
+    dup = [(1, 0, 1, "v"), (1, 5 * S, 2, "c"), (1, 5 * S, 2, "p")]
+    with pytest.raises(Exception, match="ordering tie"):
+        funnel_within(
+            mk(dup), "u", "ts", "i", "et", ["v", "c"], within_seconds=60
+        ).collect()
+
+    # fractional within_seconds scales before rounding (r08 review: int()
+    # truncation silently made 0.5 s a 0-µs window)
+    sub = [(1, 0, 1, "v"), (1, 400_000, 2, "c"),   # 0.4 s gap: inside 0.5 s
+           (2, 0, 1, "v"), (2, 700_000, 2, "c")]   # 0.7 s gap: outside
+    out = {
+        r["u"]: r["completed"]
+        for r in funnel_within(
+            mk(sub), "u", "ts", "i", "et", ["v", "c"], within_seconds=0.5
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
+
     # bound='first' (windowFunnel semantics): each step within W of the
     # chain START, not the previous step
     frows = [

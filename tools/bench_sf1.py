@@ -179,23 +179,24 @@ def main() -> None:
         shingle_arrays,
     )
 
-    vocab_probe = (
-        shingle_arrays(docs, "doc_id", "text", 3)
-        .select(F.explode("shingles").alias("s"))
-        .distinct()
-        .limit(4097)
-        .count()
-    )
-    routes["jaccard_auto"] = (
-        f"corpus={n_docs} vocab_probe={'>4096' if vocab_probe > 4096 else vocab_probe}"
-        f" -> {'prefix' if (n_docs > 200_000 or vocab_probe > 4096) else 'dense'}"
-    )
-    timed(
-        "jaccard_auto",
-        lambda: ngram_jaccard_pairs_auto(
-            docs, "doc_id", "text", n=3, min_jaccard=0.8
-        ).count(),
-    )
+    if not only or "jaccard_auto" in only:  # r08: no probes in subset mode
+        vocab_probe = (
+            shingle_arrays(docs, "doc_id", "text", 3)
+            .select(F.explode("shingles").alias("s"))
+            .distinct()
+            .limit(4097)
+            .count()
+        )
+        routes["jaccard_auto"] = (
+            f"corpus={n_docs} vocab_probe={'>4096' if vocab_probe > 4096 else vocab_probe}"
+            f" -> {'prefix' if (n_docs > 200_000 or vocab_probe > 4096) else 'dense'}"
+        )
+        timed(
+            "jaccard_auto",
+            lambda: ngram_jaccard_pairs_auto(
+                docs, "doc_id", "text", n=3, min_jaccard=0.8
+            ).count(),
+        )
 
     # --- router 2: bpe_train (driver loop vs distributed fold) ----------
     from pyspark_weather_forecasting_gsod_spark.ext.tokenizer import (
@@ -203,28 +204,29 @@ def main() -> None:
         word_symbol_table,
     )
 
-    vocab_rows = word_symbol_table(docs, "text").count()
-    routes["bpe_train"] = (
-        f"word_vocab={vocab_rows} -> "
-        f"{'driver' if vocab_rows <= 100_000 else 'distributed'} (cutover 100k)"
-    )
-    timed("bpe_train_routed", lambda: bpe_train(docs, "text", num_merges=5))
-    # force the OTHER regime on identical data: the crossover is validated
-    # only if the routed side is not slower than the forced side
-    forced = (
-        "bpe_train_forced_distributed"
-        if vocab_rows <= 100_000
-        else "bpe_train_forced_driver"
-    )
-    timed(
-        forced,
-        lambda: bpe_train(
-            docs,
-            "text",
-            num_merges=5,
-            max_driver_vocab=(1 if vocab_rows <= 100_000 else 10_000_000),
-        ),
-    )
+    if not only or any(n.startswith("bpe_train") for n in only):
+        vocab_rows = word_symbol_table(docs, "text").count()
+        routes["bpe_train"] = (
+            f"word_vocab={vocab_rows} -> "
+            f"{'driver' if vocab_rows <= 100_000 else 'distributed'} (cutover 100k)"
+        )
+        timed("bpe_train_routed", lambda: bpe_train(docs, "text", num_merges=5))
+        # force the OTHER regime on identical data: the crossover is
+        # validated only if the routed side is not slower than the forced
+        forced = (
+            "bpe_train_forced_distributed"
+            if vocab_rows <= 100_000
+            else "bpe_train_forced_driver"
+        )
+        timed(
+            forced,
+            lambda: bpe_train(
+                docs,
+                "text",
+                num_merges=5,
+                max_driver_vocab=(1 if vocab_rows <= 100_000 else 10_000_000),
+            ),
+        )
 
     # --- router 3: semantic_dedup giant-cell guard ----------------------
     from pyspark_weather_forecasting_gsod_spark.ext.similarity import semantic_dedup
@@ -232,16 +234,17 @@ def main() -> None:
     # (a) max_cell_rows below |corpus|/n_cells forces the split path but
     # leaves headroom above the replica-clump floor -> splits SUCCEED
     split_rows = max(1000, n_emb // 13)
-    routes["semantic_dedup_split_path"] = (
-        f"n_emb={n_emb} n_cells=8 max_cell_rows={split_rows}"
-        " (forces recursive split; succeeds)"
-    )
-    timed(
-        "semantic_dedup_split_path",
-        lambda: semantic_dedup(
-            emb, min_cosine=0.35, n_cells=8, max_cell_rows=split_rows
-        ).count(),
-    )
+    if not only or "semantic_dedup_split_path" in only:
+        routes["semantic_dedup_split_path"] = (
+            f"n_emb={n_emb} n_cells=8 max_cell_rows={split_rows}"
+            " (forces recursive split; succeeds)"
+        )
+        timed(
+            "semantic_dedup_split_path",
+            lambda: semantic_dedup(
+                emb, min_cosine=0.35, n_cells=8, max_cell_rows=split_rows
+            ).count(),
+        )
     # (b) max_cell_rows below what KMeans can achieve on this clumped
     # corpus -> the giant-cell guard must RAISE (loud, named cell) instead
     # of letting the |cell|^2 matmul OOM an executor; the raise is the
@@ -333,18 +336,26 @@ def main() -> None:
     # 30-day event-time window) a data-volume-bound query would grow ~10x;
     # a trigger-bound one stays near-flat. Wall + the sf0.1 wall ratio is
     # the regime note.
-    if os.path.isdir(os.path.join(SF1, "events.parquet")):
+    _streaming_names = [
+        "streaming_stream_join",
+        "streaming_session_windows",
+        "streaming_tumbling",
+        "streaming_stateful_totals",
+        # batch, but events-shaped: the r08 time-bounded funnel — one
+        # user_id exchange + k-1 running-max scans should scale ~with
+        # data volume, no state/trigger axis
+        "funnel_within_users",
+    ]
+    # guard the block in `only` mode (r08 review): the 1M-row count and
+    # the routes[...] stamps must not run — or overwrite fresh-looking
+    # route entries — for queries this invocation never measures
+    if os.path.isdir(os.path.join(SF1, "events.parquet")) and (
+        not only or set(_streaming_names) & set(only)
+    ):
         n_events = load_table(spark, SF1, "events").count()
-        for name in [
-            "streaming_stream_join",
-            "streaming_session_windows",
-            "streaming_tumbling",
-            "streaming_stateful_totals",
-            # batch, but events-shaped: the r08 time-bounded funnel — one
-            # user_id exchange + k-1 running-max scans should scale ~with
-            # data volume, no state/trigger axis
-            "funnel_within_users",
-        ]:
+        for name in _streaming_names:
+            if only and name not in only:
+                continue
             routes[name] = f"n_events={n_events} (10x keys, same event-time span)"
             timed(
                 name,
@@ -369,7 +380,10 @@ def main() -> None:
         (F.col("doc_id") >= n0) & (F.col("doc_id") < 5 * n0)
     )
     n_ed = ed_slice.count()
-    routes["edit_distance_prefix"] = f"n_strings={n_ed} max_dist=1 q=3 method=prefix"
+    if not only or "edit_distance_prefix" in only:
+        routes["edit_distance_prefix"] = (
+            f"n_strings={n_ed} max_dist=1 q=3 method=prefix"
+        )
     timed(
         "edit_distance_prefix",
         lambda: edit_distance_pairs(
@@ -392,7 +406,7 @@ def main() -> None:
                 ed_slice, "doc_id", "text", max_dist=1, q=3, method="count"
             ).count(),
         )
-    else:
+    elif not only:
         timings["edit_distance_count"] = -1.0
         routes["edit_distance_count"] = (
             f"n_strings={n_ed} NOT RUN by default: measured-aborted >1385s "
