@@ -279,6 +279,11 @@ def main() -> None:
         "bpe_tokenizer",
         "ngram_containment_docs",
         "text_quality",
+        # r8: the changed-code sampling queries — the zero-shuffle order-tie
+        # assert rides the rank's own window sort, so 10x keys must show
+        # ~10x-data scan cost and nothing else (no extra exchange)
+        "quota_mix_docs",
+        "shuffle_shards_docs",
     ]:
         timed(
             name,
