@@ -76,10 +76,13 @@ def assert_no_order_tie(
     (``isNull()`` of a NULL-on-success expression) so column pruning can't
     drop it. On violation the job raises instead of emitting a
     nondeterministic order."""
-    dup: Column | None = None
+    # eqNullSafe alone conflates "no preceding row" (lag = NULL) with
+    # "preceding value is NULL": a partition's FIRST row whose order
+    # columns are all NULL would be falsely flagged (r08 review) — require
+    # a predecessor to exist before comparing
+    dup: Column = F.lag(F.lit(1)).over(w).isNotNull()
     for c in order_cols:
-        eq = c.eqNullSafe(F.lag(c).over(w))
-        dup = eq if dup is None else dup & eq
+        dup = dup & c.eqNullSafe(F.lag(c).over(w))
     msg = (
         f"{op}: ordering tie — two rows share the full ranking tuple "
         "(duplicate key, or more than one NULL-key row); the deterministic "

@@ -24,6 +24,20 @@ from .guards import assert_no_order_tie
 HEX = "0123456789abcdef"
 
 
+def null_safe_key(key: str) -> Column:
+    """The shared NULL-sentinel key expression of the md5-decision
+    doctrine: ``coalesce(key::string, '__null_key__')``. Every keyed
+    deterministic-decision operator in this module MUST hash through this
+    (r08 review: four operators hand-rolled the raw key and silently
+    DROPPED NULL-key rows — md5(NULL) is NULL, so the bucket comparison
+    fell through — the exact bug class the r06 hash_split fix closed).
+    All NULL-key rows share one digest, so they act as ONE deterministic
+    cohort (kept or dropped together, same copies, same split side) —
+    clustered but reproducible, which is the honest behavior for a
+    population that is rarely a random slice."""
+    return F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+
+
 def hash_bucket(key: Column, buckets: int = 100, hex_chars: int = 4) -> Column:
     """Deterministic bucket in [0, buckets): int value of the first
     ``hex_chars`` hex chars of md5(key as string), mod buckets.
@@ -46,9 +60,7 @@ def hash_split(
     was silently enriched with exactly the NULL-key population (r06
     review); a NULL-key cohort is rarely a random slice, so keeping it
     un-split (and deterministic) is the honest behavior."""
-    bucket = hash_bucket(
-        F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
-    )
+    bucket = hash_bucket(null_safe_key(key))
     return df.withColumn(
         out_col, F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
     )
@@ -88,6 +100,14 @@ def cap_per_group(
     during the partial sort instead of materializing whole groups (the
     shape that survives a group with a billion rows — no group fits in
     memory requirement beyond the top-n heap).
+
+    Determinism PRECONDITION: ``id_col`` must be unique (it is an id).
+    Duplicate or multi-NULL ids tie the full ordering tuple at the cap
+    boundary, and which row survives then depends on partition layout.
+    The lag-assert the non-rank operators use is deliberately NOT added
+    here: an extra window expression would defeat the WindowGroupLimit
+    pushdown this operator's scale story depends on — callers with
+    untrusted ids should validate uniqueness upstream (r08 review).
     """
     from pyspark.sql.window import Window
 
@@ -131,7 +151,17 @@ def rate_sample_by_stratum(
     """
     if not rates:
         raise ValueError("rate_sample_by_stratum: rates must be non-empty")
-    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    bad = {k: v for k, v in rates.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(
+            f"rate_sample_by_stratum: rates must be in [0, 1], got {bad}"
+        )
+    # realized keep-rate quantizes to whole buckets: ceil(rate*buckets)/
+    # buckets qualify, so rates below 1/buckets keep ~1e-6, not 0 (r08
+    # review) — raise `buckets` for ppb-grade rates. NULL keys hash via
+    # the shared sentinel: one deterministic cohort, never silently
+    # dropped (md5(NULL) was NULL and the comparison fell through).
+    b = hash_bucket(null_safe_key(key), buckets, hex_chars=8)
     expr: Column | None = None
     for stratum, r in sorted(rates.items()):
         cond = F.col(stratum_col) == stratum
@@ -161,7 +191,7 @@ def weighted_repeat(
     existing row's copy count, so incremental corpus builds stay
     reproducible at 100 TB.
     """
-    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    b = hash_bucket(null_safe_key(key), buckets, hex_chars=8)
     n_copies = F.floor(weight).cast("long") + (
         b < ((weight - F.floor(weight)) * buckets)
     ).cast("long")
@@ -192,9 +222,16 @@ def weighted_sample_k(
 
     One map-only scoring pass + a top-k (Spark plans
     ``TakeOrderedAndProject`` — per-partition heaps, no global sort), so
-    the selection is reproducible at any scale and stable run-to-run."""
+    the selection is reproducible at any scale and stable run-to-run.
+
+    Determinism PRECONDITION: keys must be unique (duplicate keys draw
+    the SAME uniform, so equal-weight duplicates tie on (score, key) at
+    the k boundary and partition layout picks the survivor — and
+    correlated draws break the ∝-weight guarantee). NULL keys hash via
+    the shared sentinel: deterministic, but ≥2 NULL-key equal-weight rows
+    tie the same way (r08 review)."""
     b = 1 << 32
-    u = (hash_bucket(F.col(key), b, hex_chars=8) + F.lit(0.5)) / F.lit(float(b))
+    u = (hash_bucket(null_safe_key(key), b, hex_chars=8) + F.lit(0.5)) / F.lit(float(b))
     return (
         df.filter(weight > 0)
         .withColumn(score_col, F.pow(u, F.lit(1.0) / weight))
@@ -230,7 +267,7 @@ def sampled_sum_estimate(
     always qualifies and the scale factor matches the filter exactly)."""
     k = max(1, round(rate * buckets))
     p = k / buckets
-    b = hash_bucket(F.col(key), buckets, hex_chars=8)
+    b = hash_bucket(null_safe_key(key), buckets, hex_chars=8)
     s = df.filter(b < k).select(F.col(value_col).alias("v"))
     n = F.count(F.lit(1)).cast("long")
     # Bernoulli-sampling variance of the scaled sum: Var = (1-p)/p² · Σv²
@@ -284,7 +321,13 @@ def shuffle_shards(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+    clash = {"shard", "pos", "__ok"} & set(df.columns)
+    if clash:
+        # 'shard'/'pos' are plausible REAL column names — silently
+        # overwriting them hands downstream consumers shuffle ranks where
+        # they expected their own data (r08 review); refuse instead
+        raise ValueError(f"shuffle_shards: input already has {sorted(clash)}")
+    k = null_safe_key(key)
     shard = hash_bucket(F.concat(F.lit(f"{seed}:"), k), n_shards, hex_chars=8)
     order_key = F.md5(F.concat(F.lit(f"{seed}:o:"), k).cast("binary"))
     w = Window.partitionBy("shard").orderBy(
@@ -376,6 +419,11 @@ def quota_sample(
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("quota_sample: weights must sum > 0")
+    clash = {"__stratum", "__ok", "__rk", "__quota"} & set(df.columns)
+    if clash:
+        # a caller's __stratum would be silently overwritten then dropped;
+        # __quota would go ambiguous after the broadcast join (r08 review)
+        raise ValueError(f"quota_sample: input already has {sorted(clash)}")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
@@ -416,7 +464,7 @@ def quota_sample(
         )
         .select("__stratum", "__quota")
     )
-    k = F.coalesce(F.col(key).cast("string"), F.lit("__null_key__"))
+    k = null_safe_key(key)
     order_key = F.md5(F.concat(F.lit(f"{seed}:q:"), k).cast("binary"))
     sel_order = [F.col("__ok").asc(), F.col(key).asc_nulls_first()]
     tie_cols = [F.col("__ok"), F.col(key)]

@@ -62,7 +62,9 @@ def lead_labels(
     elif max_gap_seconds is not None:
         dc = date_col or (order_by if isinstance(order_by, str) else order_by[0])
         gap_us = F.unix_micros(F.lead(dc, 1).over(w)) - F.unix_micros(F.col(dc))
-        gap_ok = gap_us <= int(max_gap_seconds * 1_000_000)
+        # scale BEFORE rounding: int() truncation lost up to 1 µs and
+        # rejected an observation exactly at the allowed gap (r08 review)
+        gap_ok = gap_us <= int(round(max_gap_seconds * 1_000_000))
     for src, label in labels.items():
         led = F.lead(src, 1).over(w)
         if gap_ok is not None:
@@ -217,7 +219,13 @@ def ewma(
 
     For the frame [t-lookback+1 .. t] (ordered oldest→newest, m rows):
     ``y_t = Σ_k (1-α)^(m-1-k) x_k / Σ_k (1-α)^(m-1-k)`` — pandas'
-    ``ewm(adjust=True)`` semantics truncated to the lookback. The frame is
+    ``ewm(adjust=True)`` weighting truncated to the lookback, with one
+    documented NULL deviation (r08 review): ``collect_list`` drops NULL
+    values, so decay weights attach to the null-COMPACTED positions —
+    pandas' ``ignore_na=True`` behavior, NOT its ``ignore_na=False``
+    default (where a NULL still ages earlier observations); NULL rows do
+    still consume lookback slots. The SQL oracle replays this exact fold,
+    so the contract is bit-checked as stated here. The frame is
     materialized with ``collect_list`` (frame order follows the window
     ORDER BY) and folded with JVM-side higher-order expressions: per-row
     cost is O(lookback), shuffle cost is the one window exchange every
@@ -383,8 +391,9 @@ def funnel_within(
     # in (0, 1] into a 0-µs window (r08 review) — scale first, then round
     w_us = int(round(within_seconds * 1_000_000))
     # the (ts, tie) order must be TOTAL or the 1-PRECEDING frame is
-    # partition-layout-dependent — same execution-time doctrine as
-    # sampling's _assert_no_order_tie (a lag over the already-paid sort)
+    # partition-layout-dependent — same execution-time doctrine as the
+    # sampling operators (guards.assert_no_order_tie: a lag over the
+    # already-paid sort)
     from .guards import assert_no_order_tie
 
     df = assert_no_order_tie(

@@ -1022,3 +1022,71 @@ def test_shuffle_shards_null_key_gets_deterministic_slot(spark):
     }
     assert {(r.k, r.shard, r.pos) for r in out} == again
     assert len(nulls) == 1
+
+
+def test_null_key_rows_join_the_sentinel_cohort_not_the_void(spark):
+    """r08 review: four md5-decision operators hashed the raw key, so
+    md5(NULL) = NULL made every NULL-key row silently vanish (dropped
+    from samples, 0 copies emitted, excluded from the AQP sample while
+    the estimator still scaled by 1/p). They now hash through the shared
+    sentinel: NULL-key rows form ONE deterministic cohort."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import (
+        rate_sample_by_stratum,
+        sampled_sum_estimate,
+        weighted_repeat,
+        weighted_sample_k,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "en", 10.0)] + [(str(i), "en", 1.0) for i in range(20)],
+        "k string, s string, v double",
+    )
+
+    # weighted_repeat: weight 3.0 emits exactly 3 copies, NULL key or not
+    got = weighted_repeat(df, "k", F.lit(3.0)).groupBy("k").count().collect()
+    assert {r["count"] for r in got} == {3}
+    assert sum(1 for r in got if r["k"] is None) == 1
+
+    # rate 1.0 keeps EVERYTHING — including the NULL-key row
+    kept = rate_sample_by_stratum(df, "s", {"en": 1.0}, key="k")
+    assert kept.count() == 21
+    # rate 0.0 keeps nothing; the NULL cohort obeys the rate like any key
+    assert rate_sample_by_stratum(df, "s", {"en": 0.0}, key="k").count() == 0
+
+    # AQP at rate 1.0: the sample IS the population, NULL-key row included
+    est = sampled_sum_estimate(df, "k", "v", rate=1.0).first()
+    assert est["n_sampled"] == 21 and abs(est["sum_est"] - 30.0) < 1e-9
+
+    # A-Res with k == population: the NULL-key row is selectable
+    assert weighted_sample_k(df, "k", F.lit(1.0), k=21).count() == 21
+
+    # rate validation (r08 review): out-of-range rates raise loudly
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        rate_sample_by_stratum(df, "s", {"en": 1.5}, key="k")
+
+
+def test_shuffle_and_quota_refuse_reserved_column_collisions(spark):
+    """r08 review: shuffle_shards overwrote caller columns named
+    shard/pos/__ok wholesale; quota_sample destroyed a caller's __stratum
+    and went ambiguous on __quota. Both now refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.sampling import (
+        quota_sample,
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "a") for i in range(5)], "k string, s string"
+    )
+    with pytest.raises(ValueError, match="already has.*pos"):
+        shuffle_shards(df.withColumn("pos", F.lit(7)), "k")
+    with pytest.raises(ValueError, match="already has.*__stratum"):
+        quota_sample(
+            df.withColumn("__stratum", F.lit("x")), "s", {"a": 1.0},
+            total=2, key="k",
+        )

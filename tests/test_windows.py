@@ -310,3 +310,47 @@ def test_property_funnel_within_matches_python_set_dp(spark):
                 ).collect()
             }
             assert got == want, (bound, steps, within)
+
+
+def test_lead_labels_fractional_gap_inclusive_boundary(spark):
+    """r08 review: int() truncation of max_gap_seconds*1e6 lost up to 1 µs
+    and rejected an observation exactly at the allowed gap."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import lead_labels
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(g="a", ts=t0, v=1.0),
+        Row(g="a", ts=t0 + dt.timedelta(microseconds=4_100_000), v=2.0),
+    ]
+    out = lead_labels(
+        spark.createDataFrame(rows), "g", "ts", {"v": "next_v"},
+        drop_null_labels=True, max_gap_seconds=4.1,
+    )
+    # the 4.1 s gap is exactly at the bound — inclusive, label kept
+    assert [r["next_v"] for r in out.collect()] == [2.0]
+
+
+def test_order_tie_assert_first_row_all_null_is_not_a_tie(spark):
+    """r08 review: eqNullSafe conflated 'no preceding row' with 'preceding
+    value is NULL' — a partition's FIRST row with all-NULL order columns
+    was falsely flagged as a tie."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.windows import funnel_within
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "v"), (2, 5_000_000, 1, "v"), (2, 6_000_000, 2, "c")],
+        "u int, us long, i int, et string",
+    ).withColumn("ts", F.timestamp_micros("us"))
+    out = {
+        r["u"]: r["steps_completed"]
+        for r in funnel_within(
+            df, "u", "ts", "i", "et", ["v", "c"], within_seconds=60
+        ).collect()
+    }
+    # no raise; the NULL-ts event can't anchor a chain (unix_micros NULL)
+    assert out == {1: 0, 2: 2}
