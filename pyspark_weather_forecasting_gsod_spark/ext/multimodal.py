@@ -165,7 +165,15 @@ def synthesize_bmp(digest: bytes, width: int = 16, height: int = 8) -> bytes:
     ``digest`` — a deterministic real-format fixture: ``decode_bmp`` (or any
     external viewer) reads it, and because the tiling visits every digest
     byte equally often, the decoded mean pixel equals ``mean(digest)``,
-    which a SQL oracle can compute from ``md5(text)`` independently."""
+    which a SQL oracle can compute from ``md5(text)`` independently.
+    PRECONDITION for that equality (r08 review): the row stride must need
+    no padding and tile the digest a whole number of times — i.e.
+    ``(width*3) % 4 == 0`` and ``(stride*height) % len(digest) == 0``
+    (the default 16×8 over a 16-byte digest satisfies both); padded
+    widths still produce a VALID decodable BMP, but padding bytes drop
+    out of the decoded mean and the simple oracle identity no longer
+    holds (the width=5 pytest computes the padded expectation
+    explicitly)."""
     import struct
 
     row_bytes = width * 3
@@ -183,7 +191,9 @@ def synthesize_wav(
     """Build a VALID mono PCM16 WAV whose samples tile ``digest`` as
     little-endian int16 — same oracle property as ``synthesize_bmp``: the
     decoded mean |amplitude| equals the mean |int16| of the digest's 2-byte
-    words, computable in SQL from the md5 hex."""
+    words, computable in SQL from the md5 hex — PROVIDED ``n_samples``
+    is a multiple of the digest's word count (8 for md5; the default 256
+    is), so the tiling is whole (r08 review)."""
     import struct
 
     words = len(digest) // 2
@@ -491,6 +501,11 @@ def resize_payload(
     Deterministic byte selection, so a SQL oracle reproduces the digest
     exactly; emits original/resized sizes so the reduction ratio is
     auditable downstream."""
+    if factor < 1:
+        # factor=0 is a slice-step crash inside every task; factor<0
+        # reverses the full payload and silently breaks the size-reduction
+        # contract (r08 review)
+        raise ValueError("resize_payload: factor must be >= 1")
 
     def process(batches: Iterator) -> Iterator:
         import hashlib

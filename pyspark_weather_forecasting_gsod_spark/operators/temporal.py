@@ -37,6 +37,13 @@ def asof_join(
     asof).
     """
     payload = F.struct(*[F.col(c) for c in right_cols])
+    # a right row with NULL right_ts sorts FIRST (ASC = NULLS FIRST) and
+    # its payload would carry forward as a false match for left rows that
+    # should match nothing (r08 review) — an unknown-time observation can
+    # never be "at or before" anything, so drop it up front. (Left rows
+    # with NULL left_ts then sort first themselves and correctly match
+    # nothing.)
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         F.col(key),
         F.col(right_ts).alias("__t"),
@@ -97,8 +104,10 @@ def range_join_within(
     tol_us = tolerance_sec * 1_000_000
     lb = F.unix_micros(F.col(left_ts))
     rb = F.unix_micros(F.col(right_ts))
-    lbucket = F.expr(f"unix_micros({left_ts}) div {tol_us}")
-    rbucket = F.expr(f"unix_micros({right_ts}) div {tol_us}")
+    # backtick-quote: a non-identifier column name (dots, spaces) would
+    # otherwise parse as struct access or throw (r08 review)
+    lbucket = F.expr(f"unix_micros(`{left_ts}`) div {tol_us}")
+    rbucket = F.expr(f"unix_micros(`{right_ts}`) div {tol_us}")
     l2 = left.select(
         F.col(key), *[F.col(c) for c in left.columns if c != key],
         lb.alias("__lt"),
@@ -153,10 +162,17 @@ def gap_fill_spine(
             F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
         ).alias(tick_col),
     )
-    obs = df.select(
+    # NULL ticks are on no axis — excluded from densification (and from
+    # the min/max above, which skip NULLs anyway)
+    obs = df.filter(F.col(tick_col).isNotNull()).select(
         group_by, tick_col, *[F.col(c) for c in value_cols]
     )
-    return spine.join(obs, on=[group_by, tick_col], how="left")
+    # FULL outer, not left (r08 review): with step > 1 an observed row
+    # whose tick is off the min-anchored stride (including the group max)
+    # fell off the left join entirely — densification must never LOSE
+    # observations. At step == 1 every observed tick is on the spine, so
+    # the output is identical to the old left join.
+    return spine.join(obs, on=[group_by, tick_col], how="full")
 
 
 def ohlc_bars(
@@ -188,7 +204,10 @@ def ohlc_bars(
     tie = F.col(tie_col) if tie_col else F.col(value_col)
     key = F.struct(F.col(ts_col).alias("t"), tie.alias("tb"))
     bucket = F.window(F.col(ts_col), interval).getField("start").alias("bucket")
-    df = df.filter(F.col(value_col).isNotNull())
+    # NULL ts escapes the value policy below into a spurious NULL bucket
+    # whose open/close degrade to tie-only ordering (r08 review) — an
+    # unmeasured TIME is as unusable as an unmeasured value
+    df = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
     return df.groupBy(*group_cols, bucket).agg(
         F.min_by(F.col(value_col), key).alias("open"),
         F.max(value_col).alias("high"),

@@ -63,7 +63,16 @@ def _poll_until_offset(q, n_rows: int, timeout_sec: int, what: str) -> None:
                 if isinstance(end, str):
                     # offsets surface as a dict repr ({'pos': N}) or JSON
                     end = ast.literal_eval(end)
-                if end and int(end.get("pos", 0)) >= n_rows:
+                # offsets are source-shaped: the Python sources here emit
+                # {'pos': N}, but a file/Kafka source surfaces an int or a
+                # list — don't let a shape mismatch crash mid-poll and
+                # mask the stream's real state (r08 review)
+                pos = (
+                    end.get("pos", 0)
+                    if isinstance(end, dict)
+                    else end if isinstance(end, int) else 0
+                )
+                if int(pos) >= n_rows:
                     return
             time.sleep(0.2)
         raise TimeoutError(

@@ -300,3 +300,18 @@ def test_skip_contract_covers_truncated_and_degenerate_payloads(spark):
         decode_wav(zeroch)
     bad = spark.createDataFrame([Row(doc_id=95, payload=bytearray(zeroch))])
     assert decode_wav_features(bad).count() == 0  # skipped, not crashed
+
+
+def test_resize_payload_validates_factor(spark):
+    """r08 review: factor=0 was a slice-step crash inside every task;
+    factor<0 silently violated the size-reduction contract."""
+    from pyspark_weather_forecasting_gsod_spark.ext.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+
+    mm = attach_binary_payload(_docs(spark))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="factor"):
+            resize_payload(mm, factor=bad)
+    assert resize_payload(mm, factor=4).count() == 2

@@ -3,6 +3,7 @@
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pyspark_weather_forecasting_gsod_spark.operators.temporal import asof_join, range_join_within
 
@@ -244,3 +245,79 @@ def test_property_grouped_trend_ols_matches_numpy(spark):
         assert abs(out[0]["intercept"] - intercept) < 5e-5
 
     check()
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """r08 review: a right row with NULL right_ts sorted NULLS-FIRST and
+    its payload carried forward as a false match for left rows that
+    should match nothing."""
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 1)], "key string, lt long")
+    right = spark.createDataFrame(
+        [("k", None, "ghost"), ("k", 5, "real")], "key string, rt long, p string"
+    )
+    out = {
+        r["lt"]: r["p_asof"]
+        for r in asof_join(left, right, "key", "lt", "rt", ["p"]).collect()
+    }
+    # lt=1 precedes every real right row -> NULL, never 'ghost'
+    assert out == {1: None, 10: "real"}
+
+
+def test_gap_fill_spine_step_keeps_off_stride_observations(spark):
+    """r08 review: with step>1 the left join dropped observed rows whose
+    tick is off the min-anchored stride (including the group max) —
+    densification must never LOSE observations."""
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        gap_fill_spine,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 3, 2.0), ("g", 5, 3.0)], "g string, t long, v double"
+    )
+    got = {
+        r["t"]: r["v"] for r in gap_fill_spine(df, "g", "t", ["v"], step=2).collect()
+    }
+    # spine ticks 0/2/4 plus the observed off-stride 3 and 5
+    assert got == {0: 1.0, 2: None, 3: 2.0, 4: None, 5: 3.0}
+    # step=1 unchanged: observed ticks are all on the spine
+    got1 = {
+        r["t"]: r["v"] for r in gap_fill_spine(df, "g", "t", ["v"]).collect()
+    }
+    assert got1 == {0: 1.0, 1: None, 2: None, 3: 2.0, 4: None, 5: 3.0}
+
+
+def test_ohlc_bars_null_ts_rows_excluded(spark):
+    """r08 review: NULL-ts rows escaped the NULL policy into a spurious
+    NULL-bucket bar."""
+    import datetime as dt
+
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    df = spark.createDataFrame(
+        [(t0, 5.0, 1), (None, 99.0, 2)], "ts timestamp, v double, i int"
+    )
+    bars = ohlc_bars(df, "ts", "v", [], interval="1 hour", tie_col="i").collect()
+    assert len(bars) == 1 and bars[0]["n_points"] == 1 and bars[0]["high"] == 5.0
+
+
+def test_range_join_within_quotes_nonidentifier_columns(spark):
+    """r08 review: raw f-string interpolation into F.expr broke for any
+    column name that is not a plain identifier."""
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        range_join_within,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 1_000_000)], "key string, `left ts` long"
+    ).withColumn("left ts", F.timestamp_micros("left ts"))
+    right = spark.createDataFrame(
+        [("k", 1_500_000, "x")], "key string, `right-ts` long, p string"
+    ).withColumn("right-ts", F.timestamp_micros("right-ts"))
+    out = range_join_within(
+        left, right, "key", "left ts", "right-ts", tolerance_sec=1,
+        right_cols=["p"],
+    )
+    assert out.count() == 1
