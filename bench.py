@@ -185,8 +185,16 @@ def main() -> None:
     sl["sweeps"] += 1
     for name, wall in timings.items():
         q = sl["queries"].get(name)
-        if q is None:
-            sl["queries"][name] = {"min": wall, "n": 1}
+        # per-ENTRY shape guard (r09/ADVICE #3): a hand-edited value like
+        # {"min": "x"} or a non-dict crashed with TypeError/KeyError after
+        # the whole sweep ran — the exact failure the outer guard exists to
+        # prevent. Malformed entries reset to this sweep's wall.
+        if (
+            not isinstance(q, dict)
+            or not isinstance(q.get("min"), (int, float))
+            or not isinstance(q.get("n"), int)
+        ):
+            sl["queries"][name] = {"min": round(wall, 3), "n": 1}
         else:
             q["min"] = round(min(q["min"], wall), 3)
             q["n"] += 1
@@ -199,7 +207,18 @@ def main() -> None:
     # are part of the measurement — without them cross-round regression
     # comparisons silently compare different methodologies (the r05 warm-up
     # + min-estimator + 48g changes shifted numbers for non-code reasons).
+    # The LEDGER FLOOR is the headline (r08 VERDICT #6): this box's
+    # whole-sweep spread is 15-20%, so a single sweep's total is weather as
+    # much as code and has repeatedly manufactured phantom regressions. The
+    # cross-sweep per-query-min floor is the stated BASELINE.md estimator;
+    # the current single sweep stays in meta.single_sweep_total (and the
+    # full per-query map in `queries`) so a real slowdown still shows.
     meta = {
+        "headline": "rolling_min_total (cross-sweep per-query-min floor; "
+        "single sweep is weather — see single_sweep_total)",
+        "rolling_min_total": rolling_min_total,
+        "rolling_min_sweeps": sl["sweeps"],
+        "single_sweep_total": total,
         "estimator": "min_of_runs",
         "runs_warm": 2,
         "runs_cold": "1 (+1 retry when the single cold wall >= "
@@ -208,12 +227,10 @@ def main() -> None:
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "cpus": cpus,
         "first_run_total": round(sum(first_runs.values()), 3),
-        "rolling_min_total": rolling_min_total,
-        "rolling_min_sweeps": sl["sweeps"],
     }
     payload = {
-        "metric": "declared_queries_total_wall",
-        "value": total,
+        "metric": "rolling_min_total_wall",
+        "value": rolling_min_total,
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,

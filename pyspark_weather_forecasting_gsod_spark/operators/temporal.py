@@ -171,8 +171,25 @@ def gap_fill_spine(
     # whose tick is off the min-anchored stride (including the group max)
     # fell off the left join entirely — densification must never LOSE
     # observations. At step == 1 every observed tick is on the spine, so
-    # the output is identical to the old left join.
-    return spine.join(obs, on=[group_by, tick_col], how="full")
+    # the output is identical to the old left join. Null-SAFE keys
+    # (r09/ADVICE #2): groupBy treats NULL as a real group, so the spine
+    # carries a NULL-group row; a null-unsafe `on=` would never match it
+    # to its observations and both halves would survive the full join,
+    # breaking the one-row-per-(group, tick) contract. `<=>` still plans
+    # as a hash-join key, so the shuffle shape is unchanged.
+    obs = obs.select(
+        F.col(group_by).alias("__og"),
+        F.col(tick_col).alias("__ot"),
+        *[F.col(c) for c in value_cols],
+    )
+    cond = F.col(group_by).eqNullSafe(F.col("__og")) & (
+        F.col(tick_col) == F.col("__ot")
+    )
+    return spine.join(obs, cond, "full").select(
+        F.coalesce(F.col(group_by), F.col("__og")).alias(group_by),
+        F.coalesce(F.col(tick_col), F.col("__ot")).alias(tick_col),
+        *[F.col(c) for c in value_cols],
+    )
 
 
 def ohlc_bars(

@@ -319,7 +319,7 @@ def funnel_within(
     tie_col: str,
     type_col: str,
     steps: Sequence[str],
-    within_seconds: int,
+    within_seconds: float,
     bound: str = "step",
 ) -> DataFrame:
     """Time-bounded funnel — the MATCH_RECOGNIZE ``WITHIN`` analog

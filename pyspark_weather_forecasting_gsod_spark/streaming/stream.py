@@ -65,13 +65,20 @@ def _poll_until_offset(q, n_rows: int, timeout_sec: int, what: str) -> None:
                     end = ast.literal_eval(end)
                 # offsets are source-shaped: the Python sources here emit
                 # {'pos': N}, but a file/Kafka source surfaces an int or a
-                # list — don't let a shape mismatch crash mid-poll and
-                # mask the stream's real state (r08 review)
-                pos = (
-                    end.get("pos", 0)
-                    if isinstance(end, dict)
-                    else end if isinstance(end, int) else 0
-                )
+                # list (per-partition positions) — don't let a shape
+                # mismatch crash mid-poll and mask the stream's real state
+                # (r08 review). For lists, progress is the max numeric
+                # element: coercing to 0 would make the poll unsatisfiable
+                # even after the target offset was reached (r09/ADVICE #1).
+                if isinstance(end, dict):
+                    pos = end.get("pos", 0)
+                elif isinstance(end, list):
+                    nums = [e for e in end if isinstance(e, (int, float))]
+                    pos = max(nums) if nums else 0
+                elif isinstance(end, int):
+                    pos = end
+                else:
+                    pos = 0
                 if int(pos) >= n_rows:
                     return
             time.sleep(0.2)

@@ -288,6 +288,26 @@ def test_gap_fill_spine_step_keeps_off_stride_observations(spark):
     assert got1 == {0: 1.0, 1: None, 2: None, 3: 2.0, 4: None, 5: 3.0}
 
 
+def test_gap_fill_spine_null_group_merges_onto_spine(spark):
+    """r09/ADVICE #2: groupBy keeps NULL as a real group, so the spine has
+    a NULL-group row — a null-unsafe full join would emit BOTH the spine
+    row (v NULL) and the unmatched observed row, breaking the
+    one-row-per-(group, tick) contract. The null-safe join merges them."""
+    from pyspark_weather_forecasting_gsod_spark.operators.temporal import (
+        gap_fill_spine,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0, 1.0), (None, 2, 3.0), ("g", 0, 9.0)],
+        "g string, t long, v double",
+    )
+    rows = gap_fill_spine(df, "g", "t", ["v"]).collect()
+    got = {(r["g"], r["t"]): r["v"] for r in rows}
+    # exactly one row per (group, tick): NULL group densified 0..2
+    assert len(rows) == len(got) == 4
+    assert got == {(None, 0): 1.0, (None, 1): None, (None, 2): 3.0, ("g", 0): 9.0}
+
+
 def test_ohlc_bars_null_ts_rows_excluded(spark):
     """r08 review: NULL-ts rows escaped the NULL policy into a spurious
     NULL-bucket bar."""
