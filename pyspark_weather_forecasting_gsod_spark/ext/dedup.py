@@ -593,6 +593,7 @@ def ngram_best_match(
     bands: int = 16,
     seed: int = 42,
     force: str | None = None,
+    tier_jaccard: float = 0.5,
 ) -> DataFrame:
     """Per-document best match (1-NN by EXACT n-gram Jaccard; ties broken
     by smallest partner id): (doc_a, doc_b, common, jaccard), one row per
@@ -616,10 +617,31 @@ def ngram_best_match(
       regime best-match graphs care about. Raise ``bands`` for more recall
       at more candidate cost.
 
-    ``force='exact' | 'banded'`` pins the regime (tests; inputs the caller
-    already bounded). Docs whose best candidate ties on jaccard resolve to
-    the smallest partner id in BOTH regimes, so regime choice never breaks
-    determinism of the ties it does see.
+    ``force='exact' | 'banded' | 'tiered'`` pins the regime (tests; inputs
+    the caller already bounded). Docs whose best candidate ties on jaccard
+    resolve to the smallest partner id in ALL regimes, so regime choice
+    never breaks determinism of the ties it does see.
+
+    **'tiered' is exact-1-NN-by-construction at any scale** (r08 VERDICT
+    "What's wrong" #1 — the scale path for callers that need provable
+    exactness, e.g. oracle-checked deletion clustering, without the
+    unthresholded Σ|posting|² join):
+
+    * tier 1: ALL pairs with jaccard ≥ ``tier_jaccard`` via the lossless
+      AllPairs/PPJoin prefix filter (``ngram_jaccard_pairs_prefix`` —
+      provably identical to full enumeration at the threshold, and its
+      rarest-first prefixes never touch hot posting lists). A doc with ANY
+      tier-1 partner has its global best at j ≥ ``tier_jaccard``, every
+      partner tying that best is ≥ the threshold and therefore IN the
+      tier-1 set, so the tier-1 argmax (same tie-break) IS the true 1-NN.
+    * tier 2: docs with NO tier-1 partner re-run the inverted-index join
+      restricted to pairs touching them — Σ|posting∩tier2|·|posting|,
+      LINEAR in the unmatched population instead of quadratic in the
+      corpus. On the near-dup-dense corpora best-match graphs exist for
+      (every doc in a replica clump), tier 2 is only the shingle-starved
+      tail; on small corpora the router picks plain exact anyway.
+      Tier-2 scores are full exact enumeration for those docs, so their
+      argmax is the true 1-NN too.
 
     Cutover calibration: the sf1 rehearsal (BENCH_sf1.json, 10× replica
     near-dup clumps) measured banded 1.6× faster than exact already at
@@ -629,8 +651,10 @@ def ngram_best_match(
     regime to banded while keeping every oracle-gate scale (≤5k docs) on
     the provably-exact path.
     """
-    if force not in (None, "exact", "banded"):
-        raise ValueError("ngram_best_match: force must be None|'exact'|'banded'")
+    if force not in (None, "exact", "banded", "tiered"):
+        raise ValueError(
+            "ngram_best_match: force must be None|'exact'|'banded'|'tiered'"
+        )
     regime = force
     if regime is None:
         probed = df.select(id_col).limit(max_exact_docs + 1).count()
@@ -638,6 +662,66 @@ def ngram_best_match(
     if regime == "exact":
         pairs = ngram_jaccard_pairs(
             df, id_col, text_col, n, min_jaccard=0.0, max_docs=None
+        )
+    elif regime == "tiered":
+        # tier 1: lossless prefix-filtered pairs at the threshold.
+        # Checkpointed because BOTH the matched-id derivation and the final
+        # union re-reference it (and the prefix plan is itself multi-join).
+        t1 = ngram_jaccard_pairs_prefix(
+            df, id_col, text_col, n, min_jaccard=tier_jaccard
+        ).localCheckpoint(eager=True)
+        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
+        matched = (
+            t1.select(F.col("doc_a").alias(id_col))
+            .unionAll(t1.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        # tier 2: shingle rows of the UNMATCHED docs only, joined against
+        # the full inverted index — every pair touching an unmatched doc
+        # is scored exactly, nothing else is enumerated
+        sh2 = sh.join(matched, on=id_col, how="left_anti")
+        pa = sh2.select(F.col(id_col).alias("doc_a"), "shingle")
+        pb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        common2 = (
+            pa.join(pb, on="shingle")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        sizes = arrs.select(
+            F.col(id_col), F.size("shingles").cast("long").alias("sz")
+        )
+        za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        pairs2 = (
+            common2.join(F.broadcast(za), on="doc_a")
+            .join(F.broadcast(zb), on="doc_b")
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            )
+            .select("doc_a", "doc_b", "common", "jaccard")
+        )
+        # pairs2 rows are already directional (doc_a = the unmatched doc);
+        # the shared symmetrize/window tail below re-swaps them, which only
+        # adds rows that LOSE the per-doc window (a matched doc_b's tier-1
+        # best is ≥ tier_jaccard, strictly above any pair with an unmatched
+        # partner) or duplicate an existing tier-2 row (both ends
+        # unmatched: identical values, row_number keeps one) — output
+        # provably unchanged either way.
+        # checkpoint: the shared symmetrize tail below references `pairs`
+        # twice, and replaying the tier-2 inverted-index join per
+        # reference doubles the regime's dominant cost. The materialized
+        # frame is output-proportional by construction (thresholded pairs
+        # + pairs touching unmatched docs).
+        pairs = (
+            t1.select("doc_a", "doc_b", "common", "jaccard")
+            .unionByName(pairs2)
+            .localCheckpoint(eager=True)
         )
     else:
         # see the note in ngram_jaccard_pairs for checkpoint-over-persist

@@ -77,6 +77,36 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions, seed=seed)
 
 
+def collect_strata(
+    df: DataFrame, stratum_col: str, max_strata: int = 10_000
+) -> list:
+    """Bounded driver-collect of the distinct stratum keys — the safe
+    constructor for ``sampleBy``-style per-stratum dicts (r08 VERDICT #3
+    minor: the raw ``.distinct().collect()`` had no cardinality contract).
+
+    Per-stratum APIs are |strata|-bounded BY DESIGN: the fractions dict,
+    the sampling plan, and the broadcast all live on the driver, so a
+    stratum column must be low-cardinality (language, domain, split —
+    thousands, not millions). The limit-probe makes that contract explicit:
+    exceeding ``max_strata`` raises with the scale-path pointer instead of
+    silently materializing an unbounded distinct on the driver. Same
+    guard pattern as the dedup routers' limit probes — O(max_strata) work,
+    never a full distinct when over."""
+    rows = (
+        df.select(stratum_col).distinct().limit(max_strata + 1).collect()
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"collect_strata: over {max_strata} distinct values in "
+            f"'{stratum_col}' — per-stratum sampling holds |strata| state "
+            "on the driver and is not meant for high-cardinality keys. "
+            "Use hash_bucket/hash_split (pure-function assignment) or "
+            "cap_per_group (per-group top-n) instead, or raise max_strata "
+            "deliberately."
+        )
+    return [r[0] for r in rows]
+
+
 def cap_per_group(
     df: DataFrame,
     group_by: str | list[str],

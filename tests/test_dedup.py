@@ -78,6 +78,26 @@ def test_connected_components_min_label(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
 
 
+def test_connected_components_high_diameter_chain(spark):
+    """r08 VERDICT #4: the sf1 rehearsal's replica clumps are cliques
+    (cc_rounds=2), so pointer-jumping had never been exercised past round
+    3. A diameter-1000 path graph must converge in O(log diameter) rounds
+    — plain propagation would need ~1000 — with every label the true
+    component min and the per-round localCheckpoint keeping lineage (and
+    the driver) bounded."""
+    import pyspark_weather_forecasting_gsod_spark.ext.dedup as D
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], ["doc_a", "doc_b"]
+    )
+    got = D.connected_components(edges, max_iter=30).collect()
+    assert len(got) == 1001
+    assert all(r.comp == 0 for r in got)
+    # 2 deferred plain rounds + ~log2(1000) compression rounds + slack;
+    # a regression to linear propagation would hit max_iter=30 and raise
+    assert 3 <= D.LAST_CC_ROUNDS <= 15, D.LAST_CC_ROUNDS
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     import pytest
 
@@ -794,6 +814,46 @@ def test_ngram_best_match_router_and_banded_parity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="force"):
         ngram_best_match(docs, "doc_id", force="bogus")
+
+
+def test_ngram_best_match_tiered_exact_parity(spark, sf_dir):
+    """r08 VERDICT #1: the 'tiered' regime (lossless prefix pairs at
+    j ≥ 0.5 + unmatched-only inverted-index remainder) must equal the
+    exact regime doc-for-doc — partner, tie-break, and score — on a
+    corpus that exercises BOTH tiers (planted near-dups answer in tier 1;
+    every unique doc's best is far below 0.5 and falls to tier 2)."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import ngram_best_match
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
+    exact = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9), r.common)
+        for r in ngram_best_match(
+            docs, "doc_id", "text", n=2, force="exact"
+        ).collect()
+    }
+    tiered = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9), r.common)
+        for r in ngram_best_match(
+            docs, "doc_id", "text", n=2, force="tiered"
+        ).collect()
+    }
+    assert exact and tiered == exact
+    # both tiers genuinely exercised: some best matches at ≥0.5 (tier 1)
+    # and some below (tier 2 exhaustive remainder)
+    js = [v[1] for v in exact.values()]
+    assert any(j >= 0.5 for j in js) and any(j < 0.5 for j in js)
+    # micro fixture: the 1-vs-2 exact-dup tie and the doc-3 tie between
+    # partners 1 and 2 must resolve identically (smallest id) in tiered
+    micro = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9))
+        for r in ngram_best_match(
+            _docs(spark), "doc_id", "text", n=3, force="tiered"
+        ).collect()
+    }
+    assert micro[1] == (2, 1.0) and micro[2] == (1, 1.0)
+    assert micro[3][0] == 1
+    assert 4 not in micro and 5 not in micro
 
 
 def test_dense_admission_probe_matches_full_decision(spark):

@@ -80,6 +80,78 @@ def test_optional_deps_honestly_gated(spark):
         shap_values("/nonexistent", None)
 
 
+def test_xgb_gate_body_executes_with_injected_module(spark, monkeypatch):
+    """r08 VERDICT #7: the import gates are pytest-verified, but the code
+    BEHIND them (SparkXGBRegressor construction + fit call) had zero
+    execution coverage because the sandbox lacks xgboost. Injecting a
+    minimal fake module executes the gated branch: the estimator must be
+    built with the passed label_col/params and its fit() must receive the
+    training frame."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeSparkXGBRegressor:
+        def __init__(self, label_col=None, **params):
+            calls["init"] = {"label_col": label_col, **params}
+
+        def fit(self, train):
+            calls["fit_rows"] = train.count()
+            return "fitted-xgb"
+
+    fake_spark = types.ModuleType("xgboost.spark")
+    fake_spark.SparkXGBRegressor = FakeSparkXGBRegressor
+    fake_xgb = types.ModuleType("xgboost")
+    fake_xgb.spark = fake_spark
+    monkeypatch.setitem(sys.modules, "xgboost", fake_xgb)
+    monkeypatch.setitem(sys.modules, "xgboost.spark", fake_spark)
+
+    feat = assemble_features(_frame(spark), categorical=["cat"], numerical=["x", "y"])
+    model = train_xgb_regressor(feat, "label", n_estimators=7)
+    assert model == "fitted-xgb"
+    assert calls["init"] == {"label_col": "label", "n_estimators": 7}
+    assert calls["fit_rows"] == 200
+
+
+def test_shap_gate_body_executes_with_injected_modules(monkeypatch):
+    """r08 VERDICT #7, SHAP leg: booster reload + TreeExplainer +
+    shap_values call behind the import gate, executed via fake modules —
+    the model path must reach Booster.load_model and the explainer must
+    wrap that booster and receive the feature frame."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeBooster:
+        def load_model(self, path):
+            calls["loaded"] = path
+
+    class FakeTreeExplainer:
+        def __init__(self, booster):
+            calls["explained"] = isinstance(booster, FakeBooster)
+
+        def shap_values(self, pdf):
+            calls["pdf"] = pdf
+            return [[0.1, -0.2]]
+
+    fake_xgb = types.ModuleType("xgboost")
+    fake_xgb.Booster = FakeBooster
+    fake_shap = types.ModuleType("shap")
+    fake_shap.TreeExplainer = FakeTreeExplainer
+    monkeypatch.setitem(sys.modules, "xgboost", fake_xgb)
+    monkeypatch.setitem(sys.modules, "shap", fake_shap)
+
+    out = shap_values("/models/booster.json", "sentinel-pdf")
+    assert out == [[0.1, -0.2]]
+    assert calls == {
+        "loaded": "/models/booster.json",
+        "explained": True,
+        "pdf": "sentinel-pdf",
+    }
+
+
 def test_gsod_pipeline_end_to_end(spark):
     """Reference acceptance criterion: all-zero post-imputation census
     (ipynb:1128-1152) + sane regression metrics on the weather fixture."""

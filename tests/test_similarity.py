@@ -220,6 +220,41 @@ def test_simhash_neardup_recall_gate(spark):
     assert rows[0].neardup_recall_vs_jaccard >= 0.85
 
 
+def test_recall_truth_routes_to_sampled_audit_above_cutover(spark, monkeypatch):
+    """r08 VERDICT #2: above _AUDIT_CUTOVER_DOCS the exact-truth companion
+    in minhash_neardup / simhash_fingerprints / embedding_neardup must
+    switch to sampled_pair_audit (never the full quadratic denominator).
+    Force the flip at gate scale by shrinking the cutover and raising the
+    sample to keep the estimate meaningful; schema must not change and the
+    FP invariant must hold in the sampled regime too."""
+    import importlib
+
+    # import_module, not `import ... as`: the plans package __init__
+    # rebinds the `queries` attribute to the queries() FUNCTION, so the
+    # attribute path resolves to a function while sys.modules holds the
+    # actual module
+    Q = importlib.import_module(
+        "pyspark_weather_forecasting_gsod_spark.plans.queries"
+    )
+    monkeypatch.setattr(Q, "_AUDIT_CUTOVER_DOCS", 10)
+    monkeypatch.setattr(Q, "_AUDIT_SAMPLE_PCT", 50)
+    mh = _declared("minhash_neardup")(spark, SF_GATE)
+    rows = mh.collect()
+    assert rows and set(mh.columns) >= {"recall_vs_exact", "n_false_positive"}
+    assert rows[0].n_false_positive == 0
+    # planted near-dups are j≈1.0; the 50% doc-sample truth still sees them
+    assert rows[0].recall_vs_exact is None or rows[0].recall_vs_exact >= 0.8
+    en = _declared("embedding_neardup")(spark, SF_GATE)
+    erows = en.collect()
+    assert erows and erows[0].n_false_positive == 0
+    sh = _declared("simhash_fingerprints")(spark, SF_GATE)
+    srows = sh.collect()
+    assert srows and set(sh.columns) >= {
+        "neardup_recall_vs_jaccard",
+        "n_hamming_only_pairs",
+    }
+
+
 def test_semantic_dedup_survivor_properties(spark, sf_dir):
     """Every dropped row shares a component with exactly one kept
     representative (the min id); survivors of different components in the

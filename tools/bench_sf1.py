@@ -370,6 +370,51 @@ def main() -> None:
                 .save(),
             )
 
+    # --- r9: round-7/8 analytics additions at 10x (r08 VERDICT #5) -------
+    # the last query families with no scale evidence. Expected regimes:
+    # funnel_since_first is one user_id exchange + k running-max window
+    # scans (data-volume-bound, ~10x); user_value_trend is ONE map-side-
+    # combinable hash agg of integer sufficient statistics (the flattest
+    # possible scaling — sums combine before the exchange, the shuffle
+    # carries |users| rows); event_transitions is a lag window + pair agg
+    # (volume-bound); pagerank_orders' per-round traffic is rank rows
+    # (|nodes|), so 10x edges should cost ~the edge-list build, not 10x
+    # rounds.
+    _analytics_names = [
+        "funnel_since_first_users",
+        "user_value_trend",
+        "event_transitions",
+    ]
+    if os.path.isdir(os.path.join(SF1, "events.parquet")) and (
+        not only or set(_analytics_names) & set(only)
+    ):
+        for name in _analytics_names:
+            if only and name not in only:
+                continue
+            routes[name] = "10x events, 10x user keys (remapped replicas)"
+            timed(
+                name,
+                lambda n=name: qs[n](spark, SF1)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+    if os.path.isdir(os.path.join(SF1, "orders.parquet")) and (
+        not only or "pagerank_orders" in only
+    ):
+        routes["pagerank_orders"] = (
+            "10x orders/lineitem edges (replica-remapped keys -> 10x "
+            "nodes), 3 fixed rounds; per-round traffic is |nodes| rank "
+            "rows"
+        )
+        timed(
+            "pagerank_orders",
+            lambda: qs["pagerank_orders"](spark, SF1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
     # --- r7: edit-distance join, prefix (default) vs count regime -------
     # slice = replicas 1-4 of every clump (4-member clumps whose rtag
     # digits differ pairwise by exactly 1 edit): real planted structure,
