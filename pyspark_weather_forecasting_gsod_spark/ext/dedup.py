@@ -627,13 +627,18 @@ def ngram_best_match(
     exactness, e.g. oracle-checked deletion clustering, without the
     unthresholded Σ|posting|² join):
 
-    * tier 1: ALL pairs with jaccard ≥ ``tier_jaccard`` via the lossless
-      AllPairs/PPJoin prefix filter (``ngram_jaccard_pairs_prefix`` —
-      provably identical to full enumeration at the threshold, and its
-      rarest-first prefixes never touch hot posting lists). A doc with ANY
-      tier-1 partner has its global best at j ≥ ``tier_jaccard``, every
-      partner tying that best is ≥ the threshold and therefore IN the
-      tier-1 set, so the tier-1 argmax (same tie-break) IS the true 1-NN.
+    * tier 1: ALL pairs with jaccard ≥ ``tier_jaccard`` via the exact
+      threshold auto-router (``ngram_jaccard_pairs_auto`` — dense
+      block-BLAS on tiny-universe corpora, lossless AllPairs prefix
+      filtering on Zipf ones; all strategies provably identical to full
+      enumeration at the threshold). Routing matters here: raw prefix
+      filtering DEGENERATES on a small uniform shingle universe (every
+      "rare" gram still has a hot posting — measured: the sf1 clumped
+      corpus ran >10 min where the routed dense pass takes ~100 s). A doc
+      with ANY tier-1 partner has its global best at j ≥ ``tier_jaccard``,
+      every partner tying that best is ≥ the threshold and therefore IN
+      the tier-1 set, so the tier-1 argmax (same tie-break) IS the true
+      1-NN.
     * tier 2: docs with NO tier-1 partner re-run the inverted-index join
       restricted to pairs touching them — Σ|posting∩tier2|·|posting|,
       LINEAR in the unmatched population instead of quadratic in the
@@ -664,10 +669,10 @@ def ngram_best_match(
             df, id_col, text_col, n, min_jaccard=0.0, max_docs=None
         )
     elif regime == "tiered":
-        # tier 1: lossless prefix-filtered pairs at the threshold.
+        # tier 1: exact thresholded pairs via the dense/prefix auto-router.
         # Checkpointed because BOTH the matched-id derivation and the final
-        # union re-reference it (and the prefix plan is itself multi-join).
-        t1 = ngram_jaccard_pairs_prefix(
+        # union re-reference it (and either regime's plan is multi-join).
+        t1 = ngram_jaccard_pairs_auto(
             df, id_col, text_col, n, min_jaccard=tier_jaccard
         ).localCheckpoint(eager=True)
         arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
