@@ -201,10 +201,24 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MLlib random-projection LSH
     (no cross join): normalized vectors, Euclidean threshold
-    sqrt(2 - 2*min_cosine) ⇔ cosine ≥ min_cosine."""
+    sqrt(2 - 2*min_cosine) ⇔ cosine ≥ min_cosine.
+
+    Bucket calibration (r09, measured): a unit vector's projection onto
+    BRP's random unit direction has std ≈ 1/√d (0.125 at d=64), so the
+    old ``bucketLength=0.5`` (≈4σ) put essentially the WHOLE corpus in
+    one bucket per table — the join silently degenerated to an in-bucket
+    cross join (recall 1.0 "for free" at gate scale, 1711 s at the sf1
+    rehearsal's 20k clumped vectors). 0.25/3 tables keeps buckets
+    cluster-sized — measured at the j≥0.35 gate threshold: recall 0.934
+    on the full exact truth, sf1 wall 56 s (30×); tighter thresholds
+    (the 0.95 default: distance 0.32, σ_proj 0.04) collide with p≈1 per
+    table, so the narrower bucket costs them nothing. (0.125/4 measured
+    0.823 — below the 0.85 pytest gate; 0.18/4 = 0.919 at 83 s.)"""
     import math
 
     from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -216,7 +230,11 @@ def embedding_neardup_pairs(
     )
     feat = df.select(F.col(id_col), array_to_vector(unit).alias("features"))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=2, seed=42
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
     )
     model = lsh.fit(feat)
     thresh = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))

@@ -271,6 +271,9 @@ def main() -> None:
     for name in [
         "minhash_neardup",
         "simhash_fingerprints",
+        # r9: the trio's last unmeasured member — BRP-LSH over 20k vectors
+        # with the sampled-audit truth (r08 VERDICT #2 routing)
+        "embedding_neardup",
         "ann_lsh_topk",
         "ivf_ann_topk",
         "embedding_neardup_blocked",
@@ -330,6 +333,21 @@ def main() -> None:
         "ngram_best_match_forced_banded",
         lambda: ngram_best_match(
             half, "doc_id", "text", n=2, force="banded"
+        ).count(),
+    )
+    # r9: the tiered exact regime on the identical slice — exact 1-NN by
+    # construction (unlike banded, which is recall-lossy), so a wall at or
+    # below the banded row makes tiered strictly dominant on this corpus
+    if not only or "ngram_best_match_tiered" in only:
+        routes["ngram_best_match_tiered"] = (
+            f"n_docs={n_half} exact-by-construction (auto-routed tier-1 "
+            "pairs + unmatched-only remainder); compare the banded row — "
+            "lossy — and the r08 348.6s full-exact deletion pin"
+        )
+    timed(
+        "ngram_best_match_tiered",
+        lambda: ngram_best_match(
+            half, "doc_id", "text", n=2, force="tiered"
         ).count(),
     )
 
