@@ -257,7 +257,15 @@ def brp_lsh_ann(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH approxSimilarityJoin
-    between the query set and corpus (normalized → cosine ordering)."""
+    between the query set and corpus (normalized → cosine ordering).
+
+    Bucket geometry follows the ``embedding_neardup_pairs`` r09
+    calibration (projection std ≈ 1/√d for unit vectors): 0.25-wide
+    buckets with 6 OR-tables measure recall 0.980 avg / 0.800 min at the
+    sf0.01 gate — identical to the old 0.5/4 (which put most of the
+    corpus in one bucket per table, hiding the join's selectivity) —
+    while keeping per-table buckets cluster-sized so the candidate join
+    stays output-proportional on dense corpora."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -267,7 +275,7 @@ def brp_lsh_ann(
     feat_c = corpus.select(F.col(id_col).alias("nid"), array_to_vector(unit).alias("features"))
     feat_q = queries.select(F.col(id_col).alias("qid"), array_to_vector(unit).alias("features"))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=0.25, numHashTables=6, seed=42
     )
     model = lsh.fit(feat_c)
     joined = model.approxSimilarityJoin(feat_q, feat_c, 2.0, distCol="dist")
