@@ -1719,19 +1719,23 @@ def neardup_clusters_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the post-deletion edge set, so a hash match proves
     deletion == full recompute, splits and relabeled representatives
     included. Edge construction goes through ``ngram_best_match`` with
-    ``force='tiered'`` PINNED (r08 VERDICT "What's wrong" #1): the oracle
-    is the exact all-pairs 1-NN recursive CTE, so the regime must be
-    provably exact at every scale — the router's LSH-banded regime above
-    ``max_exact_docs`` is recall-lossy by design and would hash-mismatch
-    without any bug (the r07-advice finding that first pinned 'exact'
-    here). 'tiered' keeps that exactness proof (lossless prefix-filtered
-    pairs at j ≥ 0.5 answer every doc whose best IS ≥ 0.5; the
+    the regime ROUTED between 'exact' and 'tiered' on a 5k-doc probe
+    (r08 VERDICT "What's wrong" #1): the oracle is the exact all-pairs
+    1-NN recursive CTE, so only provably-exact regimes are eligible —
+    the default router's LSH-banded regime above ``max_exact_docs`` is
+    recall-lossy by design and would hash-mismatch without any bug (the
+    r07-advice finding that first pinned 'exact' here). Both eligible
+    regimes return the true 1-NN, so the flip is hash-safe and only
+    picks the cheaper proof: plain inverted-index exact below the probe
+    (a mostly-unique corpus makes tiered's tier 2 ≈ the whole corpus,
+    measured 81 vs 14 s at sf0.1), 'tiered' above it (auto-routed
+    thresholded pairs answer every doc with a near-dup-grade best; the
     shingle-starved remainder re-runs the inverted-index join restricted
-    to pairs touching itself) while dropping the pin's Σ|posting|²
+    to pairs touching itself), dropping the old pin's Σ|posting|²
     quadratic term — 348.6 s at the sf1 rehearsal, the suite's slowest
-    query, down to the same order as the incremental variant. Library
-    callers keep the router (default ``force=None``); this declared query
-    exists to be hash-provable at every scale it runs."""
+    query, down to 90.1 s (49.7 s isolated). Library callers keep the
+    default router; this declared query exists to be hash-provable at
+    every scale it runs."""
     from ..ext.dedup import (
         connected_components,
         ngram_best_match,
@@ -1983,7 +1987,11 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-introduces the quadratic term the LSH path exists to avoid
     (r08 VERDICT #2; previously the exact truth was 80 s of the sf1
     wall). Gate SFs stay on the full exact denominator."""
-    from ..ext.dedup import minhash_lsh_pairs, ngram_jaccard_pairs_dense
+    from ..ext.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_dense,
+    )
     from ..ext.similarity import pair_recall_summary, sampled_pair_audit
 
     docs = _t(spark, sf_dir, "documents")
@@ -1996,11 +2004,15 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=2, num_hashes=32, bands=8, min_jaccard=0.5
     ).localCheckpoint(eager=True)
     if _route_recall_truth(docs, "doc_id"):
+        # auto, not pinned dense (r09 self-review): a 10% sample of a
+        # real Zipf corpus exceeds the dense vocab cap, where pinned
+        # dense RAISES — auto routes prefix there, dense here, exact
+        # either way
         summary = sampled_pair_audit(
             docs.select("doc_id", "text"),
             "doc_id",
             approx,
-            lambda sd: ngram_jaccard_pairs_dense(
+            lambda sd: ngram_jaccard_pairs_auto(
                 sd, "doc_id", "text", n=2, min_jaccard=0.5
             ),
             sample_pct=_AUDIT_SAMPLE_PCT,
@@ -2033,6 +2045,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion was 105 s of the sf1 wall); gate SFs keep the full exact
     denominator."""
     from ..ext.dedup import (
+        ngram_jaccard_pairs_auto,
         ngram_jaccard_pairs_dense,
         simhash64,
         simhash_neardup_pairs,
@@ -2046,11 +2059,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     if _route_recall_truth(docs, "doc_id"):
+        # auto, not pinned dense — see minhash_neardup (r09 self-review)
         summary = sampled_pair_audit(
             docs,
             "doc_id",
             detected,
-            lambda sd: ngram_jaccard_pairs_dense(
+            lambda sd: ngram_jaccard_pairs_auto(
                 sd, "doc_id", "text", n=2, min_jaccard=0.7
             ),
             sample_pct=_AUDIT_SAMPLE_PCT,
@@ -2343,6 +2357,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact denominator."""
     from ..ext.similarity import (
         cosine_allpairs,
+        cosine_allpairs_blocked,
         embedding_neardup_pairs,
         pair_recall_summary,
         sampled_pair_audit,
@@ -2352,11 +2367,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pair set is tiny; materialize so the LSH join runs once
     approx = embedding_neardup_pairs(emb, min_cosine=0.35).localCheckpoint(eager=True)
     if _route_recall_truth(emb, "vec_id"):
+        # blocked, not broadcast (r09 self-review): a 10% sample of a
+        # large corpus can exceed cosine_allpairs' driver-broadcast row
+        # cap, where it RAISES — the block-cogroup variant is the same
+        # exact computation with no driver collect
         summary = sampled_pair_audit(
             emb,
             "vec_id",
             approx,
-            lambda se: cosine_allpairs(se, 0.35),
+            lambda se: cosine_allpairs_blocked(se, 0.35),
             sample_pct=_AUDIT_SAMPLE_PCT,
             id_a="id_a",
             id_b="id_b",
