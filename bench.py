@@ -97,6 +97,26 @@ def main() -> None:
 
     code_warmups = {"gsod_pipeline_e2e": _warm_gsod}
 
+    # JVM-level warm-up (r09 VERDICT #8): the box's FIRST query in a fresh
+    # JVM pays a 107-247 s spike (vs 15-30 s warm; BENCH_sf1 routes) —
+    # classloading, Arrow/parquet init, codegen infrastructure, executor
+    # thread spin-up. One UNMEASURED throwaway pass through a real parquet
+    # scan + shuffle + noop write before the first measured query strips
+    # that position-dependent tax from whichever query happens to run
+    # first. Deliberately tiny and fixed so it adds ~seconds, not a sweep.
+    try:
+        from pyspark.sql import functions as _F
+
+        _warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        (
+            _warm.groupBy("n_regionkey")
+            .agg(_F.count(_F.lit(1)).alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # warm-up is best-effort; never fail the sweep over it
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     for name, fn in qs.items():
@@ -192,7 +212,9 @@ def main() -> None:
         if (
             not isinstance(q, dict)
             or not isinstance(q.get("min"), (int, float))
+            or isinstance(q.get("min"), bool)  # bool passes the int check
             or not isinstance(q.get("n"), int)
+            or isinstance(q.get("n"), bool)  # (r09 ADVICE #3)
         ):
             sl["queries"][name] = {"min": round(wall, 3), "n": 1}
         else:
@@ -227,11 +249,20 @@ def main() -> None:
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "cpus": cpus,
         "first_run_total": round(sum(first_runs.values()), 3),
+        "jvm_warmup": "one unmeasured nation-parquet agg + noop write "
+        "before the first measured query (strips the fresh-JVM "
+        "first-query spike; r09 VERDICT #8)",
     }
     payload = {
         "metric": "rolling_min_total_wall",
         "value": rolling_min_total,
         "unit": "sec",
+        # top-level sibling of `value` (r09 ADVICE #1): `value` is the
+        # cross-sweep rolling-min floor and is monotonically non-increasing,
+        # so regression tooling keying on `value` alone can never see a
+        # slowdown — this sweep's actual total is promoted to the top level
+        # for exactly that comparison.
+        "single_sweep_total": total,
         "n_queries": len(timings),
         "queries": timings,
         "queries_first_run": first_runs,

@@ -249,6 +249,66 @@ def embedding_neardup_pairs(
     )
 
 
+def brp_bucket_occupancy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-hash-table bucket-occupancy diagnostics for a BRP-LSH geometry:
+    one row per table with ``n_buckets`` (distinct hash values),
+    ``max_frac`` (largest bucket's share of the corpus) and
+    ``collision_frac`` (Σ(cᵢ/N)² — the fraction of all vector pairs the
+    in-bucket candidate join would enumerate in that table).
+
+    Exists because the r09 degeneracy was SILENT: ``bucketLength=0.5``
+    (~4σ of a unit vector's 1/√d projection spread) collapsed every table
+    to essentially one bucket, which made ``approxSimilarityJoin`` an
+    in-bucket cross join — recall looked perfect at gate scale precisely
+    because the join was exhaustive, and nothing structural failed until
+    the sf1 rehearsal measured 1711 s. This surface makes the degeneracy
+    class a loud, assertable property (see
+    ``test_brp_bucket_occupancy_guards_geometry``): a healthy geometry
+    keeps ``n_buckets`` well above 1 and ``collision_frac`` ≪ 1 per
+    table. Cost: one LSH fit + transform + two bounded aggs — run it at a
+    gate SF whenever the geometry, seed, or embedding dimension changes."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    unit = F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({NORM.format(a=vec_col)}))"
+    )
+    feat = df.select(F.col(id_col), array_to_vector(unit).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    buckets = (
+        lsh.fit(feat)
+        .transform(feat)
+        .select(F.posexplode("hashes").alias("tbl", "h"))
+        .select("tbl", vector_to_array(F.col("h"))[0].alias("bucket"))
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        buckets.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (F.max("c") / F.sum("c")).alias("max_frac"),
+            (F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias(
+                "collision_frac"
+            ),
+        )
+        .orderBy("tbl")
+    )
+
+
 def brp_lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

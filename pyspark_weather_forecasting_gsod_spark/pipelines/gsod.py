@@ -52,6 +52,39 @@ INDICATORS = ["fog", "rain_drizzle", "snow_ice_pellets", "hail", "thunder",
               "tornado_funnel_cloud"]
 
 
+def gsod_csv_schema():
+    """The explicit StructType for a GSOD-shaped CSV — the production
+    companion to the reference's ``inferSchema=True`` load (S1,
+    ipynb:187): at 100 TB an inference pass is a full extra scan and its
+    types drift with the sample, so the schema is pinned here once.
+    Column order matches ``weather_fixture`` (and the GSOD column family
+    the reference selects); pair with ``sources.io.read_csv``."""
+    import pyspark.sql.types as T
+
+    measures = list(GSOD_SENTINELS)  # temp..prcp, insertion-ordered
+    fields = (
+        [
+            T.StructField("stn", T.StringType()),  # zero-padded — NOT an int
+            T.StructField("wban", T.IntegerType()),
+            T.StructField("date", T.DateType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("mo", T.IntegerType()),
+            T.StructField("da", T.IntegerType()),
+        ]
+        + [T.StructField(c, T.DoubleType()) for c in measures]
+        + [
+            T.StructField(f"count_{c}", T.IntegerType())
+            for c in ("temp", "dewp", "slp", "stp", "visib", "wdsp")
+        ]
+        + [
+            T.StructField(f"flag_{c}", T.StringType())
+            for c in ("max", "min", "prcp")
+        ]
+        + [T.StructField(c, T.IntegerType()) for c in INDICATORS]
+    )
+    return T.StructType(fields)
+
+
 def _u(seed: int, *cols: Column | str) -> Column:
     """Deterministic uniform [0,1): hash-based, partitioning-independent
     (unlike F.rand, whose stream depends on partition layout)."""

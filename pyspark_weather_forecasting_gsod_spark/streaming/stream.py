@@ -75,7 +75,13 @@ def _poll_until_offset(q, n_rows: int, timeout_sec: int, what: str) -> None:
                 elif isinstance(end, list):
                     nums = [e for e in end if isinstance(e, (int, float))]
                     pos = max(nums) if nums else 0
-                elif isinstance(end, int):
+                elif isinstance(end, (int, float)) and not isinstance(
+                    end, bool
+                ):
+                    # int OR float: a JSON-parsed offset may surface as a
+                    # float, and coercing it to 0 re-creates the exact
+                    # unsatisfiable-poll failure the list branch fixed
+                    # (r09 ADVICE #2)
                     pos = end
                 else:
                     pos = 0

@@ -165,6 +165,37 @@ def test_gsod_pipeline_end_to_end(spark):
     assert out["regression"]["rmse"] < 20.0
 
 
+def test_gsod_pipeline_from_csv_end_to_end(spark, tmp_path):
+    """The reference's literal entry leg (S1, ipynb:187): CSV → explicit
+    StructType → sentinel normalization → full pipeline (r09 VERDICT #7).
+    The parquet-fixture e2e test covers the pipeline math; this one covers
+    the CSV source leg — typed header read through ``read_csv`` (no
+    inference scan), then the same zero-null-census acceptance criterion
+    and metric band."""
+    from pyspark_weather_forecasting_gsod_spark.pipelines.gsod import (
+        gsod_csv_schema,
+        run_gsod_pipeline,
+        weather_fixture,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import read_csv
+
+    wx = weather_fixture(spark, n_stations=20, n_days=90)
+    path = str(tmp_path / "gsod_csv")
+    wx.write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, gsod_csv_schema())
+    # the pinned schema really types every fixture column (no silent
+    # string fallbacks), and the roundtrip loses no rows
+    assert [f.name for f in back.schema.fields] == wx.columns
+    assert {f.dataType.simpleString() for f in back.schema.fields} == {
+        "string", "int", "date", "double",
+    }
+    assert back.count() == wx.count()
+    out = run_gsod_pipeline(back, fast=True, with_classifier=False)
+    assert all(v == 0 for k, v in out["census"].items() if k.startswith("null_"))
+    assert out["regression"]["r2"] > 0.5
+    assert out["regression"]["rmse"] < 20.0
+
+
 def test_gsod_pipeline_metric_parity_band(spark):
     """BASELINE parity envelope on the full 347k-row fixture (the declared
     ``gsod_pipeline_e2e`` config): the reference publishes LR RMSE 6.2103 /

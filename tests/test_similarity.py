@@ -220,6 +220,42 @@ def test_simhash_neardup_recall_gate(spark):
     assert rows[0].neardup_recall_vs_jaccard >= 0.85
 
 
+def test_brp_bucket_occupancy_guards_geometry(spark):
+    """Structural guard for the r09 BRP degeneracy class (VERDICT r09 #3):
+    the bucketLength=0.5 bug was SILENT — collapsing each hash table to
+    ~one bucket made the candidate join exhaustive, so recall gates
+    passed while the join went quadratic. Assert the production geometry
+    (0.25, the default of embedding_neardup_pairs; 6 tables covers the
+    ANN path's table count too) keeps every table meaningfully
+    partitioned at gate scale, and prove the assert DISCRIMINATES by
+    checking the old broken geometry fails it."""
+    from pyspark_weather_forecasting_gsod_spark.ext.similarity import (
+        brp_bucket_occupancy,
+    )
+
+    emb = spark.read.parquet(f"{SF_GATE}/embeddings.parquet")
+    good = brp_bucket_occupancy(
+        emb, bucket_length=0.25, num_hash_tables=6
+    ).collect()
+    assert len(good) == 6
+    for r in good:
+        # healthy geometry: several buckets per table, no bucket owns the
+        # corpus, in-bucket pair work far from quadratic
+        assert r.n_buckets >= 3, f"table {r.tbl} degenerate: {r.n_buckets} buckets"
+        assert r.max_frac <= 0.75, f"table {r.tbl} max bucket {r.max_frac:.2f}"
+        assert r.collision_frac <= 0.6, (
+            f"table {r.tbl} would enumerate {r.collision_frac:.0%} of pairs"
+        )
+    # the r09 bug's geometry must FAIL the same assertions — otherwise the
+    # guard can't catch a future re-degeneration
+    bad = brp_bucket_occupancy(
+        emb, bucket_length=0.5, num_hash_tables=3
+    ).collect()
+    assert any(r.n_buckets < 3 for r in bad), (
+        "guard no longer discriminates: bucketLength=0.5 looks healthy"
+    )
+
+
 def test_recall_truth_routes_to_sampled_audit_above_cutover(spark, monkeypatch):
     """r08 VERDICT #2: above _AUDIT_CUTOVER_DOCS the exact-truth companion
     in minhash_neardup / simhash_fingerprints / embedding_neardup must
