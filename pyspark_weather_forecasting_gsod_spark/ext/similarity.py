@@ -543,14 +543,18 @@ def sampled_pair_audit(
     """
     from ..operators.sampling import hash_bucket
 
-    sample = docs.select(F.col(id_col)).filter(
-        hash_bucket(F.col(id_col)) < sample_pct
+    # Sample membership is a PURE FUNCTION of the id (md5 bucket < pct),
+    # so it needs no id-list materialization at all: map-only filters on
+    # both frames, fused into their scans. The previous shape semi-joined
+    # a forced-broadcast id sample — corpus-proportional (10-30% of ALL
+    # doc ids), i.e. the same 10^8-doc driver-OOM class as the r10
+    # shingle-size de-broadcast (VERDICT r09 #1), and strictly more work
+    # than re-evaluating one md5 per row.
+    sampled_docs = docs.filter(hash_bucket(F.col(id_col)) < sample_pct)
+    approx_s = approx.filter(
+        (hash_bucket(F.col(id_a)) < sample_pct)
+        & (hash_bucket(F.col(id_b)) < sample_pct)
     )
-    sampled_docs = docs.join(F.broadcast(sample), id_col, "left_semi")
-    keys = sample.select(F.col(id_col).alias("__k"))
-    approx_s = approx.join(
-        F.broadcast(keys), F.col(id_a) == F.col("__k"), "left_semi"
-    ).join(F.broadcast(keys), F.col(id_b) == F.col("__k"), "left_semi")
     exact_s = exact_fn(sampled_docs)
     n_docs = sampled_docs.agg(F.count(F.lit(1)).alias("n_sampled_docs"))
     summary = pair_recall_summary(approx_s, exact_s, id_a, id_b)

@@ -314,7 +314,10 @@ def bigram_lm_nll(
     scored = (
         doc_tf.join(model, "bigram")
         .withColumn("prev", F.expr("split_part(bigram, ' ', 1)"))
-        .join(F.broadcast(ctx), "prev")
+        # ctx is unigram-vocab-sized — unbounded on web text (typos/URLs
+        # push distinct tokens past 10^8), so no broadcast hint (r10):
+        # AQE broadcasts it whenever the aggregated table actually fits
+        .join(ctx, "prev")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "logp",
@@ -407,7 +410,10 @@ def nb_classify(
     )
     scored = (
         dw.crossJoin(F.broadcast(labels))  # |labels| rows: the scalar-attach shape
-        .join(F.broadcast(logp), ["__lab", "__w"], "left")
+        # logp is (label x word) — vocabulary-sized, which min_count
+        # shrinks but does not bound on web-scale corpora; no hint (r10),
+        # AQE broadcasts it when it fits
+        .join(logp, ["__lab", "__w"], "left")
         .groupBy(id_col, "__lab", "__prior")
         .agg(
             F.sum(

@@ -239,8 +239,11 @@ def bpe_encode_by_dict(
     the cost: Spark's higher-order-function folds are interpreted, so
     paying them per corpus occurrence is ~10× slower than per distinct
     word (measured 14.2s → ~2s at sf0.1). At 100 TB the dictionary is the
-    word vocabulary — broadcastable for natural-language corpora; swap
-    the broadcast for a shuffle join if the vocabulary explodes."""
+    word vocabulary — broadcastable for natural-language corpora, but web
+    text (URLs, typos, ids) can push distinct "words" past 10⁸, so the
+    join carries NO broadcast hint (r10): AQE broadcasts the dictionary
+    whenever it fits and falls back to a shuffle join when the vocabulary
+    explodes, instead of a forced-broadcast OOM."""
     inner = f"concat(split(word, ''), array('{EOW}'))"
     for rule in merges:
         inner = _merge_fold(inner, rule[0], rule[1])
@@ -259,7 +262,7 @@ def bpe_encode_by_dict(
         ),
     ).filter(F.col("word") != "")
     assembled = (
-        exploded.join(F.broadcast(words), "word")
+        exploded.join(words, "word")
         .groupBy(id_col)
         .agg(
             F.expr(

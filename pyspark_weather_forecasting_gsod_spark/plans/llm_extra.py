@@ -769,8 +769,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bgc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "w1")
-        .join(F.broadcast(ub), "w2")
+        # ua/ub are the FULL unigram vocabulary — unbounded on web text,
+        # so no broadcast hint (r10 de-broadcast doctrine): AQE broadcasts
+        # them when the aggregated table fits, shuffle-joins otherwise
+        .join(ua, "w1")
+        .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
