@@ -203,27 +203,57 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     bucket_length: float = 0.25,
     num_hash_tables: int = 3,
+    method: str = "auto",
+    exact_cutover_docs: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via MLlib random-projection LSH
-    (no cross join): normalized vectors, Euclidean threshold
-    sqrt(2 - 2*min_cosine) ⇔ cosine ≥ min_cosine.
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine@6dp)
+    for every pair with cosine ≥ ``min_cosine``.
 
-    Bucket calibration (r09, measured): a unit vector's projection onto
-    BRP's random unit direction has std ≈ 1/√d (0.125 at d=64), so the
-    old ``bucketLength=0.5`` (≈4σ) put essentially the WHOLE corpus in
-    one bucket per table — the join silently degenerated to an in-bucket
-    cross join (recall 1.0 "for free" at gate scale, 1711 s at the sf1
-    rehearsal's 20k clumped vectors). 0.25/3 tables keeps buckets
-    cluster-sized — measured at the j≥0.35 gate threshold: recall 0.934
-    on the full exact truth, sf1 wall 56 s (30×); tighter thresholds
-    (the 0.95 default: distance 0.32, σ_proj 0.04) collide with p≈1 per
-    table, so the narrower bucket costs them nothing. (0.125/4 measured
-    0.823 — below the 0.85 pytest gate; 0.18/4 = 0.919 at 83 s.)"""
+    ``method`` (r10):
+
+    * ``'exact'`` — the block-cogroup BLAS matmul
+      (``cosine_allpairs_blocked``): exact, distributed, no collect.
+    * ``'brp'`` — MLlib BucketedRandomProjectionLSH
+      ``approxSimilarityJoin`` on normalized vectors (Euclidean threshold
+      sqrt(2 − 2·min_cosine) ⇔ the cosine bound). Seed-dependent recall.
+    * ``'auto'`` (default) — ``'exact'`` up to ``exact_cutover_docs``
+      (limit-probe), ``'brp'`` above, with the structural caveat below.
+
+    Routing rationale — measured, r10: Spark's BRP is ONE random
+    projection per table with OR-amplification only, and a unit vector's
+    projection spread is 1/√d (0.125 at d=64), so equal-width buckets
+    cannot cut the central mass: ``brp_bucket_occupancy`` measures
+    collision_frac ≈ 0.48 PER TABLE at the calibrated 0.25 geometry —
+    the join enumerates ~half of all |corpus|² candidate pairs, each
+    paying a per-pair UDF distance with two VectorUDT deserializations
+    (jstack-confirmed hot path). At the sf1 rehearsal's 20k vectors
+    that is ~1900 s, while the exact blocked matmul computes ALL pairs
+    in 2.8 s — BLAS flops are ~600× cheaper than per-pair UDF calls at
+    equal pair counts, so at d ≲ 100 the "approximate" path is strictly
+    dominated at any corpus size where either is feasible. (The r09
+    bucketLength recalibration — 0.5 ≈ 4σ put the whole corpus in ONE
+    bucket — fixed a silent degeneracy but cannot fix the ~0.5 per-table
+    collision floor; sweep: 0.125/4 → recall 0.823, 0.25/3 → 0.934.)
+    At corpora past the exact path's quadratic-flops budget, neither
+    regime here is the answer: use ``semantic_dedup`` (KMeans-cell
+    bucketed exact) or the IVF index family — cell joins are the
+    embedding analogue of MinHash banding, with measured sf1 walls of
+    23.6 s / 10.8 s."""
     import math
 
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import VectorUDT  # noqa: F401  (documents the type)
+
+    if method not in ("auto", "exact", "brp"):
+        raise ValueError("embedding_neardup_pairs: method must be auto|exact|brp")
+    if method == "auto":
+        probed = df.select(id_col).limit(exact_cutover_docs + 1).count()
+        method = "exact" if probed <= exact_cutover_docs else "brp"
+    if method == "exact":
+        return cosine_allpairs_blocked(
+            df, min_cosine, id_col=id_col, vec_col=vec_col
+        ).select("id_a", "id_b", "cosine")
 
     unit = F.expr(
         f"transform({vec_col}, x -> CAST(x AS DOUBLE) / ({NORM.format(a=vec_col)}))"

@@ -821,7 +821,11 @@ def test_ngram_best_match_tiered_exact_parity(spark, sf_dir):
     j ≥ 0.5 + unmatched-only inverted-index remainder) must equal the
     exact regime doc-for-doc — partner, tie-break, and score — on a
     corpus that exercises BOTH tiers (planted near-dups answer in tier 1;
-    every unique doc's best is far below 0.5 and falls to tier 2)."""
+    every unique doc's best is far below 0.5 and falls to tier 2).
+    ``tier2_max_unmatched_frac=1.0`` pins genuine tier-2 execution: this
+    corpus is 94.8% unmatched at j ≥ 0.5, so the r10 mostly-unique
+    fallback would otherwise route it to plain exact and tier 2 would
+    silently lose its only parity coverage."""
     from pyspark_weather_forecasting_gsod_spark.ext.dedup import ngram_best_match
     from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
 
@@ -835,10 +839,21 @@ def test_ngram_best_match_tiered_exact_parity(spark, sf_dir):
     tiered = {
         r.doc_a: (r.doc_b, round(r.jaccard, 9), r.common)
         for r in ngram_best_match(
-            docs, "doc_id", "text", n=2, force="tiered"
+            docs, "doc_id", "text", n=2, force="tiered",
+            tier2_max_unmatched_frac=1.0,
         ).collect()
     }
     assert exact and tiered == exact
+    # the r10 mostly-unique fallback (default crossover 0.5): same corpus,
+    # default routing — the fallback fires (94.8% unmatched) and must
+    # return the identical exact output through the plain-enumeration leg
+    fallback = {
+        r.doc_a: (r.doc_b, round(r.jaccard, 9), r.common)
+        for r in ngram_best_match(
+            docs, "doc_id", "text", n=2, force="tiered"
+        ).collect()
+    }
+    assert fallback == exact
     # both tiers genuinely exercised: some best matches at ≥0.5 (tier 1)
     # and some below (tier 2 exhaustive remainder)
     js = [v[1] for v in exact.values()]
