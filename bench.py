@@ -20,6 +20,73 @@ from pyspark_weather_forecasting_gsod_spark.plans import queries  # noqa: E402
 from pyspark_weather_forecasting_gsod_spark.session import get_spark  # noqa: E402
 
 
+def plan_fingerprint(df) -> str:
+    """Stable hash of a DataFrame's optimized logical plan (r10 VERDICT
+    #2): the ledger keys each per-query floor to this fingerprint and
+    RESETS the floor when it changes, so the cross-sweep-min headline can
+    regress when code does — previously the floor was monotonically
+    non-increasing across code changes and silently vouched for plans
+    that were never re-measured (r10's fuzzy_name_pairs swept at 114 s
+    min-of-runs in the same round its family changed; only an on-HEAD
+    ratio artifact could clear it).
+
+    Session-varying tokens are normalized out (expression ids `#123`,
+    JVM object addresses, plan ids, RDD numbers from localCheckpoint);
+    what remains is the operator tree + expressions + data paths — the
+    thing a code change actually alters. Computed on the already-built
+    measured DataFrame, so it costs one plan analysis, zero execution."""
+    import hashlib
+    import re
+
+    try:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        try:
+            s = df._jdf.queryExecution().logical().toString()
+        except Exception:
+            return "unavailable"
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"@[0-9a-fA-F]{6,}", "@", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\bRDD(\[| )\d+", r"RDD\g<1>", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def update_ledger(
+    sl: dict, timings: dict, fingerprints: dict
+) -> None:
+    """Fold one sweep's walls into an SF-scoped ledger slice IN PLACE.
+
+    Floor policy (r10 VERDICT #2): each entry carries the plan
+    fingerprint its floor was measured under. When this sweep's
+    fingerprint differs — the query's optimized plan changed, i.e. code
+    changed — the floor RESETS to this sweep's wall instead of min'ing
+    against walls of a plan that no longer exists. Entries with no
+    recorded fingerprint (pre-r11 ledger era, or a query whose plan was
+    unavailable this sweep) also reset: a floor that cannot be tied to
+    the current plan must not vouch for it. Malformed entries (hand
+    edits, interrupted rewrites) reset rather than crash after the whole
+    sweep ran (r08 review / r09 ADVICE #3)."""
+    sl["sweeps"] += 1
+    for name, wall in timings.items():
+        q = sl["queries"].get(name)
+        fp = fingerprints.get(name, "unavailable")
+        if (
+            not isinstance(q, dict)
+            or not isinstance(q.get("min"), (int, float))
+            or isinstance(q.get("min"), bool)  # bool passes the int check
+            or not isinstance(q.get("n"), int)
+            or isinstance(q.get("n"), bool)  # (r09 ADVICE #3)
+            or not isinstance(q.get("fp"), str)
+            or q.get("fp") != fp
+            or fp == "unavailable"
+        ):
+            sl["queries"][name] = {"min": round(wall, 3), "n": 1, "fp": fp}
+        else:
+            q["min"] = round(min(q["min"], wall), 3)
+            q["n"] += 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -119,6 +186,7 @@ def main() -> None:
         pass  # warm-up is best-effort; never fail the sweep over it
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    fingerprints: dict[str, str] = {}
     for name, fn in qs.items():
         warm_wall = None
         if name in code_warmups:
@@ -128,8 +196,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm_wall = time.time() - t0
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
+        # fingerprint AFTER the timed region (one plan re-analysis, zero
+        # execution) so the measured methodology is unchanged
+        fingerprints[name] = plan_fingerprint(df)
         # the warm-up executed the IDENTICAL full query; best-of-2 at zero
         # extra cost. This box shows sporadic multi-x slowdowns on random
         # queries per sweep (same code measured cms_join_estimate at 3.3 s
@@ -202,24 +274,7 @@ def main() -> None:
         or not isinstance(sl.get("sweeps"), int)
     ):
         sl = ledger[str(sf_val)] = {"sweeps": 0, "queries": {}}
-    sl["sweeps"] += 1
-    for name, wall in timings.items():
-        q = sl["queries"].get(name)
-        # per-ENTRY shape guard (r09/ADVICE #3): a hand-edited value like
-        # {"min": "x"} or a non-dict crashed with TypeError/KeyError after
-        # the whole sweep ran — the exact failure the outer guard exists to
-        # prevent. Malformed entries reset to this sweep's wall.
-        if (
-            not isinstance(q, dict)
-            or not isinstance(q.get("min"), (int, float))
-            or isinstance(q.get("min"), bool)  # bool passes the int check
-            or not isinstance(q.get("n"), int)
-            or isinstance(q.get("n"), bool)  # (r09 ADVICE #3)
-        ):
-            sl["queries"][name] = {"min": round(wall, 3), "n": 1}
-        else:
-            q["min"] = round(min(q["min"], wall), 3)
-            q["n"] += 1
+    update_ledger(sl, timings, fingerprints)
     with open(ledger_path, "w") as f:
         f.write(json.dumps(ledger, sort_keys=True) + "\n")
     rolling_min_total = round(
@@ -252,6 +307,13 @@ def main() -> None:
         "jvm_warmup": "one unmeasured nation-parquet agg + noop write "
         "before the first measured query (strips the fresh-JVM "
         "first-query spike; r09 VERDICT #8)",
+        "ledger_policy": "per-query floors keyed to a normalized "
+        "optimized-plan fingerprint (r10 VERDICT #2): a fingerprint "
+        "change — i.e. a code change that altered the query's plan — "
+        "RESETS that query's floor to the current sweep's wall, so the "
+        "rolling-min headline can regress when code does. r11 is the "
+        "era boundary: pre-r11 entries carried no fingerprint and reset "
+        "once on first post-r11 sweep.",
     }
     payload = {
         "metric": "rolling_min_total_wall",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 DOT = (
@@ -155,7 +156,8 @@ def cosine_allpairs(
         raise ValueError(
             f"cosine_allpairs: corpus exceeds max_rows={max_rows} "
             f"(driver-collect + broadcast matrix would not fit); use "
-            f"embedding_neardup_pairs (LSH, unbounded) for corpora this size"
+            f"cosine_allpairs_blocked (distributed exact, no collect) or "
+            f"semantic_dedup / the IVF index family for corpora this size"
         )
 
     rows = corpus.select(id_col, vec_col).collect()
@@ -217,7 +219,23 @@ def embedding_neardup_pairs(
       ``approxSimilarityJoin`` on normalized vectors (Euclidean threshold
       sqrt(2 − 2·min_cosine) ⇔ the cosine bound). Seed-dependent recall.
     * ``'auto'`` (default) — ``'exact'`` up to ``exact_cutover_docs``
-      (limit-probe), ``'brp'`` above, with the structural caveat below.
+      (limit-probe); ABOVE the cutover it raises rather than silently
+      selecting a dominated regime (r11): the measurements below show
+      BRP at d ≲ 100 enumerates ~half of all |corpus|² pairs through a
+      per-pair deserializing UDF — strictly worse than the exact matmul
+      at the same pair count — so past the exact path's flops budget the
+      correct tool is ``semantic_dedup`` (KMeans-cell bucketed exact) or
+      ``build_ivf_index``/``ivf_search``, and the raise says so. The
+      ``'brp'`` leg stays reachable by explicit name for its
+      recall-gated ANN coverage.
+
+    Id contract (r11): the exact route delegates to
+    ``cosine_allpairs_blocked``, which casts ``id_col`` to ``long`` —
+    non-integral ids (e.g. strings) would silently become NULL and
+    collapse the output. ``'auto'`` therefore routes non-integral-id
+    frames to ``'brp'`` (which preserves arbitrary id types, matching
+    pre-r10 behavior), and an explicit ``method='exact'`` with a
+    non-integral id column raises.
 
     Routing rationale — measured, r10: Spark's BRP is ONE random
     projection per table with OR-amplification only, and a unit vector's
@@ -247,9 +265,45 @@ def embedding_neardup_pairs(
 
     if method not in ("auto", "exact", "brp"):
         raise ValueError("embedding_neardup_pairs: method must be auto|exact|brp")
+    id_integral = isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if method == "exact" and not id_integral:
+        raise TypeError(
+            f"embedding_neardup_pairs(method='exact'): id column {id_col!r} "
+            f"is {df.schema[id_col].dataType.simpleString()}, but the exact "
+            f"block-matmul path casts ids to long — non-integral ids would "
+            f"silently become NULL. Use an integral id, or method='brp' "
+            f"(preserves arbitrary id types)."
+        )
     if method == "auto":
-        probed = df.select(id_col).limit(exact_cutover_docs + 1).count()
-        method = "exact" if probed <= exact_cutover_docs else "brp"
+        if not id_integral:
+            # pre-r10 behavior for arbitrary id types: the BRP leg carries
+            # ids through untouched. Documented in the id contract above.
+            method = "brp"
+        else:
+            probed = df.select(id_col).limit(exact_cutover_docs + 1).count()
+            if probed > exact_cutover_docs:
+                # Guard doctrine (cf. ngram_jaccard_pairs max_docs raise,
+                # semantic_dedup giant-cell raise): above the exact flops
+                # budget, silently routing to BRP would enumerate ~half of
+                # all |corpus|^2 pairs through a per-pair deserializing UDF
+                # (collision_frac ~= 0.48/table at d=64, measured by
+                # brp_bucket_occupancy) — a 100x-scale-up killer, not an
+                # approximation. Refuse and point at the scale paths.
+                raise ValueError(
+                    f"embedding_neardup_pairs(method='auto'): corpus exceeds "
+                    f"exact_cutover_docs={exact_cutover_docs} and Spark's BRP "
+                    f"LSH is structurally non-pruning at this dimensionality "
+                    f"(collision_frac ~0.48 per table at d=64 — see "
+                    f"brp_bucket_occupancy). For corpora this size use "
+                    f"semantic_dedup (KMeans-cell bucketed exact near-dup) or "
+                    f"build_ivf_index/ivf_search (partition-pruned ANN); pass "
+                    f"method='brp' explicitly only if you accept the "
+                    f"near-quadratic candidate join."
+                )
+            method = "exact"
     if method == "exact":
         return cosine_allpairs_blocked(
             df, min_cosine, id_col=id_col, vec_col=vec_col

@@ -5648,79 +5648,81 @@ def entry_query(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 exported queries
-# (observed: CORRECTNESS_r01-r09.json == queries()[0:50] in export order).
+# (observed: CORRECTNESS_r01-r10.json == queries()[0:50] in export order).
 # Export order is therefore a per-round rotation policy: list here the
 # queries that most need a driver row THIS round; the rest follow in
-# declaration order. Round 10 = the r09 VERDICT's rotation seed (#6):
-# (a) queries whose CODE changed this round — the de-broadcast of the
-# corpus-sized shingle-size joins (VERDICT r09 #1) touches every query
-# that routes through ngram_jaccard_pairs / the tiered+banded best-match
-# regimes / minhash_lsh_pairs verification / ngram_containment_pairs;
-# (b) the full r05-stale cohort (6 hash-capable + the 4 rows-only ones
-# the VERDICT counts in it); (c) the oldest r06 hash-capable rows that
-# fit, alphabetical. After this round no hash-capable row predates r06
-# except tfidf_exact_norms (1 slot short — leads the r11 seed).
-# Standing cessions (reasons unchanged from the r06-r09 ledgers):
+# declaration order. Round 11 seed (VERDICT r10 #8 + the r10 comment's
+# hand-off): (a) queries whose CODE changed this round — the
+# embedding_neardup auto-route guard + id contract (ext/similarity.py),
+# the tiered za probe-gating + minhash probe retarget + _is_bounded
+# memoization (ext/dedup.py) touch every query routing through those
+# builders; (b) the full r06-stale cohort — tfidf_exact_norms (the one
+# hash-capable pre-r07 row) plus its five rows-only r06 peers; (c) ALL
+# 36 remaining r07 hash-capable rows (alphabetical) — 8+6+36 = exactly
+# the 50-slot window, so post-r11 no hash-capable row predates r08.
+# Deferred to the r12 seed: the four r07 rows-only queries
+# (bpe_tokenizer, hard_negatives_ann, image_phash_neardup, ml_kfold_cv).
+# Standing cessions (reasons unchanged from the r06-r10 ledgers):
 # ml_*/random_split (r02), approx_quantiles/freq_items_sketch (r03),
 # hll_sliding_distinct/pca_project_check/pq_ann_topk (r04) are rows-only
 # BY DESIGN (VectorUDT/seed/sketch) — a driver re-run adds no hash
 # evidence, their deterministic companions hold fresh hash rows, and
 # each is pytest-gated.
 _EXPORT_PRIORITY: list[str] = [
-    # -- (a) code changed in r10 (shingle-size join de-broadcast)
-    "neardup_clusters_deletion",   # tiered path: za restricted to tier-2
-    "neardup_clusters_incremental",
+    # -- (a) code changed in r11 (similarity auto-route guard; dedup
+    #    probe-gating/memoization)
+    "embedding_neardup",
+    "minhash_md5_parity",          # minhash_lsh_pairs probe retarget
+    "minhash_neardup",
+    "neardup_keep_best",           # tiered za now probe-gated
     "neardup_clusters",
-    "neardup_keep_best",
-    "minhash_md5_parity",          # minhash_lsh_pairs verification join
-    "ngram_containment_docs",
-    "minhash_neardup",             # rows-only; routes the changed join
-    # -- (b) the r05-stale cohort (VERDICT r09 #6)
-    "seasonal_anomaly_events",
-    "seasonal_median_by_user",
-    "session_windows",
-    "sliding_avg_events",
-    "streaming_scd2",
-    "streaming_sliding",
-    "ann_lsh_topk",
-    "gsod_pipeline_e2e",
-    "ivf_ann_topk",
-    "neardup_index_probe",
-    # -- (c) oldest r06 hash-capable rows that fit (alphabetical;
-    #    ngram_containment_docs already in (a))
-    "anti_join_parts",
-    "asof_last_purchase",
-    "cap_per_group_orders",
-    "cohort_retention",
-    "cube_revenue",
-    "cusum_drift_events",
-    "date_features",
-    "doc_fingerprint",
-    "dsir_select_docs",
-    "ewma_events",
-    "funnel_conversion",
-    "grouped_map_zscore",
-    "hash_split_counts",
-    "impute_group_median_events",
-    "impute_interpolate_events",
-    "impute_locf_events",
-    "lead_labels_events",
-    "mad_outliers_events",
-    "ohlc_bars_events",
-    "pii_scrub_docs",
-    "pivot_user_event_counts",
-    "profile_lineitem",
-    "projection_cast",
-    "quartiles_by_priority",
-    "rolling_median_events",
-    "rollup_revenue",
-    "semi_join_customers",
-    "sentinel_census",
-    "sequence_packing",
-    "set_ops_users",
-    "stats_corr",
-    "streaming_append_watermark",
-    "string_functions",
+    "neardup_clusters_incremental",
+    "neardup_clusters_deletion",
+    "ngram_containment_docs",      # shares _is_bounded (now memoized)
+    # -- (b) the r06-stale cohort (1 hash-capable + 5 rows-only)
+    "tfidf_exact_norms",
+    "hll_distinct_users",
+    "multimodal_decode",
+    "semantic_dedup",
+    "streaming_dedup",
+    "tfidf_doc_norms",
+    # -- (c) all 36 r07 hash-capable rows (alphabetical)
+    "aqp_sampled_revenue",
+    "audio_ahash_fingerprints",
+    "bucketed_join_revenue",
+    "cms_heavy_hitters",
+    "cms_join_estimate",
+    "corpus_prep_pipeline",
+    "doc_chunk_windows",
+    "embedding_neardup_blocked",
+    "embedding_neardup_exact",
+    "event_transitions",
+    "funnel_paths_users",
+    "grouping_sets_revenue",
+    "hard_negatives_topk",
+    "histogram_quantiles_by_type",
+    "histogram_quantiles_value",
+    "image_dhash_fingerprints",
+    "incremental_agg_orders",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "ngram_jaccard_topk",
+    "python_source_stream_agg",
+    "quantile_bins_price",
+    "range_join_errors",
+    "salted_revenue_by_segment",
+    "scd2_orders_dim",
+    "simhash_md5_parity",
+    "snapshot_diff_orders",
+    "split_leakage_audit",
+    "streaming_sketch_merge",
+    "streaming_stateful_totals",
+    "streaming_topk_state",
+    "text_quality",
+    "top10_orders",
+    "tumbling_hourly",
+    "user_value_trend",
+    "zero_impute_by_type",
 ]
 
 

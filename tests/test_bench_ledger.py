@@ -1,0 +1,102 @@
+"""bench.py ledger policy: plan-fingerprint-keyed floors (r10 VERDICT #2).
+
+The cross-sweep per-query-min ledger is the bench headline, and before
+r11 its floors were monotonically non-increasing across CODE changes —
+a floor measured under an old plan kept vouching for a new one
+(fuzzy_name_pairs swept at 114 s in the round its family changed; only
+an out-of-band on-HEAD measurement could clear it). These tests pin the
+fix: each floor is keyed to a normalized optimized-plan fingerprint and
+resets when the fingerprint changes.
+"""
+
+from bench import plan_fingerprint, update_ledger
+
+
+def _slice():
+    return {"sweeps": 0, "queries": {}}
+
+
+def test_update_ledger_new_entry_carries_fingerprint():
+    sl = _slice()
+    update_ledger(sl, {"q": 5.0}, {"q": "aaaa"})
+    assert sl["sweeps"] == 1
+    assert sl["queries"]["q"] == {"min": 5.0, "n": 1, "fp": "aaaa"}
+
+
+def test_update_ledger_same_fingerprint_accumulates_min():
+    sl = _slice()
+    update_ledger(sl, {"q": 5.0}, {"q": "aaaa"})
+    update_ledger(sl, {"q": 3.0}, {"q": "aaaa"})
+    update_ledger(sl, {"q": 9.0}, {"q": "aaaa"})
+    assert sl["queries"]["q"] == {"min": 3.0, "n": 3, "fp": "aaaa"}
+
+
+def test_update_ledger_fingerprint_change_resets_floor():
+    """The core r10 VERDICT #2 property: a code change (new plan) must
+    let the floor REGRESS instead of remembering the old plan's wall."""
+    sl = _slice()
+    update_ledger(sl, {"q": 2.0}, {"q": "aaaa"})
+    update_ledger(sl, {"q": 50.0}, {"q": "bbbb"})  # plan changed, slower
+    assert sl["queries"]["q"] == {"min": 50.0, "n": 1, "fp": "bbbb"}
+
+
+def test_update_ledger_legacy_entry_without_fp_resets_once():
+    """Pre-r11 era entries carry no fingerprint; they must reset on the
+    first fingerprinted sweep (a floor that cannot be tied to the
+    current plan must not vouch for it), then accumulate normally."""
+    sl = _slice()
+    sl["queries"]["q"] = {"min": 1.0, "n": 12}
+    update_ledger(sl, {"q": 4.0}, {"q": "aaaa"})
+    assert sl["queries"]["q"] == {"min": 4.0, "n": 1, "fp": "aaaa"}
+    update_ledger(sl, {"q": 3.5}, {"q": "aaaa"})
+    assert sl["queries"]["q"] == {"min": 3.5, "n": 2, "fp": "aaaa"}
+
+
+def test_update_ledger_unavailable_fingerprint_never_accumulates():
+    sl = _slice()
+    update_ledger(sl, {"q": 4.0}, {"q": "unavailable"})
+    update_ledger(sl, {"q": 9.0}, {"q": "unavailable"})
+    # conservative: no provable plan identity -> floor is just this sweep
+    assert sl["queries"]["q"] == {"min": 9.0, "n": 1, "fp": "unavailable"}
+
+
+def test_update_ledger_malformed_entries_reset_not_crash():
+    sl = _slice()
+    sl["queries"] = {
+        "a": {"min": "x", "n": 2, "fp": "aaaa"},
+        "b": {"min": True, "n": 2, "fp": "aaaa"},
+        "c": {"min": 1.0, "n": True, "fp": "aaaa"},
+        "d": "garbage",
+        "e": {"min": 1.0, "n": 2, "fp": 7},
+    }
+    walls = {k: 5.0 for k in "abcde"}
+    fps = {k: "aaaa" for k in "abcde"}
+    update_ledger(sl, walls, fps)
+    for k in "abcde":
+        assert sl["queries"][k] == {"min": 5.0, "n": 1, "fp": "aaaa"}
+
+
+def test_plan_fingerprint_stable_across_rebuilds_and_exprids(spark):
+    """Two rebuilds of the same query get fresh expression ids (#123
+    tokens differ); the normalized fingerprint must be identical.
+    Building an unrelated frame in between shifts the id counter, which
+    is exactly the session-varying noise the normalization strips."""
+    def build():
+        return (
+            spark.range(100)
+            .selectExpr("id", "id % 7 AS k")
+            .groupBy("k")
+            .count()
+        )
+
+    fp1 = plan_fingerprint(build())
+    spark.range(1000).selectExpr("id * 2 AS x").count()  # shift exprId counter
+    fp2 = plan_fingerprint(build())
+    assert fp1 == fp2
+    assert fp1 != "unavailable" and len(fp1) == 16
+
+
+def test_plan_fingerprint_distinguishes_different_plans(spark):
+    a = spark.range(100).selectExpr("id % 7 AS k").groupBy("k").count()
+    b = spark.range(100).selectExpr("id % 8 AS k").groupBy("k").count()
+    assert plan_fingerprint(a) != plan_fingerprint(b)

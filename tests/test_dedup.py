@@ -1021,3 +1021,34 @@ def test_edit_distance_prefix_dedup_ships_no_strings(spark):
     # tailM is distance <= 2 for single-digit N, M)
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (0, 1) in got and all(a < b for a, b in got)
+
+
+def test_is_bounded_probe_memoized_per_dataframe_object(spark):
+    """r11 (VERDICT r10 #7): _is_bounded runs an eager limit-count job per
+    call, so repeated invocations on the SAME DataFrame object must hit a
+    memo instead of re-executing the lineage. Proven by poisoning the memo
+    entry after the first probe: a second call returning the poisoned
+    value can only have come from the cache. A new object over the same
+    data must re-probe (object identity is the contract)."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        _BOUNDED_MEMO,
+        _is_bounded,
+    )
+
+    df = spark.range(10).toDF("doc_id")
+    assert _is_bounded(df, max_rows=100) is True
+    assert _BOUNDED_MEMO[id(df)][100] is True
+    _BOUNDED_MEMO[id(df)][100] = False  # poison: detect any cache hit
+    assert _is_bounded(df, max_rows=100) is False
+    # distinct max_rows → distinct memo slot, fresh probe
+    assert _is_bounded(df, max_rows=5) is False
+    # a recreated frame (new object) probes fresh, not the poisoned slot
+    df2 = spark.range(10).toDF("doc_id")
+    assert _is_bounded(df2, max_rows=100) is True
+    # eviction on GC: the finalizer drops the entry so id() reuse is safe
+    import gc
+
+    key = id(df2)
+    del df2
+    gc.collect()
+    assert key not in _BOUNDED_MEMO

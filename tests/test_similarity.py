@@ -79,7 +79,9 @@ def test_cosine_allpairs_guard_refuses_oversized_corpus(spark):
 
     from pyspark_weather_forecasting_gsod_spark.ext.similarity import cosine_allpairs
 
-    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+    # r11: the guard now points at the distributed exact twin and the
+    # designated at-scale near-dup paths, not the (cutover-guarded) LSH leg
+    with pytest.raises(ValueError, match="cosine_allpairs_blocked"):
         cosine_allpairs(_emb(spark), min_cosine=0.9, max_rows=3)
 
 
@@ -675,3 +677,44 @@ def test_property_hard_negatives_match_python_oracle(spark):
         assert got == want, (items, k, got, want)
 
     check()
+
+
+def test_embedding_neardup_auto_raises_above_exact_cutover(spark):
+    """r11 (VERDICT r10 #1): above the exact cutover, method='auto' must
+    REFUSE rather than silently route to BRP — the module's own
+    brp_bucket_occupancy measurements show the BRP candidate join
+    enumerates ~half of all |corpus|^2 pairs at d <~ 100, i.e. a
+    100x-scale-up killer, not an approximation. The raise must point the
+    caller at the designated scale paths. (Cutover shrunk to 3 so the
+    probe trips on a 5-row frame — no 100k-vector corpus needed.)"""
+    import pytest
+
+    with pytest.raises(ValueError, match="semantic_dedup"):
+        embedding_neardup_pairs(_emb(spark), exact_cutover_docs=3)
+    # the explicit BRP leg stays reachable by name (recall-gated ANN
+    # coverage) even past the cutover
+    out = embedding_neardup_pairs(
+        _emb(spark), min_cosine=0.95, method="brp", exact_cutover_docs=3
+    )
+    assert {(r.id_a, r.id_b) for r in out.collect()} >= {(0, 1), (0, 3)}
+
+
+def test_embedding_neardup_id_type_contract(spark):
+    """r11 (ADVICE r10): the exact route casts ids to long, so string ids
+    would silently NULL out and collapse the output. method='exact' must
+    raise on a non-integral id; method='auto' must preserve the pre-r10
+    arbitrary-id behavior by routing to BRP (and actually return pairs
+    with the string ids intact)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb_str = _emb(spark).withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    with pytest.raises(TypeError, match="integral"):
+        embedding_neardup_pairs(emb_str, method="exact")
+    out = embedding_neardup_pairs(emb_str, min_cosine=0.95, method="auto")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert ("doc-0", "doc-1") in pairs
+    assert ("doc-0", "doc-3") in pairs
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in pairs)

@@ -148,7 +148,7 @@ def main() -> None:
         # r8 migration: events joined the rehearsal corpus after the rest
         synthesize_events(spark)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     routes: dict[str, str] = {}
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -162,7 +162,9 @@ def main() -> None:
             fn()
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — rehearsal records failures
-            timings[name] = -1.0
+            # null, not a numeric sentinel: a -1.0 in a walls map silently
+            # poisons downstream aggregation (r10 VERDICT #6)
+            timings[name] = None
             routes[name] = (
                 routes.get(name, "") + f" ERROR: {type(exc).__name__}: {exc}"
             )[:400].strip()
@@ -584,7 +586,7 @@ def main() -> None:
             ).count(),
         )
     elif not only:
-        timings["edit_distance_count"] = -1.0
+        timings["edit_distance_count"] = None  # NOT RUN -> null (r10 VERDICT #6)
         routes["edit_distance_count"] = (
             f"n_strings={n_ed} NOT RUN by default: measured-aborted >1385s "
             "(prefix 75.3s on the identical slice) and >570s at 5k docs "
@@ -652,7 +654,13 @@ def main() -> None:
             "separately"
         )
 
-    ok = {k: v for k, v in timings.items() if v >= 0}
+    # not-run/errored entries are null (never numeric sentinels); keep
+    # the headline sum over measured walls only
+    ok = {
+        k: v
+        for k, v in timings.items()
+        if isinstance(v, (int, float)) and v >= 0
+    }
     payload = {
         "metric": "sf1_router_rehearsal_wall",
         "value": round(sum(ok.values()), 3),
@@ -690,7 +698,12 @@ def main() -> None:
         prior["queries"].update(timings)
         prior["routes"].update(routes)
         prior["value"] = round(
-            sum(v for v in prior["queries"].values() if v >= 0), 3
+            sum(
+                v
+                for v in prior["queries"].values()
+                if isinstance(v, (int, float)) and v >= 0
+            ),
+            3,
         )
         prior.setdefault("meta", {})["passes"] = (
             prior["meta"].get("passes", ["initial"]) + [sorted(timings)]

@@ -113,6 +113,7 @@ def main() -> None:
     # for box noise. Queries whose FLOOR exceeds the bar still require a
     # named REASONS entry.
     ledger_floors: dict[str, float] = {}
+    ledger_ns: dict[str, object] = {}
     try:
         with open(os.path.join(REPO, "BENCH_LEDGER.json")) as f:
             led = json.load(f).get(sf, {}).get("queries", {})
@@ -122,6 +123,11 @@ def main() -> None:
             if isinstance(v, dict)
             and isinstance(v.get("min"), (int, float))
             and not isinstance(v.get("min"), bool)
+        }
+        # carried alongside the floor so the annotation below never has
+        # to re-index `led` (entries may lack 'n'; ADVICE r10)
+        ledger_ns = {
+            k: led[k].get("n", "?") for k in ledger_floors
         }
     except (OSError, json.JSONDecodeError):
         pass
@@ -160,8 +166,12 @@ def main() -> None:
             reason = REASONS.get(name)
             floor = ledger_floors.get(name)
             if reason is None and floor is not None and floor <= bar:
+                # defensive: ledger entries may lack 'n' (and `led` is
+                # only bound when the ledger parsed) — annotate, never
+                # crash the gate tool (ADVICE r10)
+                n_sweeps = ledger_ns.get(name, "?")
                 reason = (
-                    f"ledger floor {floor}s (n={led[name]['n']} sweeps, "
+                    f"ledger floor {floor}s (n={n_sweeps} sweeps, "
                     "noop-write methodology) is within the bar — today's "
                     "wall is collect/weather overhead, not plan cost"
                 )
@@ -199,6 +209,25 @@ def main() -> None:
     out = os.path.join(REPO, "BENCH_ORACLE_RATIO.json")
     with open(out, "w") as f:
         f.write(json.dumps(payload, sort_keys=True) + "\n")
+    # round-stamped copy (r11, VERDICT r10 #3): every round ships an
+    # on-HEAD per-query measurement independent of the monotone ledger.
+    # Round number: SPARK_GRAFT_ROUND env if set, else 1 + the highest
+    # round any committed per-round artifact carries.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob
+        import re
+
+        seen = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "*_r[0-9][0-9].json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(seen) + 1) if seen else "0"
+    out_r = os.path.join(REPO, f"BENCH_ORACLE_RATIO_r{int(rnd):02d}.json")
+    with open(out_r, "w") as f:
+        f.write(json.dumps(payload, sort_keys=True) + "\n")
+    print(f"wrote round-stamped copy {out_r}")
     print(
         f"wrote {out}: {len(rows)} queries, {len(rows) - n_over} within bar, "
         f"{n_over} over (all named)" if not unexplained else
