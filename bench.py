@@ -34,7 +34,18 @@ def plan_fingerprint(df) -> str:
     JVM object addresses, plan ids, RDD numbers from localCheckpoint);
     what remains is the operator tree + expressions + data paths — the
     thing a code change actually alters. Computed on the already-built
-    measured DataFrame, so it costs one plan analysis, zero execution."""
+    measured DataFrame, so it costs one plan analysis, zero execution.
+
+    Lines are additionally canonicalized by sorting their whitespace
+    tokens IN PLACE (line order preserved): Spark's
+    RewriteDistinctAggregates assigns multi-distinct `gid` slots in a
+    run-varying order (observed: cohort_retention's Expand projections
+    and FILTER(gid=...) pairings permute between otherwise-identical
+    builds), which is a pure within-line permutation of the same token
+    multiset. Sorting per line makes the fingerprint blind to that
+    while the preserved LINE sequence still catches structural changes
+    (a filter hoisted past a join, an exchange added/removed, an
+    expression rewritten) — the changes a floor reset exists for."""
     import hashlib
     import re
 
@@ -49,7 +60,10 @@ def plan_fingerprint(df) -> str:
     s = re.sub(r"@[0-9a-fA-F]{6,}", "@", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\bRDD(\[| )\d+", r"RDD\g<1>", s)
-    return hashlib.sha256(s.encode()).hexdigest()[:16]
+    canon = "\n".join(
+        " ".join(sorted(line.split())) for line in s.splitlines()
+    )
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
 def update_ledger(
