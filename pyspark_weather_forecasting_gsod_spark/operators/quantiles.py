@@ -66,6 +66,96 @@ def scalable_exact_median(
     return float(picks["m"])
 
 
+def exact_percentile_bounds(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    out_col: str = "__bounds",
+) -> DataFrame:
+    """ONE-row frame holding ``array<double>`` of EXACT interpolated
+    percentiles of ``value_col`` (nulls ignored), computed from a
+    frequency table instead of ``F.percentile``'s value buffer.
+
+    Why: ``Percentile``/``Median`` are TypedImperativeAggregates that
+    append every row to a per-buffer container — a non-spillable O(n)
+    buffer whose final merge lands in ONE task, and (measured r11, sf0.1
+    lineitem, 600k rows) ~3-4 s of interpreted per-row cost where the
+    whole rest of a profile aggregate takes ~0.5 s. Worse, combined with
+    ``count_distinct`` the RewriteDistinctAggregates Expand triples the
+    stream through that buffer (measured 8.6 s for an agg whose parts
+    cost 0.9 s + 3.1 s). This formulation stays in whole-stage codegen:
+    ``groupBy(value).count()`` (map-side combinable, shuffles ≤ |distinct|
+    rows), a cumulative-count window over the DISTINCT values (single
+    partition, but an external — spillable — sort of ≤ |distinct| rows,
+    strictly safer than the non-spillable buffer it replaces), then one
+    tiny aggregate reading off the order statistics.
+
+    Interpolation matches Spark's ``Percentile.getPercentile`` bit-for-bit
+    — the TWO-SIDED weighted form ``(higher - pos) * lower +
+    (pos - lower) * higher`` at position ``p*(n-1)``, with the
+    ``higher == lower`` short-circuit (NOT the algebraically equal
+    ``lower + Δ*frac``, whose different rounding was measured one ulp off
+    on sf0.001 prices) — so swapping it under an oracle-checked query
+    changes no values. Empty / all-null input yields a NULL array (as
+    ``F.percentile`` yields NULL).
+
+    Scale: bounded by |distinct| — the repeated-value regime (prices,
+    quantities, scores) this exists for. For ~all-unique columns at
+    ≥10^8 rows, derive boundaries from ``histogram_table`` or
+    ``percentile_approx`` instead (same downstream shape)."""
+    v = F.col(value_col)
+    vc = (
+        df.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        F.col("__v").cast("double").alias("__v"),
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for i, p in enumerate(probs):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lo_idx = F.floor(pos)  # 0-indexed order-statistic positions
+        hi_idx = F.ceil(pos)
+        aggs += [
+            F.min(F.when(F.col("__cum") >= lo_idx + 1, F.col("__v"))).alias(f"__lo{i}"),
+            F.min(F.when(F.col("__cum") >= hi_idx + 1, F.col("__v"))).alias(f"__hi{i}"),
+            F.max(pos).alias(f"__p{i}"),
+            F.max(lo_idx.cast("double")).alias(f"__li{i}"),
+            F.max(hi_idx.cast("double")).alias(f"__hi_i{i}"),
+        ]
+    picked = cum.agg(*aggs)
+    vals = [
+        F.when(
+            F.col(f"__hi_i{i}") == F.col(f"__li{i}"), F.col(f"__lo{i}")
+        ).otherwise(
+            (F.col(f"__hi_i{i}") - F.col(f"__p{i}")) * F.col(f"__lo{i}")
+            + (F.col(f"__p{i}") - F.col(f"__li{i}")) * F.col(f"__hi{i}")
+        )
+        for i in range(len(probs))
+    ]
+    return picked.select(
+        F.when(F.col("__lo0").isNotNull(), F.array(*vals)).alias(out_col)
+    )
+
+
+def exact_median_frame(
+    df: DataFrame, column: str, out_col: str
+) -> DataFrame:
+    """ONE-row, one-column frame with the exact median of ``column`` —
+    ``exact_percentile_bounds`` at p=0.5 (identical values and FP
+    arithmetic to ``F.median``, which is ``Percentile(0.5)``), built to be
+    cross-joined onto a profile row without dragging the median's value
+    buffer into the profile aggregate (see ``profile_numeric``)."""
+    b = exact_percentile_bounds(df, column, [0.5])
+    return b.select(F.element_at("__bounds", 1).alias(out_col))
+
+
 def quantile_bins(
     df: DataFrame,
     value_col: str,
@@ -88,19 +178,19 @@ def quantile_bins(
     without the guard, ``IF(NULL > b, 1, 0)`` is 0 for every boundary and
     NULLs silently polluted bin 0 (r06 review).
 
-    Scale note: exact ``percentile`` buffers the column in one aggregate
-    task — fine to ~10M rows; beyond that derive the boundaries from
+    Scale note (r11): boundaries come from ``exact_percentile_bounds`` —
+    a frequency-table formulation bounded by |distinct| values instead of
+    ``percentile``'s non-spillable O(n) single-task buffer (measured 2×
+    faster at sf0.1 and strictly safer: the only single-task stage is an
+    external sort of the distinct values). For ~all-unique columns at
+    ≥10^8 rows derive the boundaries from
     ``histogram_table``/``histogram_quantiles`` (deterministic, mergeable,
     error ≤ bin width) or ``percentile_approx`` and keep the identical
     map-only assignment stage."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = df.agg(
-        F.expr(
-            f"percentile({value_col}, array({', '.join(f'{p!r}D' for p in probs)}))"
-        ).alias("__bounds")
-    )
+    bounds = exact_percentile_bounds(df, value_col, probs)
     assign = F.expr(
         f"IF({value_col} IS NULL, NULL, "
         f"aggregate(__bounds, 0, (acc, b) -> acc + IF({value_col} > b, 1, 0)))"

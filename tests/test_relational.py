@@ -493,3 +493,64 @@ def test_quota_sample_quality_first_variant(spark):
     counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"a": 4, "b": 4}
+
+
+def test_profile_numeric_default_counts_median_matches_in_agg(spark):
+    """The r11 default regime computes medians from frequency-table order
+    statistics cross-joined onto the profile row (the F.median value
+    buffer never rides the multi-distinct Expand). Values must equal the
+    legacy all-in-one-aggregate plan EXACTLY — same interpolation
+    arithmetic as Percentile(0.5), not just same-after-rounding."""
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    legacy = profile_numeric(li, cols, scalable_median_over=None).collect()[0]
+    fast = profile_numeric(li, cols).collect()[0]
+    s, c = legacy.asDict(), fast.asDict()
+    assert list(s) == list(c)  # identical schema and column order
+    for k in s:
+        if k.startswith(("median_", "min_", "max_", "n_rows", "distinct_")):
+            assert s[k] == c[k], k
+        else:
+            assert abs(s[k] - c[k]) <= 1e-9 * max(abs(s[k]), 1.0), k
+
+
+def test_exact_percentile_bounds_bit_exact_vs_builtin(spark):
+    """exact_percentile_bounds must reproduce F.percentile BIT-exactly
+    (two-sided weighted interpolation at p*(n-1) with the higher==lower
+    short-circuit) — quantile_bins' boundary semantics ride on it."""
+    from pyspark.sql import functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import (
+        exact_percentile_bounds,
+    )
+    from pyspark_weather_forecasting_gsod_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    probs = [i / 10 for i in range(1, 10)]
+    builtin = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(%s))"
+            % ", ".join(f"{p!r}D" for p in probs)
+        )
+    ).first()[0]
+    got = exact_percentile_bounds(li, "l_extendedprice", probs).first()[0]
+    assert got == builtin  # exact float equality, all nine boundaries
+
+
+def test_exact_percentile_bounds_null_and_empty(spark):
+    from pyspark_weather_forecasting_gsod_spark.operators.quantiles import (
+        exact_median_frame,
+        exact_percentile_bounds,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    assert exact_percentile_bounds(empty, "v", [0.5]).first()[0] is None
+    allnull = spark.createDataFrame([Row(v=None)], "v double")
+    assert exact_percentile_bounds(allnull, "v", [0.5]).first()[0] is None
+    mixed = spark.createDataFrame(
+        [Row(v=1.0), Row(v=None), Row(v=3.0), Row(v=2.0), Row(v=4.0)]
+    )
+    # n=4 non-null, pos=1.5 -> (2.0 + 3.0 interpolated at 0.5) = 2.5
+    assert exact_median_frame(mixed, "v", "m").first()["m"] == 2.5

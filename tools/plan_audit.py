@@ -298,9 +298,9 @@ AUDITS: dict[str, tuple[list[str], list[str], str]] = {
         "the bloom membership test is literal-mask JVM expressions on the map side (no Python, no join for the bloom-negative branch); only bloom-positive rows reach the exact-verify join",
     ),
     "quantile_bins_price": (
-        ["HashAggregate", "BroadcastNestedLoopJoin"],
-        ["Window", "SortMergeJoin"],
-        "equal-frequency binning without NTILE: one percentile aggregate broadcasts a single boundary row (the nested-loop join is 1-row × N — a broadcast attach, not a cartesian blowup); assignment is a map-only fold, so no Window/global sort anywhere",
+        ["HashAggregate", "BroadcastNestedLoopJoin", "Window"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+        "equal-frequency binning without NTILE: boundaries come from a frequency-table percentile (hash agg on value, then a cumulative window over the |distinct|-bounded counts — r11, replacing the non-spillable O(n) percentile buffer), broadcast as a single row (the nested-loop join is 1-row × N — a broadcast attach, not a cartesian blowup); assignment is a map-only fold, so the DATA is never range-partitioned or globally sorted — the only Window sits on the distinct-value table",
     ),
     "attribution_last_touch": (
         ["Window", "Sort "],
