@@ -355,8 +355,9 @@ def _dense_pair_blocks(
     kind: str,
     n_docs: int | None = None,
     vocab_checked: bool = False,
+    vidx: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared block-cogroup BLAS core behind ``ngram_jaccard_pairs_dense``
+    """Shared block BLAS core behind ``ngram_jaccard_pairs_dense``
     and ``ngram_containment_pairs_dense`` (r06 review: the two paths were
     ~120 duplicated lines differing only in denominator and output
     orientation — one core keeps the guards, blocking, vocab indexing, and
@@ -364,7 +365,7 @@ def _dense_pair_blocks(
 
     Each doc's distinct-shingle set becomes a |vocab|-dim binary row of a
     block matrix; common counts are ONE BLAS matmul (``A @ B.T``) per
-    unordered block pair — the same block-cogroup decomposition as
+    unordered block pair — the same block decomposition as
     ``ext.similarity.cosine_allpairs_blocked`` (B·(B+1)/2 independent
     tasks, O(N·B) shuffle, no driver collect). Integer counts in float64
     are exact (set sizes ≪ 2^53). The quadratic pair loop is inherent to
@@ -372,11 +373,23 @@ def _dense_pair_blocks(
     the SQL-expression formulation (BroadcastNestedLoopJoin) runs
     interpreted, one pair at a time.
 
-    ``n_docs``/``vocab_checked`` let the auto routers hand over their
-    already-run limit-probes instead of paying them a second time inside
-    this function (r06 review). The shingle→column index is built ONCE and
-    ``localCheckpoint``ed so both cogroup sides share it (previously each
-    side recomputed the full distinct-vocab pass).
+    ``n_docs``/``vocab_checked``/``vidx`` let the auto routers hand over
+    their already-run limit-probes (and the shingle→column index the vocab
+    probe built as a side effect) instead of paying them a second time
+    inside this function (r06 review; r11 guide-§2.3 pass elimination).
+
+    r11 single-pass restructuring (guide §1.2/§2.3 — don't compute things
+    twice, shuffle fewer bytes): the corpus-wide shingle regex pass runs
+    ONCE into an eager ``localCheckpoint`` and the per-doc index-list table
+    (``tagged``) is built ONCE from it; both matmul roles are served by
+    role-tagged SELECTs over that one checkpointed table, combined through
+    a self-union (legal where the old two-sided cogroup flagged the shared
+    frame as an ambiguous self-join) into a single grouped
+    ``applyInPandas``. Before: 4 full shingle passes (admission probe,
+    vidx build, one per cogroup side) + 2 collect_list shuffles + a
+    two-sided cogroup. After: 1 full shingle pass + 1 collect_list shuffle
+    + 1 grouped exchange. Measured at sf0.1 (5k docs, 900-bigram
+    universe): dense pairs 4.2-5.2 s → 3.1 s, identical output.
     """
     import numpy as np
     import pandas as pd
@@ -395,7 +408,12 @@ def _dense_pair_blocks(
     t = float(threshold)
     if t <= 0.0:
         # at t=0 the dense path would emit zero-overlap pairs the inverted
-        # index never materializes — keep the outputs identical
+        # index never materializes — keep the outputs identical. (r11
+        # measured a t=0 / common≥1 dense mode for ngram_best_match's
+        # unthresholded enumeration and REJECTED it: with output ≈ all
+        # pairs, Arrow-serializing 2.6M pair rows out of the Python worker
+        # costs 3× the JVM inverted-index join+agg — dense only wins when
+        # the threshold keeps the output small.)
         param = "min_jaccard" if kind == "jaccard" else "min_containment"
         raise ValueError(f"dense {kind} requires {param} > 0")
     if not _integral_id_dtype(df, id_col):
@@ -409,7 +427,9 @@ def _dense_pair_blocks(
         )
     spark = df.sparkSession
     arrs = shingle_arrays(df, id_col, text_col, n)
-    # bounded-corpus guards: O(limit) probes, not full counts
+    # bounded-corpus guards: O(limit) probes, not full counts — probed on
+    # the LAZY lineage so an over-limit corpus raises before any
+    # checkpoint materializes it
     if n_docs is None:
         n_docs = arrs.limit(max_rows + 1).count()
     if n_docs > max_rows:
@@ -417,24 +437,29 @@ def _dense_pair_blocks(
             f"dense {kind} is guarded at {max_rows} docs; use "
             f"{alt} or a sampled audit subset"
         )
+    # ONE corpus-wide shingle pass, materialized: vidx (when not handed
+    # over), tagged, and nothing else re-runs the regex lineage
+    arrs = arrs.localCheckpoint(eager=True)
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    if not vocab_checked:
-        probe = sh.select("shingle").distinct().limit(max_vocab + 1).count()
-        if probe > max_vocab:
+    if vidx is None:
+        # probe and index in one pass: the ≤ max_vocab+1 distinct slice IS
+        # the guard probe, and (when under the cap) the full distinct
+        # vocabulary — the separate probe pass the old code paid is gone
+        vs = (
+            sh.select("shingle")
+            .distinct()
+            .limit(max_vocab + 1)
+            .localCheckpoint(eager=True)
+        )
+        if vs.count() > max_vocab:
             raise ValueError(
                 f"dense {kind} is guarded at {max_vocab} distinct shingles "
                 f"(the universe is no longer 'small'); use {alt}"
             )
-    # global shingle→column index: ≤ max_vocab rows, so the
-    # single-partition window, the checkpoint, and the broadcast are all
-    # bounded; lineage truncation lets both cogroup sides reuse it without
-    # an ambiguous-self-join complaint
-    vidx = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("__idx", F.row_number().over(Window.orderBy("shingle")) - 1)
-        .localCheckpoint(eager=True)
-    )
+        # ≤ max_vocab rows: the single-partition window is bounded
+        vidx = vs.withColumn(
+            "__idx", F.row_number().over(Window.orderBy("shingle")) - 1
+        )
     vsize = vidx.count()
     # block count scales with the corpus so per-task memory stays bounded:
     # the C = A @ B.T common-count matrix is (rows/B)² float64 per task, so
@@ -445,26 +470,31 @@ def _dense_pair_blocks(
     n_blocks = max(8, -(-n_docs // 4096))
     block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
 
-    def _side(role: str) -> DataFrame:
-        # fresh shingle lineage per side: the cogroup below is otherwise a
-        # self-join Spark flags as ambiguous
-        arrs_f = shingle_arrays(df, id_col, text_col, n)
-        sh_f = arrs_f.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        tagged = (
-            sh_f.join(F.broadcast(vidx), "shingle")
-            .groupBy(id_col)
-            .agg(F.collect_list("__idx").alias("__idxs"))
-            .select(F.col(id_col).cast("long").alias("id"), "__idxs")
-            .withColumn(
-                "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-            )
+    # per-doc index lists, built ONCE and materialized: both matmul roles
+    # read this table (the old code built it per cogroup side — one full
+    # shingle pass + collect_list shuffle each)
+    tagged = (
+        sh.join(F.broadcast(vidx), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list("__idx").alias("__idxs"))
+        .select(F.col(id_col).cast("long").alias("id"), "__idxs")
+        .withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
         )
-        pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
-        return tagged.join(
-            F.broadcast(pair_df), F.col("blk") == F.col(role)
-        ).select("ba", "bb", "id", "__idxs")
-
-    a_side, b_side = _side("ba"), _side("bb")
+        .localCheckpoint(eager=True)
+    )
+    pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+    # role-tagged self-UNION instead of a two-sided cogroup: joining the
+    # same checkpointed table twice into cogroup trips the ambiguous-self-
+    # join analyzer; a union is unambiguous and needs only ONE grouped
+    # exchange (the function splits roles per block pair)
+    a_side = tagged.join(
+        F.broadcast(pair_df), F.col("blk") == F.col("ba")
+    ).select("ba", "bb", F.lit(0).alias("role"), "id", "__idxs")
+    b_side = tagged.join(
+        F.broadcast(pair_df), F.col("blk") == F.col("bb")
+    ).select("ba", "bb", F.lit(1).alias("role"), "id", "__idxs")
+    both = a_side.unionByName(b_side)
     out_schema = T.StructType(
         [
             T.StructField(col_lo, T.LongType()),
@@ -479,8 +509,10 @@ def _dense_pair_blocks(
         {col_lo: "int64", col_hi: "int64", "common": "int64", score_col: "float64"}
     )
 
-    def block_common(key, a_pdf, b_pdf):
+    def block_common(key, pdf):
         ba, bb = key
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = pdf[pdf["role"] == 1]
         if a_pdf.empty or b_pdf.empty:
             return empty
 
@@ -521,11 +553,7 @@ def _dense_pair_blocks(
             }
         )
 
-    return (
-        a_side.groupBy("ba", "bb")
-        .cogroup(b_side.groupBy("ba", "bb"))
-        .applyInPandas(block_common, out_schema)
-    )
+    return both.groupBy("ba", "bb").applyInPandas(block_common, out_schema)
 
 
 def ngram_jaccard_pairs_dense(
@@ -538,6 +566,7 @@ def ngram_jaccard_pairs_dense(
     max_vocab: int = 4096,
     _n_docs: int | None = None,
     _vocab_checked: bool = False,
+    _vidx: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via dense bitset intersection — the right plan
     when the shingle UNIVERSE is small (every posting list hot, so both the
@@ -555,7 +584,7 @@ def ngram_jaccard_pairs_dense(
     """
     return _dense_pair_blocks(
         df, id_col, text_col, n, min_jaccard, max_rows, max_vocab,
-        "jaccard", _n_docs, _vocab_checked,
+        "jaccard", _n_docs, _vocab_checked, _vidx,
     )
 
 
@@ -591,11 +620,13 @@ def ngram_jaccard_pairs_auto(
     not re-run them. The plain inverted index remains available by name
     for corpora known to have uniformly short posting lists.
     """
-    admit, n_docs = _dense_admission(df, id_col, text_col, n, max_rows, max_vocab)
+    admit, n_docs, vidx = _dense_admission(
+        df, id_col, text_col, n, max_rows, max_vocab
+    )
     if admit:
         return ngram_jaccard_pairs_dense(
             df, id_col, text_col, n, min_jaccard, max_rows,
-            max_vocab, _n_docs=n_docs, _vocab_checked=True,
+            max_vocab, _n_docs=n_docs, _vocab_checked=True, _vidx=vidx,
         )
     return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, min_jaccard)
 
@@ -608,10 +639,10 @@ def _dense_admission(
     max_rows: int,
     max_vocab: int,
     sample_docs: int = 2_000,
-) -> tuple[bool, int]:
+) -> tuple[bool, int, DataFrame | None]:
     """Shared dense-regime admission test for the Jaccard/containment auto
-    routers: (admit, n_docs_upper_bound). Decision is IDENTICAL to probing
-    the full corpus (pytest-asserted); only the probe cost changes:
+    routers: (admit, n_docs_upper_bound, vidx). Decision is IDENTICAL to
+    probing the full corpus (pytest-asserted); only the probe cost changes:
 
     * doc-count probe runs on the RAW input (``shingle_arrays`` only ever
       DROPS rows — docs shorter than ``n`` tokens — so the raw count is a
@@ -622,26 +653,38 @@ def _dense_admission(
       sample exceeding ``max_vocab`` PROVES the full corpus does, and the
       Zipf-vocabulary regime (the common one at scale) is rejected without
       the full map pass the r06 verdict flagged. Only a sample that stays
-      under the cap falls through to the exact full-corpus probe, and when
-      the sample WAS the whole corpus (``n_docs <= sample_docs``) even
-      that is skipped.
+      under the cap falls through to the exact full-corpus probe.
+
+    On admit, the full-corpus probe's ≤ ``max_vocab`` distinct-shingle
+    slice is materialized and returned as the shingle→column index
+    (``vidx``: shingle, __idx) so the dense path does not re-run the
+    corpus-wide distinct pass it implies (r11, guide §1.2 — the probe IS
+    the index build). ``vidx`` is None whenever admission fails.
     """
     if not _integral_id_dtype(df, id_col):
-        return False, 0
+        return False, 0, None
     n_docs = df.limit(max_rows + 1).count()
     if n_docs > max_rows:
-        return False, n_docs
-    vocab_probe = (
-        lambda frame: shingle_arrays(frame, id_col, text_col, n)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-        .limit(max_vocab + 1)
-        .count()
+        return False, n_docs, None
+    sh = lambda frame: shingle_arrays(frame, id_col, text_col, n).select(  # noqa: E731
+        F.explode("shingles").alias("shingle")
     )
     if n_docs > sample_docs:
-        if vocab_probe(df.limit(sample_docs)) > max_vocab:
-            return False, n_docs
-    return vocab_probe(df) <= max_vocab, n_docs
+        sample_probe = (
+            sh(df.limit(sample_docs)).distinct().limit(max_vocab + 1).count()
+        )
+        if sample_probe > max_vocab:
+            return False, n_docs, None
+    # full-corpus probe, materialized: when it admits, this slice IS the
+    # complete distinct vocabulary (≤ max_vocab rows — the window and the
+    # checkpoint are bounded) and doubles as the dense path's column index
+    vs = sh(df).distinct().limit(max_vocab + 1).localCheckpoint(eager=True)
+    if vs.count() > max_vocab:
+        return False, n_docs, None
+    vidx = vs.withColumn(
+        "__idx", F.row_number().over(Window.orderBy("shingle")) - 1
+    )
+    return True, n_docs, vidx
 
 
 def ngram_best_match(
@@ -737,11 +780,18 @@ def ngram_best_match(
         raise ValueError(
             "ngram_best_match: force must be None|'exact'|'banded'|'tiered'"
         )
+
     regime = force
     if regime is None:
         probed = df.select(id_col).limit(max_exact_docs + 1).count()
         regime = "exact" if probed <= max_exact_docs else "banded"
     if regime == "exact":
+        # NOTE (r11): routing this unthresholded enumeration through the
+        # dense block-BLAS core (t=0 / common≥1 mode) was measured and
+        # REJECTED — with output ≈ all overlapping pairs (2.6M rows at
+        # sf0.1) the Arrow serialization out of the Python worker costs
+        # ~3× the JVM inverted-index join+agg (5.2 s vs 1.7 s). Dense
+        # wins only when a threshold keeps the output small.
         pairs = ngram_jaccard_pairs(
             df, id_col, text_col, n, min_jaccard=0.0, max_docs=None
         )
@@ -1151,25 +1201,80 @@ def minhash_md5_signature(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _cc_driver_solve(spark, pdf) -> DataFrame | None:
+    """Vectorized min-label connected components over a bounded edge list
+    already on the driver (two int64 columns a, b). Same fixpoint as the
+    distributed loop: labels start as node ids, every round each node
+    takes the min of its own and its neighbors' labels, plus pointer
+    jumping (label-of-label) — O(log diameter) vectorized rounds, each a
+    couple of ``np.minimum.at`` scatters over the edge arrays. Returns
+    (node long, comp long); edge-free nodes are absent by construction,
+    matching the distributed loop."""
+    import numpy as np
+    import pandas as pd
+
+    global LAST_CC_ROUNDS
+    a = pdf["a"].to_numpy(dtype=np.int64)
+    b = pdf["b"].to_numpy(dtype=np.int64)
+    # np.unique sorts, so index order == id order: a min over indices IS a
+    # min over ids, and uniq[label] recovers the canonical representative
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    labels = np.arange(len(uniq), dtype=np.int64)
+    rounds = 0
+    for _ in range(10_000):  # log2(diameter) rounds; backstop only
+        rounds += 1
+        new = labels.copy()
+        np.minimum.at(new, ai, labels[bi])
+        np.minimum.at(new, bi, labels[ai])
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    LAST_CC_ROUNDS = rounds
+    out = pd.DataFrame({"node": uniq, "comp": uniq[labels]})
+    return spark.createDataFrame(out, schema="node long, comp long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node, component),
     component = smallest node id in the component (a deterministic canonical
     representative — the doc to KEEP in near-dup dedup).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own and its neighbors' labels; converges in O(graph diameter)
-    rounds. Near-dup graphs are unions of small cliques, so the diameter —
-    and the round count — stays tiny even at 100 TB; each round is one join
-    + one hash agg on the edge list (never materializes components). The
-    eager per-round ``count`` is the convergence check (same driver-loop
-    pattern as the reference's ProximityMedian, ipynb:872); labels are
-    re-persisted per round and localCheckpoint'ed periodically so lineage
-    stays bounded for high-diameter graphs.
+    Two regimes, probed like every router in this module (r11):
+
+    * **bounded graph** (≤ ``driver_max_edges`` edges by an O(limit)
+      probe): one Arrow transfer of the two long columns (~16 MB at the
+      1M-edge cap) and a vectorized numpy min-label + pointer-jumping
+      solve on the driver. Near-dup edge lists at gate scales are a few
+      thousand rows, and the incremental/deletion paths call CC on
+      contracted or subgraph frames that are delta-sized by construction
+      — paying one distributed join + agg + localCheckpoint PER ROUND for
+      those (measured: 7-round chain CC 5.5 s, 6-round post-deletion
+      re-cluster 7.0 s at sf0.1) was pure scheduling overhead. Same
+      bounded-collect doctrine as the BPE driver merge loop and the
+      ≤max_exact quantile slices. Set ``driver_max_edges=0`` to pin the
+      distributed loop (tests do).
+    * **distributed loop** otherwise: iterative min-label propagation;
+      each round every node takes the min of its own and its neighbors'
+      labels; converges in O(graph diameter) rounds, with label-of-label
+      pointer jumping from round 3 making that O(log diameter). The eager
+      per-round Σcomp comparison is the convergence check — labels only
+      ever decrease, so the exact decimal sum is a fixpoint witness; one
+      agg over the round's persisted output where a labels⨝new join +
+      count used to run (r11, guide §2.4: a full join removed per round);
+      same driver-loop pattern as the reference's ProximityMedian
+      (ipynb:872). Labels are re-persisted per round and
+      localCheckpoint'ed periodically so lineage stays bounded.
+
+    Both regimes return the identical labeling (pytest-asserted): the
+    fixpoint of min-label propagation is unique.
 
     Nodes with no edges are absent from the output by definition (they are
     their own singleton cluster).
@@ -1185,6 +1290,14 @@ def connected_components(
     und = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).persist()
+    if driver_max_edges and _is_bounded(und, driver_max_edges):
+        pdf = und.toPandas()  # Arrow: two int64 columns, probe-bounded
+        # NULL endpoints (non-integral ids cast to long) would need the
+        # distributed loop's NULL-propagation semantics — don't guess,
+        # fall through to the loop for those
+        if not pdf.isnull().values.any():
+            und.unpersist()
+            return _cc_driver_solve(edges.sparkSession, pdf)
     adj = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
@@ -1196,6 +1309,19 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    # convergence ledger: every node's label is initially itself, and
+    # min-propagation only ever DECREASES labels, so Σcomp strictly
+    # decreases until (and only until) the fixpoint — comparing sums
+    # replaces the old per-round labels⨝new join + count with one agg
+    # over the already-persisted round output (guide §2.4: one shuffle
+    # and a full join removed per round). decimal(38,0) keeps the sum
+    # exact at any node-id magnitude (a long sum could wrap).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None  # computed lazily: round 1 always runs
     for i in range(max_iter):
         nbr_min = adj.join(
             labels.select(F.col("node").alias("b"), "comp"), on="b"
@@ -1242,12 +1368,11 @@ def connected_components(
             new = new.localCheckpoint()
         else:
             new = propagated
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(labels, on="node")
-            .filter(F.col("new_comp") < F.col("comp"))
-            .count()
-        )
+        if prev_sum is None:
+            prev_sum = _label_sum(labels)
+        new_sum = _label_sum(new)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         if new is not propagated:
             propagated.unpersist()
         labels.unpersist()
@@ -2273,6 +2398,7 @@ def ngram_containment_pairs_dense(
     max_vocab: int = 4096,
     _n_docs: int | None = None,
     _vocab_checked: bool = False,
+    _vidx: DataFrame | None = None,
 ) -> DataFrame:
     """``ngram_containment_pairs`` via dense bitset intersection — the
     small-shingle-universe regime. Thin wrapper over
@@ -2284,7 +2410,7 @@ def ngram_containment_pairs_dense(
     pytest-verified identical."""
     return _dense_pair_blocks(
         df, id_col, text_col, n, min_containment, max_rows, max_vocab,
-        "containment", _n_docs, _vocab_checked,
+        "containment", _n_docs, _vocab_checked, _vidx,
     )
 
 
@@ -2305,11 +2431,13 @@ def ngram_containment_pairs_auto(
     ~1k-bigram universe) or **prefix** (Zipf universe at scale, any id
     type). Probe results are handed to the dense path so it does not
     re-run them (r06 review)."""
-    admit, n_docs = _dense_admission(df, id_col, text_col, n, max_rows, max_vocab)
+    admit, n_docs, vidx = _dense_admission(
+        df, id_col, text_col, n, max_rows, max_vocab
+    )
     if admit:
         return ngram_containment_pairs_dense(
             df, id_col, text_col, n, min_containment, max_rows,
-            max_vocab, _n_docs=n_docs, _vocab_checked=True,
+            max_vocab, _n_docs=n_docs, _vocab_checked=True, _vidx=vidx,
         )
     return ngram_containment_pairs_prefix(
         df, id_col, text_col, n, min_containment

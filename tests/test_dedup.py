@@ -78,6 +78,31 @@ def test_connected_components_min_label(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
 
 
+def test_connected_components_driver_regime_equals_distributed(spark):
+    """r11: bounded graphs route to the driver-side vectorized union-find
+    regime (probe-gated Arrow collect). Both regimes must return the
+    identical labeling — mixed shape (chain + clique + 2-cycle + huge
+    ids) exercises pointer jumping and the min-representative rule."""
+    import pyspark_weather_forecasting_gsod_spark.ext.dedup as D
+
+    big = 2**61
+    rows = (
+        [(i, i + 1) for i in range(50)]                     # chain 0..50
+        + [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+        + [(big, big + 7), (big + 7, big)]                  # dup reversed
+        + [(big + 1, 60), (60, 61)]
+    )
+    edges = spark.createDataFrame(rows, ["doc_a", "doc_b"])
+    drv = {(r.node, r.comp) for r in D.connected_components(edges).collect()}
+    dist = {
+        (r.node, r.comp)
+        for r in D.connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert drv == dist and drv
+    # and the driver regime actually ran (diagnostic rounds are vectorized)
+    assert D.LAST_CC_ROUNDS >= 1
+
+
 def test_connected_components_high_diameter_chain(spark):
     """r08 VERDICT #4: the sf1 rehearsal's replica clumps are cliques
     (cc_rounds=2), so pointer-jumping had never been exercised past round
@@ -90,12 +115,31 @@ def test_connected_components_high_diameter_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1000)], ["doc_a", "doc_b"]
     )
-    got = D.connected_components(edges, max_iter=30).collect()
+    got = D.connected_components(edges, max_iter=30, driver_max_edges=0).collect()
     assert len(got) == 1001
     assert all(r.comp == 0 for r in got)
     # 2 deferred plain rounds + ~log2(1000) compression rounds + slack;
     # a regression to linear propagation would hit max_iter=30 and raise
     assert 3 <= D.LAST_CC_ROUNDS <= 15, D.LAST_CC_ROUNDS
+
+
+def test_connected_components_sum_witness_exact_at_huge_ids(spark):
+    """r11: convergence is decided by comparing exact decimal Σcomp
+    between rounds (labels only ever decrease). Node ids near 2^62 would
+    wrap a plain long sum (3 ids > 2^63) and could fake a fixpoint; the
+    decimal(38,0) sum must stay exact and the clusters correct."""
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import connected_components
+
+    big = 2**62
+    edges = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (7, 9)], ["doc_a", "doc_b"]
+    )
+    got = {(r.node, r.comp) for r in connected_components(
+        edges, driver_max_edges=0
+    ).collect()}
+    assert got == {
+        (big, big), (big + 1, big), (big + 2, big), (7, 7), (9, 7),
+    }
 
 
 def test_connected_components_raises_on_non_convergence(spark):
@@ -109,7 +153,7 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(7)], ["src", "dst"]
     )
     with pytest.raises(RuntimeError, match="convergence"):
-        connected_components(edges, src="src", dst="dst", max_iter=2)
+        connected_components(edges, src="src", dst="dst", max_iter=2, driver_max_edges=0)
 
 
 def test_dedup_increment_drops_known_and_internal_dups(spark):
@@ -895,8 +939,8 @@ def test_dense_admission_probe_matches_full_decision(spark):
     big_vocab = spark.createDataFrame(
         [Row(doc_id=i, text=f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(2500)]
     )
-    admit, n_docs = _dense_admission(big_vocab, "doc_id", "text", 2, 200_000, 4096)
-    assert not admit and n_docs == 2500
+    admit, n_docs, vidx = _dense_admission(big_vocab, "doc_id", "text", 2, 200_000, 4096)
+    assert not admit and n_docs == 2500 and vidx is None
 
     # 2,500 docs over a ~10-token universe: sample passes, full probe passes
     words = [f"w{k}" for k in range(10)]
@@ -906,8 +950,12 @@ def test_dense_admission_probe_matches_full_decision(spark):
             for i in range(2500)
         ]
     )
-    admit, n_docs = _dense_admission(tiny_vocab, "doc_id", "text", 2, 200_000, 4096)
+    admit, n_docs, vidx = _dense_admission(tiny_vocab, "doc_id", "text", 2, 200_000, 4096)
     assert admit and n_docs == 2500
+    # on admit the probe hands back the complete shingle->column index
+    vrows = vidx.collect()
+    assert len(vrows) == len({r.shingle for r in vrows})
+    assert sorted(r["__idx"] for r in vrows) == list(range(len(vrows)))
 
     # short docs (< n tokens) are counted by the raw probe but dropped by
     # shingling: admission must hold and the routed output must equal the
@@ -916,8 +964,8 @@ def test_dense_admission_probe_matches_full_decision(spark):
         [Row(doc_id=i, text="red blue green yellow" if i % 2 else "solo")
          for i in range(40)]
     )
-    admit, n_docs = _dense_admission(mixed, "doc_id", "text", 2, 200_000, 4096)
-    assert admit and n_docs == 40
+    admit, n_docs, vidx = _dense_admission(mixed, "doc_id", "text", 2, 200_000, 4096)
+    assert admit and n_docs == 40 and vidx is not None
 
     def key(rows):
         return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
