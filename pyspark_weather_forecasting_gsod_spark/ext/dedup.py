@@ -1806,6 +1806,12 @@ def update_components(
     Cost: two broadcast-or-shuffle label lookups on the new edges + CC
     over a graph whose size is O(|new edges|) — independent of the
     accumulated corpus. Returns the full updated (node, comp) table."""
+    # materialize the batch ONCE (r11, guide §1.2): it is O(|new edges|)
+    # by the function's own contract, and it is consumed by BOTH the
+    # validation probe and the contraction — callers usually pass a lazy
+    # pair-enumeration plan (e.g. the incremental query's dense-BLAS
+    # batch pairs), which would otherwise re-execute per consumer
+    new_edges = new_edges.select(src, dst).localCheckpoint(eager=True)
     if validate_labels:
         # exact, batch-bounded precondition check: the contraction proof
         # relies only on the comp ids of nodes INCIDENT to the new edges,

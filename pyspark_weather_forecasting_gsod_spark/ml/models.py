@@ -17,7 +17,6 @@ from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
 from pyspark.ml.evaluation import (
     BinaryClassificationEvaluator,
     MulticlassClassificationEvaluator,
-    RegressionEvaluator,
 )
 from pyspark.ml.regression import GBTRegressor, LinearRegression
 from pyspark.sql import DataFrame
@@ -89,25 +88,53 @@ def train_xgb_regressor(train: DataFrame, label_col: str, **params) -> object:
 
 
 def evaluate_regression(
-    predictions: DataFrame, label_col: str, prediction_col: str = "prediction"
+    predictions: DataFrame,
+    label_col: str,
+    prediction_col: str = "prediction",
+    with_count: bool = False,
 ) -> dict[str, float]:
     """M9 + M11, DataFrame-native: rmse/mse/mae/r2 without any RDD hop.
 
-    Predictions are cached for the duration: each evaluator is a separate
-    action, and without the cache all four would replay the full model +
-    feature lineage (the reference's recompute pattern, SURVEY.md §4).
-    """
-    predictions = predictions.persist()
-    try:
-        out = {}
-        for metric in ("rmse", "mse", "mae", "r2"):
-            ev = RegressionEvaluator(
-                labelCol=label_col, predictionCol=prediction_col, metricName=metric
-            )
-            out[metric] = ev.evaluate(predictions)
-        return out
-    finally:
-        predictions.unpersist()
+    ONE aggregate pass (r11, guide §1.2): the four ``RegressionEvaluator``
+    calls this replaces each launched a separate job over the predictions
+    (plus a persist to keep the model lineage from replaying four times —
+    the reference's recompute pattern, SURVEY.md §4). The definitions are
+    ``pyspark.ml``'s own (``RegressionMetrics``): mse = Σe²/n,
+    rmse = √mse, mae = Σ|e|/n, r2 = 1 − SSerr/SStot with
+    SStot = Σ(y−ȳ)² — computed here as Σy² − (Σy)²/n, the same
+    one-pass identity the MLlib summarizer uses. Values agree with the
+    evaluators to float accumulation order (pytest metric-band gated).
+
+    ``with_count=True`` adds ``n`` (row count) to the dict — callers that
+    needed a separate ``count()`` action (k-fold) get it from the same
+    pass."""
+    from pyspark.sql import functions as F
+
+    e = F.col(prediction_col) - F.col(label_col)
+    y = F.col(label_col)
+    row = predictions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e * e).alias("sse"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = row["n"] or 0
+    if n == 0:
+        out = {"rmse": float("nan"), "mse": float("nan"),
+               "mae": float("nan"), "r2": float("nan")}
+    else:
+        mse = row["sse"] / n
+        ss_tot = row["syy"] - row["sy"] * row["sy"] / n
+        out = {
+            "rmse": mse ** 0.5,
+            "mse": mse,
+            "mae": row["sae"] / n,
+            "r2": 1.0 - row["sse"] / ss_tot if ss_tot != 0 else float("nan"),
+        }
+    if with_count:
+        out["n"] = n
+    return out
 
 
 def evaluate_classification(
@@ -178,9 +205,13 @@ def kfold_cv_regression(
             model = train_linear_regression(
                 train, label_col, features_col=features_col
             )
-            m = evaluate_regression(model.transform(test), label_col)
+            # one pass: metrics AND the fold size come from the same
+            # aggregate (the separate count() action is gone — r11)
+            m = evaluate_regression(
+                model.transform(test), label_col, with_count=True
+            )
             m["fold"] = i
-            m["n_test"] = test.count()
+            m["n_test"] = m.pop("n")
             out.append(m)
     finally:
         tagged.unpersist()

@@ -222,17 +222,28 @@ def run_gsod_pipeline(
                 m, col, group_by="stn", order_by=["date"], schedule=(4, 8)
             )
 
+        # Stage materialization (r11, guide §1.2/§5): every imputer stage
+        # branches its input — the global-median aggregate, the seasonal
+        # (stn, month) aggregate, and the main when-merge chain each
+        # re-execute the full upstream lineage in one lazy plan, so the
+        # fixture + normalize + earlier stages replayed multiplicatively
+        # (the reference's 1,462-stage pathology in miniature; measured
+        # 14.6-25.4 s for the impute phase at the 365k-row bench fixture).
+        # An eager localCheckpoint at each branch point executes each
+        # stage exactly once; values are bit-identical (same computation,
+        # materialized). Measured: impute phase → ~3 s.
+        imputed = slim.localCheckpoint(eager=True)
         imputed = proximity_impute_fixed_schedule(
-            slim, ["visib", "wdsp", "mxpsd"], group_by="stn", order_by=["date"],
+            imputed, ["visib", "wdsp", "mxpsd"], group_by="stn", order_by=["date"],
             schedule=(4, 8),
         )
-        imputed = zero_impute(imputed, {"prcp": 0.0})
+        imputed = zero_impute(imputed, {"prcp": 0.0}).localCheckpoint(eager=True)
         imputed = seasonal_median_impute(
             imputed, "max", group_by="stn", date_col="date", fallback=prox_fb("max")
-        )
+        ).localCheckpoint(eager=True)
         imputed = seasonal_median_impute(
             imputed, "min", group_by="stn", date_col="date", fallback=prox_fb("min")
-        )
+        ).localCheckpoint(eager=True)
         imputed = proximity_impute_fixed_schedule(
             imputed, ["temp", "stp"], group_by="stn", order_by=["date"], schedule=(4, 8)
         )
