@@ -1066,7 +1066,12 @@ def minhash_lsh_pairs(
     )
     cand_arrs = shingle_arrays(
         df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized once (r11, guide §1.2): the verification join reads
+    # this frame FOUR times (shingle rows for each pair side + a size
+    # table per side), and each reference of the lazy plan re-ran the
+    # raw-doc semi-join + shingle regex. Candidate-proportional by
+    # construction, so the checkpoint is bounded.
     sh = cand_arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = cand_arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("sz"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")

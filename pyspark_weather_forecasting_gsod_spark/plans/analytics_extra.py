@@ -108,6 +108,11 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # materialized once (r11, guide §1.2): the undirected union below
+        # references this join+distinct subtree twice, and the graph build
+        # (degree agg + node set + cache warm-up) re-reads it again —
+        # edge-list-sized by construction
+        .localCheckpoint(eager=True)
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -196,6 +201,11 @@ def personalized_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # materialized once (r11, guide §1.2): the undirected union below
+        # references this join+distinct subtree twice, and the graph build
+        # (degree agg + node set + cache warm-up) re-reads it again —
+        # edge-list-sized by construction
+        .localCheckpoint(eager=True)
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
