@@ -290,6 +290,47 @@ def seasonal_median_impute(
     )
 
 
+def seasonal_median_impute_multi(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: str,
+    date_col: str,
+    fallback: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-column ``seasonal_median_impute`` (r11, guide §1.2/§2.3):
+    per-column output PROVABLY identical to chaining the single-column
+    imputer once per column — each stage only ever reads and writes its
+    own column, so the (group, month) medians and every residue are
+    column-independent — but all columns share ONE (group, month)
+    aggregate pass, ONE broadcast join, and (via a multi-column
+    ``fallback`` such as ``proximity_impute_fixed_schedule``) one shared
+    window-exchange chain, where the chained form paid one full
+    agg + join + fallback chain per column (the gsod pipeline's two
+    seasonal stages, measured as separate checkpoint rounds). Fill is
+    in-place (``out_col == column``), pytest-asserted equal to the
+    sequential chain."""
+    cols = list(columns)
+    mo = F.month(F.col(date_col))
+    seasonal = df.groupBy(F.col(group_by), mo.alias("__mo")).agg(
+        *[F.median(c).alias(f"__smed_{c}") for c in cols]
+    )
+    fact = df.withColumn("__mo", mo)
+    joined = fact.join(F.broadcast(seasonal), on=[group_by, "__mo"], how="left")
+    merged = joined.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__smed_{c}")) for c in cols}
+    ).drop("__mo", *[f"__smed_{c}" for c in cols])
+    if fallback is not None:
+        return fallback(merged)
+    gmed = df.agg(*[F.median(c).alias(f"__gmed_{c}") for c in cols])
+    exprs = [
+        F.coalesce(F.col(c), F.col(f"__gmed_{c}")).alias(c)
+        if c in cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    return merged.join(F.broadcast(gmed)).select(*exprs)
+
+
 def forward_fill(
     df: DataFrame,
     column: str,

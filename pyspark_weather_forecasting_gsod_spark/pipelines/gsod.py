@@ -33,6 +33,7 @@ from ..operators.impute import (
     proximity_mean_impute,
     run_impute_strategy,
     seasonal_median_impute,
+    seasonal_median_impute_multi,
     zero_impute,
 )
 from ..operators.quality import missing_census, normalize_sentinels
@@ -238,11 +239,18 @@ def run_gsod_pipeline(
             schedule=(4, 8),
         )
         imputed = zero_impute(imputed, {"prcp": 0.0}).localCheckpoint(eager=True)
-        imputed = seasonal_median_impute(
-            imputed, "max", group_by="stn", date_col="date", fallback=prox_fb("max")
-        ).localCheckpoint(eager=True)
-        imputed = seasonal_median_impute(
-            imputed, "min", group_by="stn", date_col="date", fallback=prox_fb("min")
+        # ONE seasonal stage for max+min (r11): the columns are mutually
+        # independent (each stage reads/writes only its own column), so
+        # the fused operator's per-column output equals the old
+        # seasonal(max) → prox(max) → seasonal(min) → prox(min) chain
+        # bit for bit — with one (stn, month) aggregate + one broadcast
+        # join + one shared fallback window chain instead of two of each
+        imputed = seasonal_median_impute_multi(
+            imputed, ["max", "min"], group_by="stn", date_col="date",
+            fallback=lambda m: proximity_impute_fixed_schedule(
+                m, ["max", "min"], group_by="stn", order_by=["date"],
+                schedule=(4, 8),
+            ),
         ).localCheckpoint(eager=True)
         imputed = proximity_impute_fixed_schedule(
             imputed, ["temp", "stp"], group_by="stn", order_by=["date"], schedule=(4, 8)
@@ -262,6 +270,11 @@ def run_gsod_pipeline(
         imputed, group_by="stn", order_by="date",
         labels={"max": "next_day_max", "rain_drizzle": "next_day_rain"},
     ).withColumn("next_day_rain", F.col("next_day_rain").cast("double"))
+    # materialized once (r11, guide §1.2): the label window re-executed for
+    # every downstream consumer — the indexer pass, the scaler pass, each
+    # model fit, and each eval all replay lead_labels otherwise (the
+    # feature transform itself stays lazy: it is a map-only projection)
+    labeled = labeled.localCheckpoint(eager=True)
 
     pipeline = build_feature_pipeline(
         categorical=INDICATORS,

@@ -124,6 +124,61 @@ def test_seasonal_median_impute_with_monthly_groups(spark):
     assert got[("b", 2, 1)] == 100.0
 
 
+def test_seasonal_median_impute_multi_equals_sequential_chain(spark):
+    """r11: the fused multi-column seasonal imputer must reproduce the
+    sequential single-column chain bit for bit — both with the default
+    global-median residue and with a shared proximity fallback (the gsod
+    fast path's shape), including all-NULL (group, month) cells."""
+    from pyspark_weather_forecasting_gsod_spark.operators.impute import (
+        proximity_impute_fixed_schedule,
+        seasonal_median_impute_multi,
+    )
+
+    rows = [
+        Row(stn="a", date=D(2023, 1, 1), x=10.0, y=None),
+        Row(stn="a", date=D(2023, 1, 5), x=None, y=2.0),
+        Row(stn="a", date=D(2023, 1, 9), x=20.0, y=4.0),
+        Row(stn="a", date=D(2023, 2, 1), x=None, y=None),  # all-null cells
+        Row(stn="b", date=D(2023, 2, 1), x=100.0, y=None),  # (b,*) y all null
+        Row(stn="b", date=D(2023, 2, 3), x=None, y=None),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def key(frame):
+        return sorted(
+            (r.stn, r.date, r.x, r.y) for r in frame.collect()
+        )
+
+    # default residue: global median per column
+    seq = seasonal_median_impute(df, "x", group_by="stn", date_col="date")
+    seq = seasonal_median_impute(seq, "y", group_by="stn", date_col="date")
+    multi = seasonal_median_impute_multi(
+        df, ["x", "y"], group_by="stn", date_col="date"
+    )
+    assert key(multi) == key(seq)
+
+    # shared proximity fallback (gsod fast-path shape)
+    def prox1(c):
+        return lambda m: proximity_impute_fixed_schedule(
+            m, c, group_by="stn", order_by=["date"], schedule=(2, 4)
+        )
+
+    seq_fb = seasonal_median_impute(
+        df, "x", group_by="stn", date_col="date", fallback=prox1("x")
+    )
+    seq_fb = seasonal_median_impute(
+        seq_fb, "y", group_by="stn", date_col="date", fallback=prox1("y")
+    )
+    multi_fb = seasonal_median_impute_multi(
+        df, ["x", "y"], group_by="stn", date_col="date",
+        fallback=lambda m: proximity_impute_fixed_schedule(
+            m, ["x", "y"], group_by="stn", order_by=["date"], schedule=(2, 4)
+        ),
+    )
+    assert key(multi_fb) == key(seq_fb)
+    assert multi_fb.columns == df.columns
+
+
 def test_zero_impute(spark):
     df = spark.createDataFrame([Row(prcp=None), Row(prcp=1.5)], "prcp double")
     out = zero_impute(df, {"prcp": 0.0})
