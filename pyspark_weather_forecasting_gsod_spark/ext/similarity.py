@@ -957,20 +957,25 @@ def cosine_allpairs_blocked(
     spark = corpus.sparkSession
     block_pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
 
-    def _side(role: str) -> DataFrame:
-        # fresh lineage per side: the cogroup below is otherwise a
-        # self-join Spark flags as ambiguous
-        tagged = corpus.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn(
-            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-        )
-        pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
-        return tagged.join(
-            F.broadcast(pair_df), F.col("blk") == F.col(role)
-        ).select("ba", "bb", "id", "vec")
-
-    a_side, b_side = _side("ba"), _side("bb")
+    # one lineage, role-tagged self-UNION (r11, same restructuring as
+    # ext.dedup._dense_pair_blocks): the old per-side fresh lineage
+    # re-executed the corpus subtree per cogroup side (expensive when the
+    # caller passes a derived frame, e.g. a sampled audit slice), and the
+    # two-sided cogroup needed two grouped exchanges where the union
+    # needs one; the block function splits roles per block pair
+    tagged = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+    a_side = tagged.join(
+        F.broadcast(pair_df), F.col("blk") == F.col("ba")
+    ).select("ba", "bb", F.lit(0).alias("role"), "id", "vec")
+    b_side = tagged.join(
+        F.broadcast(pair_df), F.col("blk") == F.col("bb")
+    ).select("ba", "bb", F.lit(1).alias("role"), "id", "vec")
+    both = a_side.unionByName(b_side)
 
     out_schema = T.StructType(
         [
@@ -980,8 +985,10 @@ def cosine_allpairs_blocked(
         ]
     )
 
-    def block_matmul(key, a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def block_matmul(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ba, bb = key
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = pdf[pdf["role"] == 1]
         if a_pdf.empty or b_pdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
@@ -1005,11 +1012,7 @@ def cosine_allpairs_blocked(
             {"id_a": lo, "id_b": hi, "cosine": np.round(C[ai, bi], round_digits)}
         )
 
-    return (
-        a_side.groupBy("ba", "bb")
-        .cogroup(b_side.groupBy("ba", "bb"))
-        .applyInPandas(block_matmul, out_schema)
-    )
+    return both.groupBy("ba", "bb").applyInPandas(block_matmul, out_schema)
 
 
 def embedding_covariance(
