@@ -198,6 +198,30 @@ def main() -> None:
         )
     except Exception:
         pass  # warm-up is best-effort; never fail the sweep over it
+    # Streaming-machinery warm-up (r11, same doctrine as the batch JVM
+    # warm-up above): the FIRST streaming query in a fresh JVM pays the
+    # one-time StreamExecution / state-store-provider / memory-sink /
+    # Python-streaming-source class-loading (measured: python_source_
+    # stream_agg 10.3 s cold-first vs 4.6 s after any tiny stream;
+    # streaming_tumbling 1.4 s vs 9.6 s in the r10 sweep). One UNMEASURED
+    # miniature stream at sf0.001 (file source + watermark agg) plus one
+    # 2-batch Python-source stream strips that position-dependent tax;
+    # each measured streaming query still executes its full stream drain
+    # on the measured data with a fresh checkpoint.
+    try:
+        from pyspark_weather_forecasting_gsod_spark.sources.pyds import (
+            run_python_source_stream,
+        )
+        from pyspark_weather_forecasting_gsod_spark.streaming.stream import (
+            run_streaming_tumbling_append,
+        )
+
+        tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if os.path.isdir(tiny):
+            run_streaming_tumbling_append(spark, tiny)
+        run_python_source_stream(spark, n_rows=8, rows_per_batch=4, n_users=2)
+    except Exception:
+        pass  # best-effort, as above
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     fingerprints: dict[str, str] = {}
@@ -318,9 +342,11 @@ def main() -> None:
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "cpus": cpus,
         "first_run_total": round(sum(first_runs.values()), 3),
-        "jvm_warmup": "one unmeasured nation-parquet agg + noop write "
-        "before the first measured query (strips the fresh-JVM "
-        "first-query spike; r09 VERDICT #8)",
+        "jvm_warmup": "one unmeasured nation-parquet agg + noop write, plus "
+        "one miniature sf0.001 streaming pass + a 2-batch Python-source "
+        "stream, before the first measured query (strips the fresh-JVM "
+        "first-query spike and the first-stream class-loading tax; r09 "
+        "VERDICT #8, extended r11)",
         "ledger_policy": "per-query floors keyed to a normalized "
         "optimized-plan fingerprint (r10 VERDICT #2): a fingerprint "
         "change — i.e. a code change that altered the query's plan — "
