@@ -985,7 +985,7 @@ def cosine_allpairs_blocked(
         ]
     )
 
-    def block_matmul(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def block_matmul(key, pdf):
         ba, bb = key
         a_pdf = pdf[pdf["role"] == 0]
         b_pdf = pdf[pdf["role"] == 1]
