@@ -66,6 +66,36 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
+def query_fingerprint(df, fn) -> str:
+    """Ledger key = plan fingerprint x query-source hash (r11).
+
+    The plan fingerprint alone has a blind spot the r11 optimization pass
+    exposed: queries whose measured frame is a materialized result
+    (``localCheckpoint``-rooted — the CC family, pagerank, the composite
+    pipelines) present a LogicalRDD plan whose normalized string NEVER
+    changes when the code upstream of the materialization does, so their
+    floors silently min across code eras — exactly the staleness the r10
+    VERDICT #2 fingerprint policy exists to prevent. Hashing the query
+    function's SOURCE alongside the plan resets those floors on any
+    query-level rewire (library-internal changes behind a checkpoint
+    remain the documented residual gap — see OPTIMIZATION_r11.md). A
+    cosmetic source edit resets a floor spuriously, which is safe: a
+    reset only forgets history, never vouches for anything."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    plan = plan_fingerprint(df)
+    if plan == "unavailable":
+        # keep the never-accumulate semantics: a floor that cannot be
+        # tied to the current plan must not vouch for it
+        return "unavailable"
+    return hashlib.sha256((plan + "\x00" + src).encode()).hexdigest()[:16]
+
+
 def update_ledger(
     sl: dict, timings: dict, fingerprints: dict
 ) -> None:
@@ -239,7 +269,7 @@ def main() -> None:
         wall = time.time() - t0
         # fingerprint AFTER the timed region (one plan re-analysis, zero
         # execution) so the measured methodology is unchanged
-        fingerprints[name] = plan_fingerprint(df)
+        fingerprints[name] = query_fingerprint(df, fn)
         # the warm-up executed the IDENTICAL full query; best-of-2 at zero
         # extra cost. This box shows sporadic multi-x slowdowns on random
         # queries per sweep (same code measured cms_join_estimate at 3.3 s
@@ -348,7 +378,9 @@ def main() -> None:
         "first-query spike and the first-stream class-loading tax; r09 "
         "VERDICT #8, extended r11)",
         "ledger_policy": "per-query floors keyed to a normalized "
-        "optimized-plan fingerprint (r10 VERDICT #2): a fingerprint "
+        "optimized-plan fingerprint x query-source hash (r10 VERDICT #2; "
+        "r11 added the source hash so materialized-result queries 's "
+        "LogicalRDD plans cannot pin a stale floor): a fingerprint "
         "change — i.e. a code change that altered the query's plan — "
         "RESETS that query's floor to the current sweep's wall, so the "
         "rolling-min headline can regress when code does. r11 is the "

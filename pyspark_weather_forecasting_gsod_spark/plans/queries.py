@@ -5661,7 +5661,14 @@ def entry_query(spark: SparkSession) -> DataFrame:
 # 36 remaining r07 hash-capable rows (alphabetical) — 8+6+36 = exactly
 # the 50-slot window, so post-r11 no hash-capable row predates r08.
 # Deferred to the r12 seed: the four r07 rows-only queries
-# (bpe_tokenizer, hard_negatives_ann, image_phash_neardup, ml_kfold_cv).
+# (bpe_tokenizer, hard_negatives_ann, image_phash_neardup, ml_kfold_cv),
+# PLUS the hash-capable queries whose code changed in the r11
+# OPTIMIZATION pass but whose window slots were already claimed by the
+# (a)-(c) partition: pagerank_orders, personalized_pagerank_orders
+# (e0 checkpoint), profile_lineitem (208d6b0 frequency-table
+# percentiles). All were re-verified hash-green by the local full gate
+# this round (OPTIMIZATION_r11.md); rotate them into the r12 window
+# for driver rows on the new plans.
 # Standing cessions (reasons unchanged from the r06-r10 ledgers):
 # ml_*/random_split (r02), approx_quantiles/freq_items_sketch (r03),
 # hll_sliding_distinct/pca_project_check/pq_ann_topk (r04) are rows-only

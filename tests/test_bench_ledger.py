@@ -133,3 +133,42 @@ def test_plan_fingerprint_line_order_still_distinguishes(spark):
         assert plan_fingerprint(early) == plan_fingerprint(late)
     else:
         assert plan_fingerprint(early) != plan_fingerprint(late)
+
+
+def test_query_fingerprint_resets_on_source_change(spark):
+    """r11: materialized-result queries (localCheckpoint-rooted) present a
+    LogicalRDD plan whose normalized string never changes with upstream
+    code; the combined plan x source fingerprint must still differ when
+    the query function's source differs, stay stable for identical calls,
+    and pass 'unavailable' through untouched."""
+    from bench import plan_fingerprint, query_fingerprint
+
+    df = spark.range(3).localCheckpoint(eager=True)
+    df2 = spark.range(3).localCheckpoint(eager=True)
+    # the blind spot: two materialized frames share a plan fingerprint
+    assert plan_fingerprint(df) == plan_fingerprint(df2)
+
+    def q_v1(s, d):
+        return s.range(3).localCheckpoint(eager=True)
+
+    def q_v2(s, d):
+        return s.range(3).filter("id >= 0").localCheckpoint(eager=True)
+
+    f1a = query_fingerprint(df, q_v1)
+    f1b = query_fingerprint(df2, q_v1)
+    f2 = query_fingerprint(df2, q_v2)
+    assert f1a == f1b            # stable across rebuilds
+    assert f1a != f2             # source change resets even behind ckpt
+    assert f1a != "unavailable"
+
+
+def test_query_fingerprint_unavailable_passthrough():
+    from bench import query_fingerprint
+
+    class _BadDF:  # no _jdf: plan_fingerprint returns 'unavailable'
+        pass
+
+    def q(s, d):
+        return None
+
+    assert query_fingerprint(_BadDF(), q) == "unavailable"
