@@ -162,7 +162,12 @@ def main() -> None:
         "ml_classification_metrics",
         "ml_feature_pipeline",
         "gsod_pipeline_e2e",
-        "embedding_neardup",
+        # NOT embedding_neardup (r11): since the r10 routing change its
+        # auto route is the exact block matmul + exact recall companion —
+        # deterministic, NO fitted state (the BRP/LSH fit that justified
+        # cold measurement is no longer on the measured path), so it now
+        # meets the same steady-state criteria as neardup_clusters below
+        # (measured: 7.5 s cold-first vs 2.7 s steady)
         "ann_lsh_topk",
         "ivf_ann_topk",
         "streaming_tumbling",
