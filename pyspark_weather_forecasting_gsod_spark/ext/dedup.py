@@ -574,7 +574,7 @@ def ngram_jaccard_pairs_dense(
     with giant shuffles; measured: the bitset path is ~8× faster than the
     inverted index on a ~900-bigram-universe corpus at sf0.1).
 
-    Thin wrapper over ``_dense_pair_blocks`` (block-cogroup BLAS; see that
+    Thin wrapper over ``_dense_pair_blocks`` (block BLAS; see that
     docstring for the decomposition, guards, and memory bounds). Requires
     an integral id column (ids are packed into int64 matrices); guards at
     ``max_rows`` docs / ``max_vocab`` distinct shingles with a pointer to
@@ -603,7 +603,7 @@ def ngram_jaccard_pairs_auto(
     probes:
 
     * integral id AND corpus ≤ ``max_rows`` AND shingle universe ≤
-      ``max_vocab`` → **dense** (block-cogroup BLAS; every posting is hot
+      ``max_vocab`` → **dense** (block BLAS; every posting is hot
       in a small universe, so inverted indexes degenerate — measured 6.7×
       here); the id-type precondition exists because dense packs ids into
       int64 matrices (r06 review);
@@ -2413,7 +2413,7 @@ def ngram_containment_pairs_dense(
 ) -> DataFrame:
     """``ngram_containment_pairs`` via dense bitset intersection — the
     small-shingle-universe regime. Thin wrapper over
-    ``_dense_pair_blocks`` (same block-cogroup BLAS decomposition, guards,
+    ``_dense_pair_blocks`` (same block BLAS decomposition, guards,
     integral-id precondition, and rationale as
     ``ngram_jaccard_pairs_dense``; the common-count matrix is identical,
     only the denominator changes to ``min(|A|,|B|)``). Output contract

@@ -213,7 +213,7 @@ def embedding_neardup_pairs(
 
     ``method`` (r10):
 
-    * ``'exact'`` — the block-cogroup BLAS matmul
+    * ``'exact'`` — the blocked BLAS matmul
       (``cosine_allpairs_blocked``): exact, distributed, no collect.
     * ``'brp'`` — MLlib BucketedRandomProjectionLSH
       ``approxSimilarityJoin`` on normalized vectors (Euclidean threshold

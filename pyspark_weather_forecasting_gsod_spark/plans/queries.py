@@ -2350,7 +2350,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``embedding_neardup_pairs(method='auto')``, r10), with the quality
     signal in the output: (recall_vs_exact, n_false_positive) measured
     in-query against the exact all-pairs companion at the same threshold.
-    Below the 100k-doc cutover the route is the exact block-cogroup
+    Below the 100k-doc cutover the route is the exact blocked
     matmul — measured strictly dominant over BRP-LSH at d=64 (2.8 s vs
     ~1900 s at the sf1 rehearsal's 20k vectors; Spark's single-projection
     BRP leaves collision_frac ≈ 0.48 per table, so its join enumerates
@@ -2376,7 +2376,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _route_recall_truth(emb, "vec_id"):
         # blocked, not broadcast (r09 self-review): a 10% sample of a
         # large corpus can exceed cosine_allpairs' driver-broadcast row
-        # cap, where it RAISES — the block-cogroup variant is the same
+        # cap, where it RAISES — the blocked variant is the same
         # exact computation with no driver collect
         summary = sampled_pair_audit(
             emb,
@@ -5562,7 +5562,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Distributed exact all-pairs (block-cogroup) + skew-mitigation join
+# Distributed exact all-pairs (blocked matmul) + skew-mitigation join
 # ---------------------------------------------------------------------------
 @query(
     "embedding_neardup_blocked",
@@ -5585,7 +5585,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine with NO driver collect
     (ext/similarity.py::cosine_allpairs_blocked): rows hash into blocks,
-    each of the B(B+1)/2 block pairs becomes one cogrouped-applyInPandas
+    each of the B(B+1)/2 block pairs becomes one grouped-applyInPandas
     BLAS matmul task, and every unordered row pair lands in exactly one
     task. Shuffle O(N*B), per-task memory O((N/B)*dim) — the exact-allpairs
     shape that survives corpora too large for cosine_allpairs' broadcast
