@@ -66,8 +66,115 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
+#: package whose internal modules form a query's code closure
+_ENGINE_PKG = "pyspark_weather_forecasting_gsod_spark"
+#: module-name -> sha256-of-AST cache (one parse per module per process)
+_MODULE_AST_HASHES: dict[str, str] = {}
+#: module-name -> package-internal imports cache
+_MODULE_PKG_IMPORTS: dict[str, list[str]] = {}
+
+
+def _resolve_pkg_import(node, current_pkg: str) -> str | None:
+    """Map an ast.Import/ImportFrom node to an engine-package module name
+    (or None when it targets a third-party module). Relative imports
+    resolve against ``current_pkg`` (the importing module's package)."""
+    import ast
+
+    if isinstance(node, ast.ImportFrom):
+        if node.level:
+            parts = current_pkg.split(".")
+            if node.level > len(parts):
+                return None
+            base = ".".join(parts[: len(parts) - node.level + 1])
+            mod = f"{base}.{node.module}" if node.module else base
+        else:
+            mod = node.module or ""
+        return mod if mod.startswith(_ENGINE_PKG) else None
+    if isinstance(node, ast.Import):
+        for alias in node.names:
+            if alias.name.startswith(_ENGINE_PKG):
+                return alias.name
+    return None
+
+
+def _module_ast_hash(modname: str) -> str:
+    """sha256 of the module file's ast.dump — comment/formatting-blind
+    (r11 ADVICE #3), code-change-sensitive."""
+    import ast
+    import hashlib
+    import importlib
+
+    cached = _MODULE_AST_HASHES.get(modname)
+    if cached is not None:
+        return cached
+    try:
+        mod = importlib.import_module(modname)
+        path = getattr(mod, "__file__", None)
+        with open(path) as f:
+            tree = ast.parse(f.read())
+        h = hashlib.sha256(ast.dump(tree).encode()).hexdigest()[:16]
+        imports = []
+        pkg = modname.rsplit(".", 1)[0] if "." in modname else modname
+        for node in ast.walk(tree):
+            target = _resolve_pkg_import(node, pkg)
+            if target:
+                imports.append(target)
+        _MODULE_PKG_IMPORTS[modname] = imports
+    except Exception:
+        h = "unavailable"
+        _MODULE_PKG_IMPORTS[modname] = []
+    _MODULE_AST_HASHES[modname] = h
+    return h
+
+
+def _closure_hash(fn) -> str:
+    """Hash of the query function's CODE CLOSURE: the ast.dump of its own
+    source plus the AST hashes of every engine-package module reachable
+    from it (imports in the function body + each module's own
+    package-internal imports, transitively).
+
+    Closes the r11 residual (OPTIMIZATION_r11.md item 12 hand-off, r11
+    VERDICT #7): queries whose measured frame is localCheckpoint-rooted
+    present an immutable LogicalRDD plan, and hashing only the query
+    FUNCTION source still missed rewires inside the library operators the
+    function calls (ext/dedup.py etc.). With the closure hashed, an
+    ext/-only edit resets the floors of exactly the queries that import
+    that module. AST-dump hashing (not raw source) keeps comment-only
+    edits from resetting floors spuriously (r11 ADVICE #3)."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        own = hashlib.sha256(ast.dump(ast.parse(src)).encode()).hexdigest()[:16]
+        fn_tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return "unavailable"
+    pkg = getattr(fn, "__module__", _ENGINE_PKG)
+    pkg = pkg.rsplit(".", 1)[0] if "." in pkg else pkg
+    seeds = []
+    for node in ast.walk(fn_tree):
+        target = _resolve_pkg_import(node, pkg)
+        if target:
+            seeds.append(target)
+    seen: set[str] = set()
+    frontier = list(seeds)
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        _module_ast_hash(m)  # populates _MODULE_PKG_IMPORTS[m]
+        frontier.extend(_MODULE_PKG_IMPORTS.get(m, []))
+    parts = [own] + sorted(f"{m}:{_MODULE_AST_HASHES[m]}" for m in seen)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
+
+
 def query_fingerprint(df, fn) -> str:
-    """Ledger key = plan fingerprint x query-source hash (r11).
+    """Ledger key = plan fingerprint x query code-closure hash (r10
+    VERDICT #2, r11, r12).
 
     The plan fingerprint alone has a blind spot the r11 optimization pass
     exposed: queries whose measured frame is a materialized result
@@ -75,25 +182,21 @@ def query_fingerprint(df, fn) -> str:
     pipelines) present a LogicalRDD plan whose normalized string NEVER
     changes when the code upstream of the materialization does, so their
     floors silently min across code eras — exactly the staleness the r10
-    VERDICT #2 fingerprint policy exists to prevent. Hashing the query
-    function's SOURCE alongside the plan resets those floors on any
-    query-level rewire (library-internal changes behind a checkpoint
-    remain the documented residual gap — see OPTIMIZATION_r11.md). A
-    cosmetic source edit resets a floor spuriously, which is safe: a
-    reset only forgets history, never vouches for anything."""
+    VERDICT #2 fingerprint policy exists to prevent. r11 hashed the query
+    function's raw source; r12 widens that to the function's CODE CLOSURE
+    (AST of the function + every engine module it transitively imports,
+    see ``_closure_hash``), so library-internal rewires behind a
+    checkpoint reset floors too, and narrows it to be comment-blind. A
+    spurious reset only forgets history, never vouches for anything."""
     import hashlib
-    import inspect
 
-    try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        src = ""
+    closure = _closure_hash(fn)
     plan = plan_fingerprint(df)
-    if plan == "unavailable":
+    if plan == "unavailable" or closure == "unavailable":
         # keep the never-accumulate semantics: a floor that cannot be
-        # tied to the current plan must not vouch for it
+        # tied to the current plan+code must not vouch for it
         return "unavailable"
-    return hashlib.sha256((plan + "\x00" + src).encode()).hexdigest()[:16]
+    return hashlib.sha256((plan + "\x00" + closure).encode()).hexdigest()[:16]
 
 
 def update_ledger(
@@ -383,14 +486,17 @@ def main() -> None:
         "first-query spike and the first-stream class-loading tax; r09 "
         "VERDICT #8, extended r11)",
         "ledger_policy": "per-query floors keyed to a normalized "
-        "optimized-plan fingerprint x query-source hash (r10 VERDICT #2; "
-        "r11 added the source hash so materialized-result queries 's "
-        "LogicalRDD plans cannot pin a stale floor): a fingerprint "
-        "change — i.e. a code change that altered the query's plan — "
-        "RESETS that query's floor to the current sweep's wall, so the "
-        "rolling-min headline can regress when code does. r11 is the "
-        "era boundary: pre-r11 entries carried no fingerprint and reset "
-        "once on first post-r11 sweep.",
+        "optimized-plan fingerprint x query CODE-CLOSURE hash (r10 "
+        "VERDICT #2; r11 added a query-source hash so materialized-"
+        "result queries' LogicalRDD plans cannot pin a stale floor; r12 "
+        "widened it to the AST of the query function PLUS every engine "
+        "module it transitively imports — library-internal rewires "
+        "behind a checkpoint now reset floors too — and made it "
+        "comment-blind): a fingerprint change RESETS that query's floor "
+        "to the current sweep's wall, so the rolling-min headline can "
+        "regress when code does. Era boundaries (each resets every floor "
+        "once, by the fingerprint-mismatch rule): r11 (source-hash era), "
+        "r12 (AST-closure era).",
     }
     payload = {
         "metric": "rolling_min_total_wall",

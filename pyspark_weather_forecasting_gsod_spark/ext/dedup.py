@@ -262,6 +262,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard self-join with AllPairs/PPJoin prefix filtering
     (Bayardo et al., WWW'07): identical output to ``ngram_jaccard_pairs``
@@ -287,7 +288,14 @@ def ngram_jaccard_pairs_prefix(
     # eager localCheckpoint, not persist: the returned frame stays lazy over
     # arrs, so no in-function unpersist is possible — checkpoint + truncate
     # avoids an unreleasable cache-pool entry (house pattern, see :1005).
-    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # A handed ``_arrs`` (the auto router's admission pass, or a
+    # caller-shared frame) is already checkpointed — reuse it (r12).
+    if _arrs is None:
+        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
+    else:
+        arrs = _arrs
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     wrk = Window.partitionBy(id_col).orderBy("__df", "shingle")
@@ -356,6 +364,7 @@ def _dense_pair_blocks(
     n_docs: int | None = None,
     vocab_checked: bool = False,
     vidx: DataFrame | None = None,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared block BLAS core behind ``ngram_jaccard_pairs_dense``
     and ``ngram_containment_pairs_dense`` (r06 review: the two paths were
@@ -373,10 +382,11 @@ def _dense_pair_blocks(
     the SQL-expression formulation (BroadcastNestedLoopJoin) runs
     interpreted, one pair at a time.
 
-    ``n_docs``/``vocab_checked``/``vidx`` let the auto routers hand over
-    their already-run limit-probes (and the shingle→column index the vocab
-    probe built as a side effect) instead of paying them a second time
-    inside this function (r06 review; r11 guide-§2.3 pass elimination).
+    ``n_docs``/``vocab_checked``/``vidx``/``arrs`` let the auto routers
+    hand over their already-run limit-probes (and the shingle→column
+    index + materialized shingle arrays the probes built as side effects)
+    instead of paying them a second time inside this function (r06
+    review; r11 guide-§2.3 pass elimination; r12 arrs handover).
 
     r11 single-pass restructuring (guide §1.2/§2.3 — don't compute things
     twice, shuffle fewer bytes): the corpus-wide shingle regex pass runs
@@ -389,7 +399,11 @@ def _dense_pair_blocks(
     vidx build, one per cogroup side) + 2 collect_list shuffles + a
     two-sided cogroup. After: 1 full shingle pass + 1 collect_list shuffle
     + 1 grouped exchange. Measured at sf0.1 (5k docs, 900-bigram
-    universe): dense pairs 4.2-5.2 s → 3.1 s, identical output.
+    universe): dense pairs 4.2-5.2 s → 3.1 s, identical output. r12:
+    on the auto route even that one pass is the ADMISSION's materialized
+    pass, handed in via ``arrs`` (an eagerly checkpointed
+    ``shingle_arrays(df, id_col, text_col, n)`` frame) — zero shingle
+    passes run inside this function then.
     """
     import numpy as np
     import pandas as pd
@@ -426,7 +440,9 @@ def _dense_pair_blocks(
             f"({id_col} is {_id_dtype(df, id_col)}); use {alt}"
         )
     spark = df.sparkSession
-    arrs = shingle_arrays(df, id_col, text_col, n)
+    handed_arrs = arrs is not None
+    if not handed_arrs:
+        arrs = shingle_arrays(df, id_col, text_col, n)
     # bounded-corpus guards: O(limit) probes, not full counts — probed on
     # the LAZY lineage so an over-limit corpus raises before any
     # checkpoint materializes it
@@ -437,9 +453,13 @@ def _dense_pair_blocks(
             f"dense {kind} is guarded at {max_rows} docs; use "
             f"{alt} or a sampled audit subset"
         )
-    # ONE corpus-wide shingle pass, materialized: vidx (when not handed
-    # over), tagged, and nothing else re-runs the regex lineage
-    arrs = arrs.localCheckpoint(eager=True)
+    if not handed_arrs:
+        # ONE corpus-wide shingle pass, materialized: vidx (when not
+        # handed over), tagged, and nothing else re-runs the regex
+        # lineage. A handed `arrs` is already an eager checkpoint (the
+        # admission probe's, or a caller-shared one) — re-checkpointing
+        # it would copy |corpus| rows for nothing.
+        arrs = arrs.localCheckpoint(eager=True)
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     if vidx is None:
         # probe and index in one pass: the ≤ max_vocab+1 distinct slice IS
@@ -567,6 +587,7 @@ def ngram_jaccard_pairs_dense(
     _n_docs: int | None = None,
     _vocab_checked: bool = False,
     _vidx: DataFrame | None = None,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via dense bitset intersection — the right plan
     when the shingle UNIVERSE is small (every posting list hot, so both the
@@ -584,7 +605,7 @@ def ngram_jaccard_pairs_dense(
     """
     return _dense_pair_blocks(
         df, id_col, text_col, n, min_jaccard, max_rows, max_vocab,
-        "jaccard", _n_docs, _vocab_checked, _vidx,
+        "jaccard", _n_docs, _vocab_checked, _vidx, _arrs,
     )
 
 
@@ -596,6 +617,7 @@ def ngram_jaccard_pairs_auto(
     min_jaccard: float = 0.5,
     max_rows: int = 200_000,
     max_vocab: int = 4096,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard with automatic strategy selection: the same
     output contract as ``ngram_jaccard_pairs``/_prefix/_dense (all three
@@ -616,19 +638,27 @@ def ngram_jaccard_pairs_auto(
     probe tries a bounded-sample early reject first and pays a full
     distinct pass only when the sample stays under the cap (i.e. only on
     corpora already headed for the dense regime, whose admission bound
-    caps the pass). Probe results are handed to the dense path so it does
-    not re-run them. The plain inverted index remains available by name
-    for corpora known to have uniformly short posting lists.
+    caps the pass). Probe results — including the single materialized
+    corpus-wide shingle pass (r12; see ``_dense_admission``) — are handed
+    to whichever strategy wins so nothing re-runs them. The plain
+    inverted index remains available by name for corpora known to have
+    uniformly short posting lists. ``_arrs`` lets a caller that already
+    holds a checkpointed ``shingle_arrays(df, id_col, text_col, n)``
+    frame share it (the incremental clustering query shares one between
+    this enumeration and ``exact_cross_jaccard``).
     """
-    admit, n_docs, vidx = _dense_admission(
-        df, id_col, text_col, n, max_rows, max_vocab
+    admit, n_docs, vidx, arrs = _dense_admission(
+        df, id_col, text_col, n, max_rows, max_vocab, arrs=_arrs
     )
     if admit:
         return ngram_jaccard_pairs_dense(
             df, id_col, text_col, n, min_jaccard, max_rows,
             max_vocab, _n_docs=n_docs, _vocab_checked=True, _vidx=vidx,
+            _arrs=arrs,
         )
-    return ngram_jaccard_pairs_prefix(df, id_col, text_col, n, min_jaccard)
+    return ngram_jaccard_pairs_prefix(
+        df, id_col, text_col, n, min_jaccard, _arrs=arrs
+    )
 
 
 def _dense_admission(
@@ -639,10 +669,12 @@ def _dense_admission(
     max_rows: int,
     max_vocab: int,
     sample_docs: int = 2_000,
-) -> tuple[bool, int, DataFrame | None]:
+    arrs: DataFrame | None = None,
+) -> tuple[bool, int, DataFrame | None, DataFrame | None]:
     """Shared dense-regime admission test for the Jaccard/containment auto
-    routers: (admit, n_docs_upper_bound, vidx). Decision is IDENTICAL to
-    probing the full corpus (pytest-asserted); only the probe cost changes:
+    routers: (admit, n_docs_upper_bound, vidx, arrs). Decision is IDENTICAL
+    to probing the full corpus (pytest-asserted); only the probe cost
+    changes:
 
     * doc-count probe runs on the RAW input (``shingle_arrays`` only ever
       DROPS rows — docs shorter than ``n`` tokens — so the raw count is a
@@ -652,39 +684,61 @@ def _dense_admission(
       subset — distinct-shingle count is monotone in the corpus, so a
       sample exceeding ``max_vocab`` PROVES the full corpus does, and the
       Zipf-vocabulary regime (the common one at scale) is rejected without
-      the full map pass the r06 verdict flagged. Only a sample that stays
-      under the cap falls through to the exact full-corpus probe.
+      any full map pass. Only a sample that stays under the cap pays the
+      full corpus-wide pass.
 
-    On admit, the full-corpus probe's ≤ ``max_vocab`` distinct-shingle
-    slice is materialized and returned as the shingle→column index
-    (``vidx``: shingle, __idx) so the dense path does not re-run the
-    corpus-wide distinct pass it implies (r11, guide §1.2 — the probe IS
-    the index build). ``vidx`` is None whenever admission fails.
+    r12 single-pass handover (guide §1.2; closes the r11 off-by-one the
+    ADVICE flagged — the admission vocab probe was one full shingle pass
+    and the dense kernel's arrs checkpoint a second): once the sample
+    probe admits the corpus PAST the cheap rejects, the corpus-wide
+    shingle pass is materialized HERE (eager localCheckpoint) and
+    returned; the full vocab probe, the dense kernel, and the prefix
+    fallback all consume that one materialization instead of re-running
+    the regex lineage. Callers that already hold a checkpointed
+    ``shingle_arrays(df)`` frame (the incremental query shares one
+    between its pair enumeration and the cross-jaccard) pass it in via
+    ``arrs`` and no shingle pass runs here at all. The returned ``arrs``
+    is None only when admission rejected before the pass was needed
+    (non-integral id, too many docs, sample-probe reject with no
+    handover); ``vidx`` is None whenever admission fails.
     """
     if not _integral_id_dtype(df, id_col):
-        return False, 0, None
+        return False, 0, None, arrs
     n_docs = df.limit(max_rows + 1).count()
     if n_docs > max_rows:
-        return False, n_docs, None
-    sh = lambda frame: shingle_arrays(frame, id_col, text_col, n).select(  # noqa: E731
-        F.explode("shingles").alias("shingle")
-    )
-    if n_docs > sample_docs:
-        sample_probe = (
-            sh(df.limit(sample_docs)).distinct().limit(max_vocab + 1).count()
+        return False, n_docs, None, arrs
+    if arrs is None:
+        if n_docs > sample_docs:
+            sample_probe = (
+                shingle_arrays(df.limit(sample_docs), id_col, text_col, n)
+                .select(F.explode("shingles").alias("shingle"))
+                .distinct()
+                .limit(max_vocab + 1)
+                .count()
+            )
+            if sample_probe > max_vocab:
+                return False, n_docs, None, None
+        # THE corpus-wide shingle pass: materialized once, consumed by the
+        # vocab probe below and handed to whichever strategy wins
+        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+            eager=True
         )
-        if sample_probe > max_vocab:
-            return False, n_docs, None
-    # full-corpus probe, materialized: when it admits, this slice IS the
-    # complete distinct vocabulary (≤ max_vocab rows — the window and the
-    # checkpoint are bounded) and doubles as the dense path's column index
-    vs = sh(df).distinct().limit(max_vocab + 1).localCheckpoint(eager=True)
+    # full-corpus vocab probe over the materialized arrays: when it
+    # admits, this ≤ max_vocab slice IS the complete distinct vocabulary
+    # (the window and the checkpoint are bounded) and doubles as the
+    # dense path's column index
+    vs = (
+        arrs.select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .localCheckpoint(eager=True)
+    )
     if vs.count() > max_vocab:
-        return False, n_docs, None
+        return False, n_docs, None, arrs
     vidx = vs.withColumn(
         "__idx", F.row_number().over(Window.orderBy("shingle")) - 1
     )
-    return True, n_docs, vidx
+    return True, n_docs, vidx, arrs
 
 
 def ngram_best_match(
@@ -796,15 +850,20 @@ def ngram_best_match(
             df, id_col, text_col, n, min_jaccard=0.0, max_docs=None
         )
     elif regime == "tiered":
+        # ONE corpus-wide shingle checkpoint (r12, guide §1.2): tier 2's
+        # inverted index needs the materialized arrays anyway, and handing
+        # the same frame to the auto-router replaces its admission pass —
+        # previously tier 1's router and this checkpoint each ran the
+        # full shingle regex.
+        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
         # tier 1: exact thresholded pairs via the dense/prefix auto-router.
         # Checkpointed because BOTH the matched-id derivation and the final
         # union re-reference it (and either regime's plan is multi-join).
         t1 = ngram_jaccard_pairs_auto(
-            df, id_col, text_col, n, min_jaccard=tier_jaccard
+            df, id_col, text_col, n, min_jaccard=tier_jaccard, _arrs=arrs
         ).localCheckpoint(eager=True)
-        arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint(
-            eager=True
-        )
         matched = (
             t1.select(F.col("doc_a").alias(id_col))
             .unionAll(t1.select(F.col("doc_b").alias(id_col)))
@@ -1732,6 +1791,8 @@ def exact_cross_jaccard(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    _batch_arrs: DataFrame | None = None,
+    _store_arrs: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs BETWEEN two corpora (batch id × store id,
     never within either side) via the inverted-index join — the ground
@@ -1739,9 +1800,26 @@ def exact_cross_jaccard(
     regime as ``ngram_jaccard_pairs``: fine at gate scale, post-LSH or
     sampled (``similarity.sampled_pair_audit``) at 100 TB.
 
+    ``_batch_arrs``/``_store_arrs`` (r12, guide §1.2): a caller that
+    already holds an eagerly materialized
+    ``shingle_arrays(side, id_col, text_col, n)`` frame passes it here so
+    the side's shingle pass is not re-run — the incremental clustering
+    query shares ONE store-side (and one batch-side) checkpoint between
+    its own pair enumerations and this cross join.
+
     Returns (bid, sid, jaccard)."""
-    ba = shingle_arrays(batch, id_col, text_col, n).persist()
-    sa = shingle_arrays(store, id_col, text_col, n).persist()
+    own_b = _batch_arrs is None
+    own_s = _store_arrs is None
+    ba = (
+        shingle_arrays(batch, id_col, text_col, n).persist()
+        if own_b
+        else _batch_arrs
+    )
+    sa = (
+        shingle_arrays(store, id_col, text_col, n).persist()
+        if own_s
+        else _store_arrs
+    )
     bs = ba.select(F.col(id_col).alias("bid"), F.explode("shingles").alias("s"))
     ss = sa.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("s"))
     inter = (
@@ -1762,10 +1840,14 @@ def exact_cross_jaccard(
         .select("bid", "sid", "jaccard")
     )
     # materialize the (candidate-bounded) pair set, then release the two
-    # cached shingle frames — same leak fix as neardup_probe (r04 ADVICE)
+    # cached shingle frames — same leak fix as neardup_probe (r04 ADVICE).
+    # Handed-in frames are the caller's to manage (checkpointed, not
+    # persisted here).
     out = out.localCheckpoint(eager=True)
-    ba.unpersist()
-    sa.unpersist()
+    if own_b:
+        ba.unpersist()
+    if own_s:
+        sa.unpersist()
     return out
 
 
@@ -2410,6 +2492,7 @@ def ngram_containment_pairs_dense(
     _n_docs: int | None = None,
     _vocab_checked: bool = False,
     _vidx: DataFrame | None = None,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """``ngram_containment_pairs`` via dense bitset intersection — the
     small-shingle-universe regime. Thin wrapper over
@@ -2421,7 +2504,7 @@ def ngram_containment_pairs_dense(
     pytest-verified identical."""
     return _dense_pair_blocks(
         df, id_col, text_col, n, min_containment, max_rows, max_vocab,
-        "containment", _n_docs, _vocab_checked, _vidx,
+        "containment", _n_docs, _vocab_checked, _vidx, _arrs,
     )
 
 
@@ -2433,6 +2516,7 @@ def ngram_containment_pairs_auto(
     min_containment: float = 0.8,
     max_rows: int = 200_000,
     max_vocab: int = 4096,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Containment with the same regime selection as
     ``ngram_jaccard_pairs_auto`` (shared ``_dense_admission`` probe:
@@ -2440,18 +2524,20 @@ def ngram_containment_pairs_auto(
     **dense** (small universe — every posting hot; the sf1 rehearsal
     measured the inverted index at 239× the sf0.1 wall on 10× docs of a
     ~1k-bigram universe) or **prefix** (Zipf universe at scale, any id
-    type). Probe results are handed to the dense path so it does not
-    re-run them (r06 review)."""
-    admit, n_docs, vidx = _dense_admission(
-        df, id_col, text_col, n, max_rows, max_vocab
+    type). Probe results — including the single materialized corpus-wide
+    shingle pass (r12) — are handed to whichever strategy wins so nothing
+    re-runs them."""
+    admit, n_docs, vidx, arrs = _dense_admission(
+        df, id_col, text_col, n, max_rows, max_vocab, arrs=_arrs
     )
     if admit:
         return ngram_containment_pairs_dense(
             df, id_col, text_col, n, min_containment, max_rows,
             max_vocab, _n_docs=n_docs, _vocab_checked=True, _vidx=vidx,
+            _arrs=arrs,
         )
     return ngram_containment_pairs_prefix(
-        df, id_col, text_col, n, min_containment
+        df, id_col, text_col, n, min_containment, _arrs=arrs
     )
 
 
@@ -2461,6 +2547,7 @@ def ngram_containment_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     min_containment: float = 0.8,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """``ngram_containment_pairs`` with AllPairs/PPJoin-style prefix
     filtering adapted to the ASYMMETRIC containment constraint — identical
@@ -2485,7 +2572,14 @@ def ngram_containment_pairs_prefix(
     t = float(min_containment)
     if not 0.0 < t <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_containment <= 1")
-    arrs = shingle_arrays(widen_for_fanout(df), id_col, text_col, n).persist()
+    # a handed ``_arrs`` (the auto router's admission pass) is already an
+    # eager checkpoint — no persist to pair with an unpersist then (r12)
+    if _arrs is None:
+        arrs = shingle_arrays(
+            widen_for_fanout(df), id_col, text_col, n
+        ).persist()
+    else:
+        arrs = _arrs
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     wrk = Window.partitionBy(id_col).orderBy("__df", "shingle")
@@ -2542,5 +2636,6 @@ def ngram_containment_pairs_prefix(
         .filter(F.col("containment") >= t)
     )
     out = out.localCheckpoint(eager=True)
-    arrs.unpersist()
+    if _arrs is None:
+        arrs.unpersist()
     return out

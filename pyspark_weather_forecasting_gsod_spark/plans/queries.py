@@ -1632,11 +1632,30 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracted ids, never re-traversing the store's edges. The oracle is
     the FULL-corpus recursive-CTE closure (the same shared constant
     neardup_clusters checks against), so a hash match proves
-    incremental == full recompute, edge for edge."""
+    incremental == full recompute, edge for edge.
+
+    r12 enumeration sharing (guide §1.2 — the r11 VERDICT's top task):
+    this query must build the store labeling from scratch, so the
+    store-internal pair enumeration — the dominant side — runs regardless;
+    the three separate enumerations it used to run (store-internal pairs,
+    batch-internal pairs, batch×store cross-jaccard: two dense-kernel
+    invocations + one inverted-index join, each re-shingling its side)
+    are EXACTLY a partition of the thresholded pairs of store ∪ batch.
+    ONE auto-routed enumeration over the half corpus (fed by one shared
+    shingle checkpoint) is computed and split by endpoint class: both
+    ends store → the store clustering; any end batch → the update batch.
+    Every edge set is exact at the same threshold, so the split is
+    provably the same three sets (hash-checked end-to-end by the
+    closure oracle). ``update_components`` still updates by contraction
+    at O(|new edges|) cost — the incremental capability under test; the
+    genuinely delta-cost enumeration path (probe an EXISTING store
+    without re-enumerating it) is ``neardup_index_probe`` /
+    ``dedup_increment``'s job, and ``exact_cross_jaccard`` remains the
+    operator behind the probe's recall gate."""
     from ..ext.dedup import (
         connected_components,
-        exact_cross_jaccard,
         ngram_jaccard_pairs_auto,
+        shingle_arrays,
         update_components,
         widen_for_fanout,
     )
@@ -1644,19 +1663,27 @@ def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_for_fanout(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     )
-    store = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
-    store_pairs = ngram_jaccard_pairs_auto(
-        store, "doc_id", "text", n=2, min_jaccard=0.5
+    # ONE shingle pass, ONE pair enumeration for the whole half corpus
+    # (before: the store was shingled 3× — admission probe, dense kernel,
+    # cross join — and three pair jobs ran; measured phase walls at
+    # sf0.1: store 3.3 s + batch 2.3 s + cross 1.5 s, mostly per-kernel
+    # fixed cost). The pair set is materialized once; the endpoint-class
+    # filters below are map-only over that checkpoint.
+    arrs = shingle_arrays(docs, "doc_id", "text", 2).localCheckpoint(
+        eager=True
     )
+    pairs = ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", n=2, min_jaccard=0.5, _arrs=arrs
+    ).localCheckpoint(eager=True)
+    a_batch = F.col("doc_a") % 10 == 0
+    b_batch = F.col("doc_b") % 10 == 0
+    store_pairs = pairs.filter(~a_batch & ~b_batch)
     store_labels = connected_components(store_pairs, "doc_a", "doc_b")
-    batch_pairs = ngram_jaccard_pairs_auto(
-        batch, "doc_id", "text", n=2, min_jaccard=0.5
-    ).select("doc_a", "doc_b")
-    cross = exact_cross_jaccard(
-        batch, store, "doc_id", "text", n=2, min_jaccard=0.5
-    ).select(F.col("bid").alias("doc_a"), F.col("sid").alias("doc_b"))
-    updated = update_components(store_labels, batch_pairs.unionByName(cross))
+    # batch-internal pairs ∪ batch×store cross pairs, in one filter:
+    # every pair with ≥1 batch endpoint (edge orientation is irrelevant —
+    # update_components contracts endpoints symmetrically)
+    new_edges = pairs.filter(a_batch | b_batch).select("doc_a", "doc_b")
+    updated = update_components(store_labels, new_edges)
     return updated.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -162,6 +162,64 @@ def test_query_fingerprint_resets_on_source_change(spark):
     assert f1a != "unavailable"
 
 
+def test_query_fingerprint_closure_resets_on_library_edit(spark, monkeypatch):
+    """r12 (r11 VERDICT #7): the fingerprint must cover the query's CODE
+    CLOSURE — the engine modules its body imports, transitively — so an
+    ext/-only edit resets a checkpoint-rooted query's floor even though
+    neither the LogicalRDD plan nor the query function's own source
+    changed. Simulated here by swapping the cached AST hash of
+    ext.dedup (what a real edit would change) under a real declared
+    query whose body imports it."""
+    import bench
+    from pyspark_weather_forecasting_gsod_spark.plans import queries as Q
+
+    fn = Q()["neardup_clusters"]
+    # stand-in for the query's materialized (LogicalRDD-rooted) result —
+    # the regime where the plan fingerprint is blind
+    df = spark.range(3).localCheckpoint(eager=True)
+    base = bench.query_fingerprint(df, fn)
+    assert base != "unavailable"
+    dedup_mod = "pyspark_weather_forecasting_gsod_spark.ext.dedup"
+    # the closure walk must actually have reached the dedup library
+    assert bench._MODULE_AST_HASHES.get(dedup_mod) not in (None, "unavailable")
+    # "edit" ext/dedup.py: same plan, same query source, new module AST
+    monkeypatch.setitem(bench._MODULE_AST_HASHES, dedup_mod, "0" * 16)
+    edited = bench.query_fingerprint(df, fn)
+    assert edited != base
+    # and the ledger resets the floor on that fingerprint change
+    sl = {"sweeps": 0, "queries": {}}
+    update_ledger(sl, {"neardup_clusters": 2.0}, {"neardup_clusters": base})
+    update_ledger(sl, {"neardup_clusters": 50.0}, {"neardup_clusters": edited})
+    assert sl["queries"]["neardup_clusters"] == {
+        "min": 50.0, "n": 1, "fp": edited
+    }
+
+
+def test_closure_hash_comment_blind(spark):
+    """r11 ADVICE #3: comment-only differences must NOT reset floors —
+    the hash is over the AST, not the raw source."""
+    from bench import _closure_hash
+
+    def q_a(s, d):
+        return s.range(3)
+
+    def q_b(s, d):
+        # a comment that would have changed a raw-source hash
+        return s.range(3)
+
+    # same AST shape up to the function name — normalize by comparing a
+    # rename-free pair: parse-level equality is what the hash sees
+    import ast
+    import textwrap
+    import inspect
+
+    ta = ast.dump(ast.parse(textwrap.dedent(inspect.getsource(q_a))))
+    tb = ast.dump(ast.parse(textwrap.dedent(inspect.getsource(q_b))))
+    assert ta.replace("q_a", "q_b") == tb  # comments invisible to the AST
+    ha, hb = _closure_hash(q_a), _closure_hash(q_b)
+    assert ha != "unavailable" and hb != "unavailable"
+
+
 def test_query_fingerprint_unavailable_passthrough():
     from bench import query_fingerprint
 

@@ -939,8 +939,11 @@ def test_dense_admission_probe_matches_full_decision(spark):
     big_vocab = spark.createDataFrame(
         [Row(doc_id=i, text=f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(2500)]
     )
-    admit, n_docs, vidx = _dense_admission(big_vocab, "doc_id", "text", 2, 200_000, 4096)
-    assert not admit and n_docs == 2500 and vidx is None
+    admit, n_docs, vidx, arrs = _dense_admission(
+        big_vocab, "doc_id", "text", 2, 200_000, 4096
+    )
+    # sample-probe reject happens BEFORE the corpus-wide pass: no arrs
+    assert not admit and n_docs == 2500 and vidx is None and arrs is None
 
     # 2,500 docs over a ~10-token universe: sample passes, full probe passes
     words = [f"w{k}" for k in range(10)]
@@ -950,12 +953,33 @@ def test_dense_admission_probe_matches_full_decision(spark):
             for i in range(2500)
         ]
     )
-    admit, n_docs, vidx = _dense_admission(tiny_vocab, "doc_id", "text", 2, 200_000, 4096)
+    admit, n_docs, vidx, arrs = _dense_admission(
+        tiny_vocab, "doc_id", "text", 2, 200_000, 4096
+    )
     assert admit and n_docs == 2500
     # on admit the probe hands back the complete shingle->column index
     vrows = vidx.collect()
     assert len(vrows) == len({r.shingle for r in vrows})
     assert sorted(r["__idx"] for r in vrows) == list(range(len(vrows)))
+    # ...and the materialized corpus-wide shingle pass (r12): one row per
+    # shingle-bearing doc, values identical to a fresh shingle_arrays run
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        shingle_arrays,
+    )
+
+    want_arrs = {
+        (r.doc_id, tuple(sorted(r.shingles)))
+        for r in shingle_arrays(tiny_vocab, "doc_id", "text", 2).collect()
+    }
+    got_arrs = {
+        (r.doc_id, tuple(sorted(r.shingles))) for r in arrs.collect()
+    }
+    assert got_arrs == want_arrs
+    # a caller-handed arrs frame is passed through and reused, not rebuilt
+    admit2, n2, vidx2, arrs2 = _dense_admission(
+        tiny_vocab, "doc_id", "text", 2, 200_000, 4096, arrs=arrs
+    )
+    assert admit2 and arrs2 is arrs
 
     # short docs (< n tokens) are counted by the raw probe but dropped by
     # shingling: admission must hold and the routed output must equal the
@@ -964,8 +988,10 @@ def test_dense_admission_probe_matches_full_decision(spark):
         [Row(doc_id=i, text="red blue green yellow" if i % 2 else "solo")
          for i in range(40)]
     )
-    admit, n_docs, vidx = _dense_admission(mixed, "doc_id", "text", 2, 200_000, 4096)
-    assert admit and n_docs == 40 and vidx is not None
+    admit, n_docs, vidx, arrs = _dense_admission(
+        mixed, "doc_id", "text", 2, 200_000, 4096
+    )
+    assert admit and n_docs == 40 and vidx is not None and arrs is not None
 
     def key(rows):
         return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
@@ -973,6 +999,101 @@ def test_dense_admission_probe_matches_full_decision(spark):
     want = key(ngram_jaccard_pairs(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
     got = key(ngram_jaccard_pairs_auto(mixed, "doc_id", "text", n=2, min_jaccard=0.5).collect())
     assert got == want and want
+
+
+def test_shared_arrs_handover_identical_outputs(spark):
+    """r12 single-pass handover: routing a caller-materialized
+    ``shingle_arrays`` checkpoint through the auto router and
+    ``exact_cross_jaccard`` must change NOTHING about the outputs —
+    the handed frame is the same map-only projection, materialized once.
+    Covers both auto regimes (dense via tiny universe, prefix via a
+    non-integral id that rejects admission before the vocab probe ever
+    runs — arrs still handed to the prefix path)."""
+    from pyspark.sql import Row, functions as F
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        exact_cross_jaccard,
+        ngram_jaccard_pairs_auto,
+        shingle_arrays,
+    )
+
+    words = [f"w{k}" for k in range(12)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(words[i % 6 : i % 6 + 5]))
+            for i in range(60)
+        ]
+    )
+    arrs = shingle_arrays(docs, "doc_id", "text", 2).localCheckpoint(
+        eager=True
+    )
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b, r.common, round(r.jaccard, 9)) for r in rows}
+
+    plain = key(
+        ngram_jaccard_pairs_auto(
+            docs, "doc_id", "text", n=2, min_jaccard=0.3
+        ).collect()
+    )
+    shared = key(
+        ngram_jaccard_pairs_auto(
+            docs, "doc_id", "text", n=2, min_jaccard=0.3, _arrs=arrs
+        ).collect()
+    )
+    assert shared == plain and plain
+
+    # prefix regime: string ids reject dense admission; the handed arrs
+    # must still be consumed by the prefix path with identical output
+    sdocs = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    sarrs = shingle_arrays(sdocs, "doc_id", "text", 2).localCheckpoint(
+        eager=True
+    )
+    p_plain = key(
+        ngram_jaccard_pairs_auto(
+            sdocs, "doc_id", "text", n=2, min_jaccard=0.3
+        ).collect()
+    )
+    p_shared = key(
+        ngram_jaccard_pairs_auto(
+            sdocs, "doc_id", "text", n=2, min_jaccard=0.3, _arrs=sarrs
+        ).collect()
+    )
+    assert p_shared == p_plain and p_plain
+
+    # cross-jaccard with one or both sides handed over
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store = docs.filter(F.col("doc_id") % 3 != 0)
+    b_arrs = shingle_arrays(batch, "doc_id", "text", 2).localCheckpoint(
+        eager=True
+    )
+    s_arrs = shingle_arrays(store, "doc_id", "text", 2).localCheckpoint(
+        eager=True
+    )
+
+    def ckey(rows):
+        return {(r.bid, r.sid, round(r.jaccard, 9)) for r in rows}
+
+    c_plain = ckey(
+        exact_cross_jaccard(
+            batch, store, "doc_id", "text", n=2, min_jaccard=0.3
+        ).collect()
+    )
+    c_shared = ckey(
+        exact_cross_jaccard(
+            batch, store, "doc_id", "text", n=2, min_jaccard=0.3,
+            _batch_arrs=b_arrs, _store_arrs=s_arrs,
+        ).collect()
+    )
+    c_half = ckey(
+        exact_cross_jaccard(
+            batch, store, "doc_id", "text", n=2, min_jaccard=0.3,
+            _store_arrs=s_arrs,
+        ).collect()
+    )
+    assert c_shared == c_plain == c_half and c_plain
 
 
 def test_edit_distance_pairs_equals_brute_force(spark):

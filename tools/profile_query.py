@@ -3,7 +3,7 @@
 Runs the named declared queries in a fresh session with the bench's
 environment (48g heap, local[$SPARK_GRAFT_CPUS], JVM warm-up pass), times
 each with the noop sink, and optionally writes ``explain("formatted")`` to
-``plans/r11/<name>_<tag>.txt`` so plan claims are auditable.
+``plans/<plandir>/<name>_<tag>.txt`` so plan claims are auditable.
 
 Usage:
     python tools/profile_query.py [--sf DIR] [--runs N] [--tag before] [--no-plan] q1 q2 ...
@@ -29,7 +29,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--tag", default=None, help="write plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<dir>/<q>_<tag>.txt")
+    ap.add_argument("--plandir", default="r12", help="subdir of plans/ for --tag output")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
@@ -63,7 +64,7 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
             spark.catalog.clearCache()
         if args.tag:
-            out_dir = os.path.join(REPO, "plans", "r11")
+            out_dir = os.path.join(REPO, "plans", args.plandir)
             os.makedirs(out_dir, exist_ok=True)
             df = qs[name](spark, args.sf)
             buf = io.StringIO()
