@@ -3115,17 +3115,25 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.event_windows import sliding_agg
     import uuid
 
-    from ..streaming.stream import _await_or_raise, _drain_memory_sink
+    from ..streaming.stream import (
+        _await_or_raise,
+        _drain_memory_sink,
+        derived_state_partitions,
+        events_input_bytes,
+        scoped_shuffle_partitions,
+    )
 
     tune(spark)
-    agg = sliding_agg(read_events_stream(spark, sf_dir))
-    name = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    _await_or_raise(q, 120, "streaming sliding windows")
-    return _drain_memory_sink(spark, name)
+    parts = derived_state_partitions(spark, events_input_bytes(sf_dir))
+    with scoped_shuffle_partitions(spark, parts):
+        agg = sliding_agg(read_events_stream(spark, sf_dir))
+        name = f"sliding_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        _await_or_raise(q, 120, "streaming sliding windows")
+        return _drain_memory_sink(spark, name)
 
 
 @query(
@@ -3247,19 +3255,24 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import (
         _await_or_raise,
         _drain_memory_sink,
+        derived_state_partitions,
+        events_input_bytes,
         read_events_stream,
+        scoped_shuffle_partitions,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    agg = session_agg(stream)
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    _await_or_raise(q, 120, "streaming session windows")
-    return _drain_memory_sink(spark, name)
+    parts = derived_state_partitions(spark, events_input_bytes(sf_dir))
+    with scoped_shuffle_partitions(spark, parts):
+        stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        agg = session_agg(stream)
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _await_or_raise(q, 120, "streaming session windows")
+        return _drain_memory_sink(spark, name)
 
 
 @query(

@@ -133,30 +133,38 @@ def run_python_source_stream(
 
     from pyspark.sql import functions as F
 
-    register(spark)
-    stream = (
-        spark.readStream.format("synthetic_events")
-        .option("n_rows", str(n_rows))
-        .option("rows_per_batch", str(rows_per_batch))
-        .option("n_users", str(n_users))
-        .load()
+    # lazy import: sources must not import streaming at module load
+    from ..streaming.stream import (
+        _drain_memory_sink,
+        _poll_until_offset,
+        derived_state_partitions,
+        scoped_shuffle_partitions,
     )
-    agg = stream.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-    )
-    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    # shared poll: raises the stream's own exception on failure instead of
-    # masking it as a timeout, and stops the query either way (lazy import:
-    # sources must not import streaming at module load)
-    from ..streaming.stream import _drain_memory_sink, _poll_until_offset
 
-    _poll_until_offset(q, n_rows, timeout_sec, name)
-    return _drain_memory_sink(spark, name)
+    register(spark)
+    # size-derived state partitions (r12): rows are 3 numerics ~32 B
+    parts = derived_state_partitions(spark, n_rows * 32)
+    with scoped_shuffle_partitions(spark, parts):
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", str(n_rows))
+            .option("rows_per_batch", str(rows_per_batch))
+            .option("n_users", str(n_users))
+            .load()
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # shared poll: raises the stream's own exception on failure instead
+        # of masking it as a timeout, and stops the query either way
+        _poll_until_offset(q, n_rows, timeout_sec, name)
+        return _drain_memory_sink(spark, name)

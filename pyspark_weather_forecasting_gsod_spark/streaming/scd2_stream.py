@@ -69,8 +69,25 @@ def run_streaming_scd2(
     event value's quartile bucket, so consecutive same-bucket events
     genuinely extend the open row instead of versioning every event."""
     from ..sources.pyds import register
+    from .stream import derived_state_partitions, scoped_shuffle_partitions
 
     register(spark)
+    # foreachBatch body windows/joins per batch: scope its shuffle width
+    # to the (tiny, n_rows-derived) input too
+    parts = derived_state_partitions(spark, n_rows * 32)
+    with scoped_shuffle_partitions(spark, parts):
+        return _run_streaming_scd2(
+            spark, n_rows, rows_per_batch, n_users, timeout_sec
+        )
+
+
+def _run_streaming_scd2(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_batch: int,
+    n_users: int,
+    timeout_sec: int,
+) -> DataFrame:
     stream = (
         spark.readStream.format("synthetic_events")
         .option("n_rows", str(n_rows))

@@ -96,6 +96,14 @@ def streaming_user_totals(
     ``groupBy(user_id).count/sum`` — which is exactly what the oracle
     checks; the cross-batch state-restore path is exercised by the
     multi-file pytest through ``user_totals_from_stream``."""
-    return user_totals_from_stream(
-        spark, read_events_stream(spark, sf_dir), timeout_sec
+    from .stream import (
+        derived_state_partitions,
+        events_input_bytes,
+        scoped_shuffle_partitions,
     )
+
+    parts = derived_state_partitions(spark, events_input_bytes(sf_dir))
+    with scoped_shuffle_partitions(spark, parts):
+        return user_totals_from_stream(
+            spark, read_events_stream(spark, sf_dir), timeout_sec
+        )

@@ -142,27 +142,35 @@ def streaming_user_topk(
     paths share the merge function (`_merge_topk`), so semantics are
     identical by construction.
     """
+    from .stream import (
+        derived_state_partitions,
+        events_input_bytes,
+        scoped_shuffle_partitions,
+    )
+
     if use_transform_with_state is None:
         use_transform_with_state = transform_with_state_available()
-    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
-    if use_transform_with_state:
-        out = stream.groupBy("user_id").transformWithStateInPandas(
-            _make_topk_processor(),
-            outputStructType=OUTPUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
+    parts = derived_state_partitions(spark, events_input_bytes(sf_dir))
+    with scoped_shuffle_partitions(spark, parts):
+        stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+        if use_transform_with_state:
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                _make_topk_processor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        else:
+            out = stream.groupBy("user_id").applyInPandasWithState(
+                _update_topk,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        # update mode appends one row per key per batch; n_seen is strictly
+        # monotonic, so the max-n_seen row IS each key's final state.
+        t = run_update_mode(spark, out, timeout_sec, "topk")
+        return take_latest_per_key(t, "user_id", "n_seen").select(
+            "user_id", "n_seen", "top1", "top2", "top3"
         )
-    else:
-        out = stream.groupBy("user_id").applyInPandasWithState(
-            _update_topk,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    # update mode appends one row per key per batch; n_seen is strictly
-    # monotonic, so the max-n_seen row IS each key's final state.
-    t = run_update_mode(spark, out, timeout_sec, "topk")
-    return take_latest_per_key(t, "user_id", "n_seen").select(
-        "user_id", "n_seen", "top1", "top2", "top3"
-    )
