@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_rows_df
 from .text import normalize_text
 
 # diagnostics only: propagation rounds of the most recent
@@ -503,7 +504,9 @@ def _dense_pair_blocks(
         )
         .localCheckpoint(eager=True)
     )
-    pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+    # one-slice local frame: the default parallelization spun 32 pickle
+    # slices for ~36 rows per kernel invocation (see session.local_rows_df)
+    pair_df = local_rows_df(spark, block_pairs, "ba int, bb int")
     # role-tagged self-UNION instead of a two-sided cogroup: joining the
     # same checkpointed table twice into cogroup trips the ambiguous-self-
     # join analyzer; a union is unambiguous and needs only ONE grouped

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..session import local_rows_df
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "0D, (acc, v) -> acc + v)"
@@ -478,7 +480,13 @@ def build_ivf_index(
         f"{index_dir}/corpus"
     )
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    centers_df = corpus.sparkSession.createDataFrame(centers, ["centroid", "cvec"])
+    # one-slice local frame (see session.local_rows_df): the default
+    # createDataFrame parallelization made this 16-row write the query's
+    # single biggest wall at local[32] (4-5 s) and the source of its
+    # 8-vs-32-core anti-scaling (r11 VERDICT #6)
+    centers_df = local_rows_df(
+        corpus.sparkSession, centers, "centroid bigint, cvec array<double>"
+    )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
@@ -968,7 +976,8 @@ def cosine_allpairs_blocked(
     ).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
-    pair_df = spark.createDataFrame(block_pairs, "ba int, bb int")
+    # one-slice local frame (see session.local_rows_df)
+    pair_df = local_rows_df(spark, block_pairs, "ba int, bb int")
     a_side = tagged.join(
         F.broadcast(pair_df), F.col("blk") == F.col("ba")
     ).select("ba", "bb", F.lit(0).alias("role"), "id", "vec")
@@ -1236,9 +1245,9 @@ def build_pq_index(
         for j in range(m)
         for c in range(k)
     ]
-    spark.createDataFrame(rows, ["subspace", "code", "cvec"]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/codebooks")
+    local_rows_df(
+        spark, rows, "subspace bigint, code bigint, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
     def encode(batches):
         for pdf in batches:
@@ -1397,17 +1406,19 @@ def build_ivfpq_index(
     )
 
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        ["centroid", "cvec"],
+        "centroid bigint, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [
             (j, c, [float(x) for x in books[j, c]])
             for j in range(m)
             for c in range(k)
         ],
-        ["subspace", "code", "cvec"],
+        "subspace bigint, code bigint, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
     def encode(batches):

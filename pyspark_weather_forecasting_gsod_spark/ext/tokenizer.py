@@ -217,8 +217,10 @@ def merges_as_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     rows = [
         (i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string, pair_count long"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "rank int, left string, right string, merged string, pair_count long"
     )
 
 

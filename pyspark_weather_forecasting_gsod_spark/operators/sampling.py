@@ -455,7 +455,10 @@ def quota_sample(
         # __quota would go ambiguous after the broadcast join (r08 review)
         raise ValueError(f"quota_sample: input already has {sorted(clash)}")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    from ..session import local_rows_df
+
+    wdf = local_rows_df(
+        spark,
         [(s, float(w)) for s, w in sorted(weights.items())],
         "__stratum string, __w double",
     )

@@ -373,7 +373,9 @@ def grouped_histogram_quantiles(
             gw.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).withColumn("total", F.sum("bin_count").over(gw))
-    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    from ..session import local_rows_df
+
+    qdf = local_rows_df(hist.sparkSession, [(float(q),) for q in qs], "q double")
     rank = F.col("total") * F.col("q")
     hit = cum.crossJoin(F.broadcast(qdf)).filter(F.col("cum") >= rank)
     first = Window.partitionBy(*group_cols, "q").orderBy("bin")

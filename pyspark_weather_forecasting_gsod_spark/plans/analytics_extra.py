@@ -1261,8 +1261,10 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rmses = [m["rmse"] for m in folds]
     rows.append((-1, round(statistics.mean(rmses), 4), round(statistics.pstdev(rmses), 4), sum(int(m["n_test"]) for m in folds)))
-    return spark.createDataFrame(
-        rows, "fold int, rmse double, r2_or_stddev double, n_test long"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "fold int, rmse double, r2_or_stddev double, n_test long"
     )
 
 

@@ -4741,7 +4741,9 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feat.unpersist()
     rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
-    return spark.createDataFrame(rows, "metric string, value double")
+    from ..session import local_rows_df
+
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @query("ml_classification_metrics", None)  # training loop → rows-only
@@ -4760,7 +4762,9 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feat.unpersist()
     rows = [(k, round(v, 4)) for k, v in sorted(metrics.items())]
-    return spark.createDataFrame(rows, "metric string, value double")
+    from ..session import local_rows_df
+
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 @query("gsod_pipeline_e2e", None)  # composite pipeline → rows-only
@@ -4783,7 +4787,9 @@ def gsod_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-phase wall clock: makes any future bench drift decompose to a
     # named stage right in the recorded output (VERDICT r04 ask)
     rows += [("phase_" + k, float(v)) for k, v in sorted(out["timings"].items())]
-    return spark.createDataFrame(rows, "metric string, value double")
+    from ..session import local_rows_df
+
+    return local_rows_df(spark, rows, "metric string, value double")
 
 
 def _simhash_md5_oracle(bits: int = 64) -> str:

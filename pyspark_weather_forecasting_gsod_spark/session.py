@@ -94,6 +94,32 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Bounded driver-side row list → DataFrame in O(few) slices.
+
+    ``spark.createDataFrame(list)`` parallelizes the pickled rows into
+    ``defaultParallelism`` slices — at ``local[32]`` that is 32 mostly
+    EMPTY pickle partitions, each paying a Python-worker round trip per
+    downstream job. Measured (r12, the r11 VERDICT #6 anti-scaling hunt):
+    writing the 16-row IVF centroid table cost 4-5 s at local[32] vs
+    1.2-2.5 s at local[8] — the scaling INVERSION was slice count, not
+    KMeans; the dense-pair kernels' 36-row block-pair table paid the same
+    tax per invocation. One slice per 100k rows (minimum one) is the
+    scale-correct shape for the bounded artifacts this serves — block
+    tables, centroid tables, metric rows, quantile probes; anything
+    unbounded should not be a driver list in the first place.
+
+    ``schema`` must be an explicit DDL string or StructType: skipping
+    inference also skips the sampling job createDataFrame would run.
+    """
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    rdd = spark.sparkContext.parallelize(
+        rows, numSlices=max(1, -(-len(rows) // 100_000))
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Re-assert runtime-settable confs on an externally built session.
 

@@ -123,8 +123,10 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
         rows.append((v, len(files), nbytes))
-    return spark.createDataFrame(
-        rows, "version int, n_files int, n_bytes long"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "version int, n_files int, n_bytes long"
     )
 
 

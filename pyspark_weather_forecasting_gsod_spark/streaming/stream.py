@@ -540,6 +540,8 @@ def run_streaming_sketch_merge(
         raise AssertionError(
             f"expected a multi-batch replay, saw {n_batches[0]} non-empty batches"
         )
-    return spark.createDataFrame(
-        sorted(merged.items()), "bin long, bin_count long"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, sorted(merged.items()), "bin long, bin_count long"
     )
