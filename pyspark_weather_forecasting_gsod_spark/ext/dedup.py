@@ -1289,6 +1289,7 @@ def _cc_driver_solve(spark, pdf) -> DataFrame | None:
     ai, bi = inv[: len(a)], inv[len(a):]
     labels = np.arange(len(uniq), dtype=np.int64)
     rounds = 0
+    converged = False
     for _ in range(10_000):  # log2(diameter) rounds; backstop only
         rounds += 1
         new = labels.copy()
@@ -1296,8 +1297,17 @@ def _cc_driver_solve(spark, pdf) -> DataFrame | None:
         np.minimum.at(new, bi, labels[ai])
         new = np.minimum(new, new[new])  # pointer jumping
         if np.array_equal(new, labels):
+            converged = True
             break
         labels = new
+    if not converged:
+        # mirror the distributed loop's failure semantics (r11 ADVICE #2):
+        # unreachable with pointer jumping (log2(diameter) << backstop),
+        # but silently returning unconverged labels would be wrong clusters
+        raise RuntimeError(
+            "_cc_driver_solve: no convergence within the 10,000-round "
+            "backstop (should be impossible with pointer jumping)"
+        )
     LAST_CC_ROUNDS = rounds
     out = pd.DataFrame({"node": uniq, "comp": uniq[labels]})
     return spark.createDataFrame(out, schema="node long, comp long")

@@ -107,17 +107,26 @@ def evaluate_regression(
 
     ``with_count=True`` adds ``n`` (row count) to the dict — callers that
     needed a separate ``count()`` action (k-fold) get it from the same
-    pass."""
+    pass.
+
+    r12 (r11 ADVICE #1): rows with a NULL label or prediction are
+    FILTERED before the aggregate — previously they were counted in n
+    but skipped by the sums, silently deflating every mean on frames
+    with NULL labels (the last-row-per-group lead-label shape). And
+    SStot comes from ``var_pop`` (Spark's numerically stable
+    central-moment accumulator) instead of the cancellation-prone
+    Σy² − (Σy)²/n identity — still ONE aggregate pass."""
     from pyspark.sql import functions as F
 
     e = F.col(prediction_col) - F.col(label_col)
     y = F.col(label_col)
-    row = predictions.agg(
+    row = predictions.filter(
+        F.col(label_col).isNotNull() & F.col(prediction_col).isNotNull()
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(e * e).alias("sse"),
         F.sum(F.abs(e)).alias("sae"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
+        F.var_pop(y).alias("vy"),
     ).collect()[0]
     n = row["n"] or 0
     if n == 0:
@@ -125,7 +134,7 @@ def evaluate_regression(
                "mae": float("nan"), "r2": float("nan")}
     else:
         mse = row["sse"] / n
-        ss_tot = row["syy"] - row["sy"] * row["sy"] / n
+        ss_tot = (row["vy"] or 0.0) * n
         out = {
             "rmse": mse ** 0.5,
             "mse": mse,

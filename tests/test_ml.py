@@ -66,6 +66,27 @@ def test_gbt_classifier_metrics(spark):
     assert 0.9 < metrics["areaUnderROC"] <= 1.0
 
 
+def test_evaluate_regression_ignores_null_rows(spark):
+    """r12 (r11 ADVICE #1): rows with NULL label or prediction must not
+    count toward n — previously they deflated every mean — and metrics
+    must equal the same computation over the pre-filtered frame."""
+    from pyspark.sql import Row
+
+    clean = spark.createDataFrame(
+        [Row(label=1.0, prediction=2.0), Row(label=3.0, prediction=3.0),
+         Row(label=5.0, prediction=4.0)]
+    )
+    dirty = clean.unionByName(spark.createDataFrame(
+        [Row(label=None, prediction=9.0), Row(label=7.0, prediction=None)],
+        "label double, prediction double",
+    ))
+    want = evaluate_regression(clean, "label", with_count=True)
+    got = evaluate_regression(dirty, "label", with_count=True)
+    assert got["n"] == want["n"] == 3
+    for k in ("rmse", "mse", "mae", "r2"):
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
 def test_seeded_split_reproducible(spark):
     df = _frame(spark)
     a1, b1 = seeded_split(df)
