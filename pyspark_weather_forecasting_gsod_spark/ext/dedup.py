@@ -264,6 +264,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     min_jaccard: float = 0.5,
     _arrs: DataFrame | None = None,
+    _size_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard self-join with AllPairs/PPJoin prefix filtering
     (Bayardo et al., WWW'07): identical output to ``ngram_jaccard_pairs``
@@ -282,6 +283,17 @@ def ngram_jaccard_pairs_prefix(
     per doc, one equi-join on prefix shingles, one verify join carrying
     arrays for candidates only. Everything hash-partitioned; nothing
     quadratic in the corpus.
+
+    r12: the candidate join also applies the AllPairs LENGTH filter —
+    ``J(A,B) ≥ t`` forces ``t·|A| ≤ |B| ≤ |A|/t`` (with |A| ≤ |B|,
+    ``J ≤ |A|/|B|``), so a size-ratio-violating candidate provably fails
+    verification and is dropped BEFORE the distinct + verify join at the
+    cost of one int riding each prefix row. On equal-length corpora (the
+    sf1 replica clumps) it prunes nothing and measures as noise; on
+    skewed-length corpora (the truncation fixture in the sf1 rehearsal)
+    it prunes the cross-length candidate mass. ``_size_filter=False``
+    pins the old join for A/B measurement; output is identical either
+    way (pytest-asserted).
     """
     t = float(min_jaccard)
     if not 0.0 < t <= 1.0:
@@ -312,15 +324,23 @@ def ngram_jaccard_pairs_prefix(
     prefix = ranked.filter(
         F.col("__rk")
         <= F.col("__sz") - F.ceil(F.col("__sz") * t - 1e-9) + 1
-    ).select(F.col(id_col), "shingle")
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    ).select(F.col(id_col), "shingle", "__sz")
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("__sz").alias("__sza")
     )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("__sz").alias("__szb")
+    )
+    cand = pa.join(pb, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if _size_filter:
+        # AllPairs length filter: J ≥ t ⟹ each side ≥ t × the other
+        # (necessary condition — overshooting via the -1e-9 cushion keeps
+        # borderline pairs for the exact verify join, never drops them)
+        cand = cand.filter(
+            (F.col("__szb").cast("double") >= F.col("__sza") * t - 1e-9)
+            & (F.col("__sza").cast("double") >= F.col("__szb") * t - 1e-9)
+        )
+    cand = cand.select("doc_a", "doc_b").distinct()
     aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sh_a"))
     bb = arrs.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sh_b"))
     return (

@@ -1001,6 +1001,46 @@ def test_dense_admission_probe_matches_full_decision(spark):
     assert got == want and want
 
 
+def test_prefix_size_filter_identical_on_skewed_lengths(spark):
+    """r12 AllPairs length filter: on a corpus with heavy length skew
+    (full docs + truncations at 1/2, 1/4, 1/8) the size-ratio pruning
+    must change NOTHING about the output — it is a necessary condition
+    of J >= t — while the inverted index pins ground truth."""
+    from pyspark.sql import Row
+
+    from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    words = [f"tok{i}" for i in range(64)]
+    rows = []
+    for d in range(12):
+        base = [words[(d * 7 + i) % 64] for i in range(48)]
+        for k, frac in enumerate([1, 2, 4, 8]):
+            rows.append(
+                Row(doc_id=d * 4 + k, text=" ".join(base[: max(4, 48 // frac)]))
+            )
+    docs = spark.createDataFrame(rows)
+
+    def key(out):
+        return {
+            (r.doc_a, r.doc_b, r.common, round(r.jaccard, 9))
+            for r in out.collect()
+        }
+
+    truth = key(ngram_jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.4))
+    filtered = key(
+        ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=2, min_jaccard=0.4)
+    )
+    unfiltered = key(
+        ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=2, min_jaccard=0.4, _size_filter=False
+        )
+    )
+    assert filtered == unfiltered == truth and truth
+
+
 def test_shared_arrs_handover_identical_outputs(spark):
     """r12 single-pass handover: routing a caller-materialized
     ``shingle_arrays`` checkpoint through the auto router and

@@ -462,6 +462,114 @@ def main() -> None:
             ).count(),
         )
 
+    # --- r12: AllPairs size filter on a SKEWED-LENGTH corpus -------------
+    # (r11 VERDICT #8). The replica corpus is equal-sized by construction,
+    # so the length filter (J >= t forces t·|A| <= |B| <= |A|/t) can prune
+    # nothing there; this fixture is the regime it exists for: each base
+    # doc appears as full text + 1/2, 1/4, 1/8 truncations (truncations
+    # share the head's rare shingles with the full doc -> prefix-join
+    # candidates — but deep truncations provably fail the threshold on
+    # size ratio alone). Measured: candidate count with vs without the
+    # filter, wall with vs without, outputs asserted identical.
+    _skew_names = {"prefix_skewed_sizefilter", "prefix_skewed_nofilter"}
+    if not only or _skew_names & set(only):
+        from pyspark_weather_forecasting_gsod_spark.ext.dedup import (
+            ngram_jaccard_pairs_prefix,
+            word_shingles,
+        )
+        from pyspark.sql import Window as _W
+
+        skew_path = os.path.join(SF1, "documents_skewed.parquet")
+        if not os.path.isdir(skew_path):
+            base = load_table(spark, SRC, "documents")
+            n_base = base.count()
+            fracs = spark.createDataFrame(
+                [(0, 1), (1, 2), (2, 4), (3, 8)], "rep int, frac int"
+            )
+            words = F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
+            (
+                base.crossJoin(F.broadcast(fracs))
+                .select(
+                    (F.col("doc_id") + F.col("rep").cast("long") * n_base).alias(
+                        "doc_id"
+                    ),
+                    F.array_join(
+                        F.slice(
+                            words,
+                            1,
+                            F.greatest(
+                                F.lit(4), (F.size(words) / F.col("frac")).cast("int")
+                            ),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(skew_path)
+            )
+        skew = spark.read.parquet(skew_path)
+        n_skew = skew.count()
+        # candidate-set sizes under the identical prefix construction,
+        # with and without the length predicate (the thing the filter
+        # actually reduces — the verify join's input)
+        t = 0.5
+        sh = word_shingles(skew, "doc_id", "text", 2)
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        wrk = _W.partitionBy("doc_id").orderBy("__df", "shingle")
+        wsz = _W.partitionBy("doc_id")
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn("__rk", F.row_number().over(wrk))
+            .withColumn("__sz", F.count(F.lit(1)).over(wsz))
+        )
+        prefix = ranked.filter(
+            F.col("__rk") <= F.col("__sz") - F.ceil(F.col("__sz") * t - 1e-9) + 1
+        ).select("doc_id", "shingle", "__sz").localCheckpoint(eager=True)
+        pa = prefix.select(
+            F.col("doc_id").alias("a"), "shingle", F.col("__sz").alias("sza")
+        )
+        pb = prefix.select(
+            F.col("doc_id").alias("b"), "shingle", F.col("__sz").alias("szb")
+        )
+        raw_cand = pa.join(pb, "shingle").filter(F.col("a") < F.col("b"))
+        n_cand_all = raw_cand.select("a", "b").distinct().count()
+        n_cand_flt = (
+            raw_cand.filter(
+                (F.col("szb").cast("double") >= F.col("sza") * t - 1e-9)
+                & (F.col("sza").cast("double") >= F.col("szb") * t - 1e-9)
+            )
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        out_counts = {}
+        timed(
+            "prefix_skewed_sizefilter",
+            lambda: out_counts.__setitem__(
+                "flt",
+                ngram_jaccard_pairs_prefix(
+                    skew, "doc_id", "text", n=2, min_jaccard=t
+                ).count(),
+            ),
+        )
+        timed(
+            "prefix_skewed_nofilter",
+            lambda: out_counts.__setitem__(
+                "all",
+                ngram_jaccard_pairs_prefix(
+                    skew, "doc_id", "text", n=2, min_jaccard=t,
+                    _size_filter=False,
+                ).count(),
+            ),
+        )
+        routes["prefix_skewed_sizefilter"] = (
+            f"n_docs={n_skew} candidates {n_cand_all} -> {n_cand_flt} "
+            f"({(1 - n_cand_flt / max(1, n_cand_all)) * 100:.0f}% pruned by "
+            f"the length filter); outputs identical: "
+            f"{out_counts.get('flt')} == {out_counts.get('all')} rows"
+        )
+
     # --- r8: streaming family at 10x (r07 VERDICT #7) --------------------
     # the one query family with no scale evidence. streaming_stream_join is
     # the 5th most expensive sf0.1 query and its cost is CLAIMED to be
