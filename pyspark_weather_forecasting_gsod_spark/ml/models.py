@@ -205,7 +205,16 @@ def kfold_cv_regression(
         k,
         hex_chars=4,
     )
-    tagged = feat.withColumn("__fold", fold).persist()
+    # cache exactly the fit columns (r12, the gsod item-4 pattern): every
+    # fold's fit/eval reads only (features, label, fold), and the LR fit
+    # is multi-pass — k x passes over a full-width cached frame paid for
+    # columns nothing reads. Projection preserves rows, so fold
+    # membership and every metric are unchanged.
+    tagged = (
+        feat.withColumn("__fold", fold)
+        .select(features_col, label_col, "__fold")
+        .persist()
+    )
     out = []
     try:
         for i in range(k):
@@ -249,7 +258,12 @@ def kfold_cv_classification(
         k,
         hex_chars=4,
     )
-    tagged = feat.withColumn("__fold", fold).persist()
+    # fit-column projection before the cache — see kfold_cv_regression
+    tagged = (
+        feat.withColumn("__fold", fold)
+        .select(features_col, label_col, "__fold")
+        .persist()
+    )
     out = []
     try:
         for i in range(k):

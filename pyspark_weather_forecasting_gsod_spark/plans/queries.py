@@ -4729,11 +4729,14 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.models import evaluate_regression, seeded_split, train_linear_regression
 
     df = _events_feature_frame(spark, sf_dir)
-    # cache the featurized frame: fit + split + every evaluator action
-    # otherwise replays the window + pipeline lineage from the scan
+    # cache the featurized frame PROJECTED to the fit columns (r12, gsod
+    # item-4 pattern): fit + split + every evaluator action otherwise
+    # replays the window + pipeline lineage from the scan, and LR's fit
+    # is multi-pass; projection preserves rows so split membership and
+    # metrics are unchanged
     feat = assemble_features(
         df, categorical=["event_type"], numerical=["value", "hour", "dow"]
-    ).persist()
+    ).select("features", "next_value").persist()
     try:
         train, test = seeded_split(feat)
         model = train_linear_regression(train, "next_value")
@@ -4752,9 +4755,10 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.models import evaluate_classification, seeded_split, train_gbt_classifier
 
     df = _events_feature_frame(spark, sf_dir)
+    # fit-column projection before the cache — see ml_regression_metrics
     feat = assemble_features(
         df, categorical=["event_type"], numerical=["value", "hour", "dow"]
-    ).persist()
+    ).select("features", "went_up").persist()
     try:
         train, test = seeded_split(feat)
         model = train_gbt_classifier(train, "went_up", max_iter=5)
