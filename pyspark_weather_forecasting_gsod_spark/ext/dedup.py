@@ -1108,6 +1108,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.5,
     seed: int = 42,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, exact-Jaccard verified.
 
@@ -1116,10 +1117,20 @@ def minhash_lsh_pairs(
     This is the 100 TB shape: no cross join anywhere; candidate volume is
     controlled by bands/rows-per-band (8 bands × 4 rows ≈ s-curve threshold
     ~0.5), and verification touches only candidates.
+
+    ``_arrs`` (r12): a caller that already holds a materialized
+    ``shingle_arrays(df, id_col, text_col, n)`` frame — e.g. a query that
+    also runs the exact truth companion over the same corpus — hands it
+    in; the signature pass reads the materialized arrays instead of
+    re-running the regex, and candidate verification becomes a semi-join
+    over them instead of a second raw-doc regex pass. Deliberately still
+    NOT checkpointed when self-built (r07: materializing the full corpus
+    upfront costs more than the lazy pipeline when nothing else reuses
+    it).
     """
     # signature + band keys: ONE map-only projection (fold expression), then
     # explode only `bands` small rows per doc for the bucket join.
-    arrs = shingle_arrays(df, id_col, text_col, n)
+    arrs = _arrs if _arrs is not None else shingle_arrays(df, id_col, text_col, n)
     sig = minhash_signatures(arrs, id_col, num_hashes, seed)
     bucket = minhash_band_buckets(sig, id_col, num_hashes, bands)
     a = bucket.select(F.col(id_col).alias("doc_a"), "band_no", "bucket")
@@ -1146,9 +1157,16 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_arrs = shingle_arrays(
-        df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
-    ).localCheckpoint(eager=True)
+    if _arrs is not None:
+        # the corpus arrays are already materialized: candidate slice is
+        # a regex-free semi-join over them
+        cand_arrs = _arrs.join(
+            cand_ids, on=id_col, how="left_semi"
+        ).localCheckpoint(eager=True)
+    else:
+        cand_arrs = shingle_arrays(
+            df.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col, n
+        ).localCheckpoint(eager=True)
     # ^ materialized once (r11, guide §1.2): the verification join reads
     # this frame FOUR times (shingle rows for each pair side + a size
     # table per side), and each reference of the lazy plan re-ran the

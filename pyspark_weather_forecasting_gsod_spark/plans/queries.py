@@ -2018,19 +2018,37 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
         ngram_jaccard_pairs_auto,
         ngram_jaccard_pairs_dense,
+        shingle_arrays,
     )
     from ..ext.similarity import pair_recall_summary, sampled_pair_audit
 
     docs = _t(spark, sf_dir, "documents")
+    at_scale = _route_recall_truth(docs, "doc_id")
+    # ONE corpus shingle pass shared by the LSH pipeline (signatures +
+    # candidate verification) and the gate-scale exact truth companion
+    # (r12, guide §1.2): below the audit cutover BOTH consumers need the
+    # full corpus's arrays, so the checkpoint replaces three regex passes
+    # (signature projection, candidate semi-join re-shingle, dense-kernel
+    # arrs). At scale the truth side is a sampled audit (its own slice),
+    # so the full-corpus materialization would serve only the LSH pipe —
+    # r07 measured that as a net loss; keep the lazy pipe there.
+    arrs = (
+        None
+        if at_scale
+        else shingle_arrays(docs, "doc_id", "text", 2).localCheckpoint(
+            eager=True
+        )
+    )
     # 8 bands × 4 rows: s-curve threshold (1/8)^(1/4) ≈ 0.59 — random pairs
     # (jaccard ≈ 0.06 here) collide with p ≈ 1e-4, true near-dups (≥0.9)
     # with p ≈ 0.9998, so candidate volume stays ~linear in corpus size.
     # near-dup pair sets are tiny (corpus-linear); materialize once so the
     # LSH pipeline doesn't re-run for each of its two references below
     approx = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=2, num_hashes=32, bands=8, min_jaccard=0.5
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=8, min_jaccard=0.5,
+        _arrs=arrs,
     ).localCheckpoint(eager=True)
-    if _route_recall_truth(docs, "doc_id"):
+    if at_scale:
         # auto, not pinned dense (r09 self-review): a 10% sample of a
         # real Zipf corpus exceeds the dense vocab cap, where pinned
         # dense RAISES — auto routes prefix there, dense here, exact
@@ -2050,7 +2068,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index degenerates (every posting hot, measured 6.7× slower); the
         # guards inside raise with the scale-path pointer on a real corpus
         exact = ngram_jaccard_pairs_dense(
-            docs, "doc_id", "text", n=2, min_jaccard=0.5
+            docs, "doc_id", "text", n=2, min_jaccard=0.5, _arrs=arrs
         )
         summary = pair_recall_summary(approx, exact, "doc_a", "doc_b")
     return approx.crossJoin(
