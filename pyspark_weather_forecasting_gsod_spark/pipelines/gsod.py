@@ -250,16 +250,20 @@ def run_gsod_pipeline(
         # the fused operator's per-column output equals the old
         # seasonal(max) → prox(max) → seasonal(min) → prox(min) chain
         # bit for bit — with one (stn, month) aggregate + one broadcast
-        # join + one shared fallback window chain instead of two of each
+        # join + one shared fallback window chain instead of two of each.
+        # r12: temp/stp ride the SAME fallback chain — proximity imputes
+        # each column independently through shared window specs, and
+        # temp/stp are untouched by the seasonal merge, so folding them
+        # into the fallback is bit-identical to the separate trailing
+        # stage it replaces while saving one full materialization and a
+        # second two-window pass (the whole chain is now two checkpoints:
+        # post-zero and final).
         imputed = seasonal_median_impute_multi(
             imputed, ["max", "min"], group_by="stn", date_col="date",
             fallback=lambda m: proximity_impute_fixed_schedule(
-                m, ["max", "min"], group_by="stn", order_by=["date"],
-                schedule=(4, 8),
+                m, ["max", "min", "temp", "stp"], group_by="stn",
+                order_by=["date"], schedule=(4, 8),
             ),
-        ).localCheckpoint(eager=True)
-        imputed = proximity_impute_fixed_schedule(
-            imputed, ["temp", "stp"], group_by="stn", order_by=["date"], schedule=(4, 8)
         )
     else:
         imputed = run_impute_strategy(

@@ -178,6 +178,39 @@ def test_seasonal_median_impute_multi_equals_sequential_chain(spark):
     assert key(multi_fb) == key(seq_fb)
     assert multi_fb.columns == df.columns
 
+    # r12: EXTRA fallback columns untouched by the seasonal stage (the
+    # gsod fast path folds its trailing temp/stp proximity stage into the
+    # seasonal fallback) must equal running that proximity stage
+    # separately AFTER the seasonal chain — per-column independence.
+    rows2 = [
+        Row(stn=r.stn, date=r.date, x=r.x, y=r.y,
+            z=(None if i % 3 == 0 else float(i)))
+        for i, r in enumerate(rows)
+    ]
+    df2 = spark.createDataFrame(rows2)
+
+    def key2(frame):
+        return sorted((r.stn, r.date, r.x, r.y, r.z) for r in frame.collect())
+
+    fused = seasonal_median_impute_multi(
+        df2, ["x", "y"], group_by="stn", date_col="date",
+        fallback=lambda m: proximity_impute_fixed_schedule(
+            m, ["x", "y", "z"], group_by="stn", order_by=["date"],
+            schedule=(2, 4),
+        ),
+    )
+    separate = seasonal_median_impute_multi(
+        df2, ["x", "y"], group_by="stn", date_col="date",
+        fallback=lambda m: proximity_impute_fixed_schedule(
+            m, ["x", "y"], group_by="stn", order_by=["date"], schedule=(2, 4)
+        ),
+    )
+    separate = proximity_impute_fixed_schedule(
+        separate, "z", group_by="stn", order_by=["date"], schedule=(2, 4)
+    )
+    assert key2(fused) == key2(separate)
+    assert fused.columns == df2.columns
+
 
 def test_zero_impute(spark):
     df = spark.createDataFrame([Row(prcp=None), Row(prcp=1.5)], "prcp double")
